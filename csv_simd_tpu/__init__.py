@@ -1,0 +1,57 @@
+"""tpu-csv-index: a TPU-native CSV structural-indexing framework.
+
+Built from scratch in JAX/Pallas with the capabilities of the Rust reference
+(EdmundsEcho/csv-simd, a simdjson-stage1-derived CSV indexer; see SURVEY.md).
+The pipeline: raw CSV bytes -> byte classification -> quote-state masking via
+prefix-XOR parity -> structural-offset tape -> O(1) record/field serving,
+scaled over TPU device meshes with collective-stitched shard boundary state.
+
+Public API (idiomatic re-exposure of the reference surface, lib.rs:21-45):
+
+    create(path)            -> Tape       (reference: lib.rs:61 `create`)
+    Tape                                  (reference: tape.rs:74)
+    Header                                (reference: tape.rs:217)
+    RecordSource mixin / seek_record / seek_field
+                                          (reference: record_source.rs:68)
+    StructureIndex                        (reference: stage1.rs:61)
+    boundaries / Boundary / Chunk         (reference: tape.rs:281-428)
+    StructureError hierarchy              (reference: error.rs:9)
+"""
+
+from .config import Dialect, build_nibble_luts, CODE_NEWLINE, CODE_DELIM
+from .config import CODE_SPACE, CODE_ESCAPE, CODE_QUOTE, CODE_STRUCTURAL
+from .errors import (
+    StructureError,
+    IoError,
+    MissingValue,
+    InvalidState,
+    InvalidCsvFormat,
+)
+from .tape import Header, Tape, NewLine, Boundary, Chunk, boundaries
+from .api import create, create_from_bytes
+
+__all__ = [
+    "Dialect",
+    "build_nibble_luts",
+    "CODE_NEWLINE",
+    "CODE_DELIM",
+    "CODE_SPACE",
+    "CODE_ESCAPE",
+    "CODE_QUOTE",
+    "CODE_STRUCTURAL",
+    "StructureError",
+    "IoError",
+    "MissingValue",
+    "InvalidState",
+    "InvalidCsvFormat",
+    "Header",
+    "Tape",
+    "NewLine",
+    "Boundary",
+    "Chunk",
+    "boundaries",
+    "create",
+    "create_from_bytes",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,164 @@
+"""Index-build driver: bytes -> structural index ("the tape").
+
+The analog of the reference's `reader::read` (reader.rs:150-306), redesigned
+for XLA: instead of a serial loop over 64-byte SIMD blocks with a carried
+quote parity, the whole buffer is laid out as (rows, 128) uint8 — the VPU
+lane shape — zero-padded like the reference's tail block (0x00 classifies
+to nothing, avx/stage1.rs:37-94), and processed by one fused
+classify -> parity-scan -> mask -> bitpack computation. The device emits
+packed bitmask words (1 bit per input byte); offsets are compacted either
+on device (fixed-capacity nonzero) or on host.
+
+Backends: "jnp" (pure XLA, runs anywhere), "pallas" (fused TPU kernel),
+"auto" (pallas on TPU, else jnp).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_DIALECT, Dialect
+from .ops.classify import classify_masks
+from .ops.pack import pack_words, unpack_words_host
+from .ops.scan import in_quote_parity, parity_out
+
+LANES = 128
+ROW_ALIGN = 32  # int8 sublane tile
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pad_to_grid(arr: np.ndarray, row_align: int = ROW_ALIGN) -> np.ndarray:
+    """uint8 1-D -> zero-padded (rows, LANES) with rows % row_align == 0.
+
+    Row counts are bucketed (next power of two up to 8192, then multiples
+    of 8192) so repeated small builds share a handful of compiled shapes
+    instead of recompiling per input size; padding is 0x00, which
+    classifies to nothing (the reference's zero-padded tail block,
+    avx/stage1.rs:37-94).
+    """
+    n = arr.size
+    rows = max(_cdiv(n, LANES), 1)
+    rows = _cdiv(rows, row_align) * row_align
+    if rows <= 8192:
+        bucket = row_align
+        while bucket < rows:
+            bucket *= 2
+        rows = bucket
+    else:
+        rows = _cdiv(rows, 8192) * 8192
+    padded = np.zeros(rows * LANES, dtype=np.uint8)
+    padded[:n] = arr
+    return padded.reshape(rows, LANES)
+
+
+@partial(jax.jit, static_argnames=("dialect",))
+def stage1_jnp(b2d: jnp.ndarray, carry_in, dialect: Dialect = DEFAULT_DIALECT):
+    """Fused stage-1 scan (XLA path): (rows, 128) bytes + carry parity ->
+    (sublane-major packed words (rows//32, 128) uint32, parity_out) —
+    bit-identical output layout to the Pallas backend."""
+    struct, quote = classify_masks(b2d, dialect)
+    inq = in_quote_parity(quote, carry_in)
+    masked = (struct & (inq == 0)).astype(jnp.int32)
+    words = pack_words(masked)
+    return words, parity_out(quote, carry_in)
+
+
+@partial(jax.jit, static_argnames=("dialect",))
+def stage1_mask_jnp(b2d: jnp.ndarray, carry_in, dialect: Dialect = DEFAULT_DIALECT):
+    """Same scan but returning the unpacked 0/1 mask (for device-side
+    compaction / differential tests)."""
+    struct, quote = classify_masks(b2d, dialect)
+    inq = in_quote_parity(quote, carry_in)
+    masked = struct & (inq == 0)
+    return masked.astype(jnp.int32), parity_out(quote, carry_in)
+
+
+def _have_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if _have_tpu() else "jnp"
+    return backend
+
+
+def stage1_words(
+    data: bytes | np.ndarray,
+    dialect: Dialect = DEFAULT_DIALECT,
+    backend: str = "auto",
+    carry_in: int = 0,
+):
+    """bytes -> (packed words np.uint32 (rows,4), rows, parity_out int)."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    b2d = pad_to_grid(arr)
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        from .ops.stage1_pallas import stage1_pallas
+
+        interpret = not _have_tpu()
+        words, _counts, par = stage1_pallas(
+            jnp.asarray(b2d), carry_in, dialect, interpret=interpret
+        )
+    else:
+        words, par = stage1_jnp(jnp.asarray(b2d), jnp.int32(carry_in), dialect)
+    return np.asarray(words), arr.size, int(par)
+
+
+def build_index(
+    data: bytes | np.ndarray,
+    dialect: Dialect = DEFAULT_DIALECT,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Full structural index with the 0 sentinel (reader.rs:216), as int64
+    host offsets — bit-identical to golden.structural_index."""
+    words, n, _ = stage1_words(data, dialect, backend)
+    mask = unpack_words_host(words, n)
+    offsets = np.flatnonzero(mask).astype(np.int64)
+    return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
+
+
+def build_index_device(
+    data: bytes | np.ndarray,
+    dialect: Dialect = DEFAULT_DIALECT,
+    density: float = 0.25,
+):
+    """Device-resident index build: returns (offsets int32 device array,
+    count int) where offsets[1:count+1] are structural positions and
+    offsets[0] is the sentinel. Capacity grows from the density heuristic
+    (the reference reserves len/6, design_notes_2.md:14) until it fits."""
+    from .ops.compact import extract_offsets_device
+
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    b2d = jnp.asarray(pad_to_grid(arr))
+    mask, _ = stage1_mask_jnp(b2d, jnp.int32(0), DEFAULT_DIALECT if dialect is None else dialect)
+    n = arr.size
+    cap = max(int(n * density) + 64, 64)
+    while True:
+        offsets, count = extract_offsets_device(mask, capacity=cap)
+        count = int(count)
+        if count <= cap:
+            break
+        cap = max(count, cap * 2)
+    with_sentinel = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), offsets[:count] if count < cap else offsets]
+    )
+    return with_sentinel, count

@@ -1,0 +1,215 @@
+"""Tape layer: header metadata, record geometry, and work partitioning.
+
+Reimplements the reference's tape.rs semantics exactly (see SURVEY.md §8.3,
+§8.4, §8.7):
+
+- `Header` sniffs the header row, line-ending flavour and BOM
+  (tape.rs:226-273);
+- `Tape` holds bytes + structural index and derives `record_jump_size`
+  (field_cnt, +1 under CRLF because CRLF contributes two index slots per
+  row break) and `record_cnt = (len(index)-1) // jump`, enforcing the
+  uniform-stride invariant (tape.rs:315-347);
+- `boundaries`/`Chunk` split the record range into near-equal jobs
+  (tape.rs:385-428, 95-140) — in this framework they feed the sharded
+  device build rather than a (never-built) thread pool.
+
+The serving methods (`seek_record`/`seek_field`) live in `serve.py` and are
+mixed in here; `Tape` is a host-side metadata object — the index itself may
+live on device for batched gather serving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .errors import InvalidCsvFormat, InvalidState
+from .serve import RecordSourceMixin
+
+_BOM_BYTES = (0xEF, 0xBB, 0xBF)
+
+
+class NewLine(enum.Enum):
+    """Line-ending flavour (reference: stage1.rs:472-502). Sniffed from the
+    header row, never configured (tape.rs:234-238)."""
+
+    LF = "lf"
+    CRLF = "crlf"
+
+
+@dataclasses.dataclass
+class Header:
+    """Parsed header row (reference: tape.rs:217-277).
+
+    Semantics replicated from Header::new (tape.rs:226-273):
+    - header end = first 0x0D or 0x0A byte (quote-unaware, a known gap in
+      the reference we preserve for parity);
+    - CRLF iff the byte *after* that terminator is 0x0A (tape.rs:235-238);
+    - leading bytes drawn from {EF,BB,BF} are skipped as a BOM in any
+      order/multiplicity, faithfully to the reference's take_while
+      (tape.rs:241-249);
+    - names split on the delimiter and trimmed (tape.rs:258-262). The
+      reference hardcodes "," here even though `delimiter` is a field; we
+      split on the configured delimiter (identical for the default dialect).
+    """
+
+    names: List[str]
+    new_line: NewLine
+    field_cnt: int
+    delimiter: int
+    record_offset: int  # byte offset of the header-terminating newline
+
+    @classmethod
+    def parse(cls, data: bytes, delimiter: int = 0x2C) -> "Header":
+        end = 0
+        n = len(data)
+        while end < n and data[end] not in (0x0D, 0x0A):
+            end += 1
+        # Reference reads data[end + 1] unconditionally (panics at EOF);
+        # we treat truncation as LF.
+        new_line = (
+            NewLine.CRLF if end + 1 < n and data[end + 1] == 0x0A else NewLine.LF
+        )
+        start = 0
+        while start < n and data[start] in _BOM_BYTES:
+            start += 1
+        raw = data[start:end].decode("utf-8", errors="surrogateescape")
+        names = [name.strip() for name in raw.split(chr(delimiter))]
+        return cls(
+            names=names,
+            new_line=new_line,
+            field_cnt=len(names),
+            delimiter=delimiter,
+            record_offset=end,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Boundary:
+    """Zero-indexed [start, start+len) job boundary (tape.rs:281-284)."""
+
+    start: int
+    len: int
+
+
+def boundaries(task_size: int, job_count: int) -> Optional[List[Boundary]]:
+    """Divide `task_size` units into `job_count` near-equal jobs.
+
+    Matches the reference contract (tape.rs:385-428 incl. its doctest):
+    returns None when either input is 0; returns a single all-covering job
+    when task_size < job_count; otherwise the first `task_size % job_count`
+    jobs carry one extra unit.
+    """
+    if task_size == 0 or job_count == 0:
+        return None
+    if task_size < job_count:
+        return [Boundary(start=0, len=task_size)]
+    job_size, remainder = divmod(task_size, job_count)
+    out: List[Boundary] = []
+    acc = 0
+    for i in range(job_count):
+        extra = 1 if i < remainder else 0
+        out.append(Boundary(start=acc, len=job_size + extra))
+        acc += job_size + extra
+    return out
+
+
+@dataclasses.dataclass
+class Chunk:
+    """A record-range slice of the tape for parallel work (tape.rs:13-40).
+
+    `start`/`end` are *index-slot* positions (record boundaries scaled by
+    the record jump size), exactly as Tape::chunks computes them."""
+
+    id: int
+    start: int
+    end: int
+    record_cnt: int
+
+
+class Tape(RecordSourceMixin):
+    """The sealed public tape: bytes + structural index + record geometry
+    (reference: tape.rs:74-153, init at tape.rs:315-347)."""
+
+    def __init__(self, data: bytes, index: np.ndarray, header: Header):
+        self._data = data
+        self._index = np.asarray(index)
+        self._header = header
+        if header.new_line is NewLine.CRLF:
+            self._jump = header.field_cnt + 1
+        else:
+            self._jump = header.field_cnt
+        if self._jump == 0:
+            raise InvalidState("zero fields in header")
+        n_struct = len(self._index) - 1  # drop the 0 sentinel
+        self._record_cnt, problem = divmod(n_struct, self._jump)
+        if problem != 0:
+            raise InvalidCsvFormat(
+                f"non-uniform record stride: {n_struct} structural entries "
+                f"not divisible by jump {self._jump}"
+            )
+
+    # -- RecordSource required getters (record_source.rs:141-146) --
+    @property
+    def record_cnt(self) -> int:
+        return self._record_cnt
+
+    @property
+    def record_jump_size(self) -> int:
+        return self._jump
+
+    @property
+    def field_cnt(self) -> int:
+        return self._header.field_cnt
+
+    @property
+    def new_line(self) -> NewLine:
+        return self._header.new_line
+
+    @property
+    def index(self) -> np.ndarray:
+        return self._index
+
+    @property
+    def data_bytes(self) -> bytes:
+        return self._data
+
+    @property
+    def header(self) -> Header:
+        return self._header
+
+    def header_names(self) -> Sequence[str]:
+        return self._header.names
+
+    def chunks(self, num: int) -> List[Chunk]:
+        """Split records into `num` jobs (tape.rs:95-140): boundary jobs
+        scaled by jump, with chunk 0 rebased past the header row."""
+        bounds = boundaries(self._record_cnt, num)
+        if bounds is None:
+            raise InvalidState("cannot chunk an empty tape")
+        chunks = [
+            Chunk(
+                id=i,
+                start=b.start * self._jump,
+                end=(b.start + b.len) * self._jump,
+                record_cnt=b.len,
+            )
+            for i, b in enumerate(bounds)
+        ]
+        chunks[0] = Chunk(
+            id=chunks[0].id,
+            start=self._jump,
+            end=chunks[0].end,
+            record_cnt=chunks[0].record_cnt - 1,
+        )
+        return chunks
+
+    def __repr__(self) -> str:
+        return (
+            f"Tape(records={self._record_cnt}, fields={self.field_cnt}, "
+            f"jump={self._jump}, newline={self.new_line.value}, "
+            f"index_len={len(self._index)}, bytes={len(self._data)})"
+        )

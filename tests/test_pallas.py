@@ -1,0 +1,75 @@
+"""Pallas stage-1 kernel tests (interpret mode on CPU; the same kernel
+compiles for TPU — bench.py exercises the compiled path on hardware).
+
+The contract: bit-identical packed words / index vs the jnp backend and
+the golden oracle, across tile boundaries and carry chains."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from csv_simd_tpu import golden
+from csv_simd_tpu.index import build_index, pad_to_grid, stage1_jnp
+from csv_simd_tpu.ops.pack import unpack_words_host
+from csv_simd_tpu.ops.stage1_pallas import stage1_pallas
+
+from corpus import basic_cases, synthetic_wide_table
+
+
+def _run_pallas(data: bytes, row_tile: int = 64, carry_in: int = 0):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    b2d = jnp.asarray(pad_to_grid(arr))
+    words, count, parity = stage1_pallas(
+        b2d, carry_in, row_tile=row_tile, interpret=True
+    )
+    return np.asarray(words), int(count), int(parity), arr.size
+
+
+@pytest.mark.parametrize("case", basic_cases(), ids=lambda c: c.name)
+def test_pallas_matches_golden(case):
+    words, count, parity, n = _run_pallas(case.data)
+    mask = unpack_words_host(words, n)
+    want = golden.structural_mask(np.frombuffer(case.data, dtype=np.uint8))
+    np.testing.assert_array_equal(mask, want)
+    assert parity == golden.quote_parity_out(case.data)
+    assert count == want.sum()
+
+
+def test_pallas_words_bitidentical_to_jnp():
+    """The two backends share the word layout: outputs must be equal as
+    raw uint32 tensors, not just after unpacking."""
+    data = synthetic_wide_table(50_000)
+    b2d = jnp.asarray(pad_to_grid(np.frombuffer(data, dtype=np.uint8)))
+    w_jnp, p_jnp = stage1_jnp(b2d, jnp.int32(0))
+    w_pal, _, p_pal = stage1_pallas(b2d, 0, row_tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(w_jnp), np.asarray(w_pal))
+    assert int(p_jnp) == int(p_pal)
+
+
+def test_carry_across_tiles():
+    """A quoted region spanning multiple kernel tiles: the SMEM parity
+    carry must propagate across grid steps (row_tile=32 -> 4096-byte
+    tiles; quote spans ~3 tiles)."""
+    inner = "x," * 6000  # 12000 bytes of quoted commas
+    data = f'a,b\n"{inner}end",2\nq,w\n'.encode()
+    words, _, parity, n = _run_pallas(data, row_tile=32)
+    mask = unpack_words_host(words, n)
+    want = golden.structural_mask(np.frombuffer(data, dtype=np.uint8))
+    np.testing.assert_array_equal(mask, want)
+    assert parity == 0
+
+
+def test_carry_in_plumbed():
+    data = b'ab",c\nx,y\n'  # starts inside a quote if carry_in=1
+    words, _, parity, n = _run_pallas(data, carry_in=1)
+    mask = unpack_words_host(words, n)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    want = golden.structural_mask(arr, carry_in=1)
+    np.testing.assert_array_equal(mask, want)
+    assert parity == golden.quote_parity_out(arr, carry_in=1)
+
+
+def test_build_index_pallas_backend(sample_rx):
+    got = build_index(sample_rx, backend="pallas")
+    want = golden.structural_index(sample_rx)
+    np.testing.assert_array_equal(got, want)
