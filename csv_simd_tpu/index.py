@@ -111,7 +111,7 @@ def stage1_words(
         from .ops.stage1_pallas import stage1_pallas
 
         interpret = not _have_tpu()
-        words, _counts, par = stage1_pallas(
+        words, _count, par = stage1_pallas(
             jnp.asarray(b2d), carry_in, dialect, interpret=interpret
         )
     else:
@@ -125,9 +125,31 @@ def build_index(
     backend: str = "auto",
 ) -> np.ndarray:
     """Full structural index with the 0 sentinel (reader.rs:216), as int64
-    host offsets — bit-identical to golden.structural_index."""
-    words, n, _ = stage1_words(data, dialect, backend)
-    mask = unpack_words_host(words, n)
+    host offsets — bit-identical to golden.structural_index.
+
+    backend "pallas" runs the v2 SWAR kernel (bytes packed 4-per-lane);
+    "jnp" the pure-XLA pipeline; both unpack to the same flat mask."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    backend = _resolve_backend(backend)
+    if backend == "pallas":
+        from .ops.stage1_v2 import (
+            pad_to_words,
+            stage1_pallas_v2,
+            unpack_words_v2_host,
+        )
+
+        w2d = jnp.asarray(pad_to_words(arr))
+        packed, _count, _par = stage1_pallas_v2(
+            w2d, 0, dialect, interpret=not _have_tpu()
+        )
+        mask = unpack_words_v2_host(np.asarray(packed), arr.size)
+    else:
+        words, n, _ = stage1_words(arr, dialect, backend)
+        mask = unpack_words_host(words, n)
     offsets = np.flatnonzero(mask).astype(np.int64)
     return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
 

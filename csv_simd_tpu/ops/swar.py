@@ -1,0 +1,52 @@
+"""SWAR primitives: byte-wise operations on int32-packed byte quads.
+
+The VPU's lanes are 32-bit; treating each lane as 4 packed bytes
+quadruples per-op throughput over the upcast-each-byte approach. Bytes
+are packed little-endian (byte k of memory = bits 8k..8k+7), matching a
+host-side `view('<i4')` of the byte stream.
+
+`swar_eq` uses the exact zero-byte detector (Hacker's Delight 6-1,
+carry-free variant): bit 7 of each byte of the result is set iff that
+byte of `x` equals `byte`. The naive `(v-0x01010101) & ~v & 0x80808080`
+detector has cross-byte borrow false positives (a 0x01 byte following a
+0x00 byte is flagged) and is NOT used.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_LO7 = 0x7F7F7F7F
+_HI1 = -0x7F7F7F80  # 0x80808080 as int32
+
+
+def swar_eq(x: jnp.ndarray, byte: int) -> jnp.ndarray:
+    """0x80 flag per byte of x equal to `byte` (int32 lanes, 4 bytes each)."""
+    y = x ^ jnp.int32(byte * 0x01010101)
+    t = (y & _LO7) + _LO7  # bit7 of each byte set iff low7 bits nonzero
+    t = t | y              # ... or iff bit7 of y set
+    return ~t & _HI1       # 0x80 iff the whole byte was zero
+
+
+def swar_prefix_xor_bytes(flags: jnp.ndarray) -> jnp.ndarray:
+    """In-word inclusive prefix XOR of 0x80-per-byte flags, in memory
+    (little-endian) byte order: output bit 8k+7 = XOR of input flags of
+    bytes 0..k."""
+    p = flags ^ (flags << 8)
+    return p ^ (p << 16)
+
+
+def swar_word_parity(prefix: jnp.ndarray) -> jnp.ndarray:
+    """Whole-word flag parity (0/1 int32) from swar_prefix_xor_bytes."""
+    return (prefix >> 31) & 1
+
+
+def swar_broadcast_flag(bit: jnp.ndarray) -> jnp.ndarray:
+    """0/1 int32 -> 0x80808080-style all-bytes flag broadcast."""
+    return bit * _HI1
+
+
+def swar_popcount_flags(flags80: jnp.ndarray) -> jnp.ndarray:
+    """Per-word count (0..4) of set 0x80 byte flags."""
+    t = (flags80 >> 7) & 0x01010101
+    return (t * 0x01010101) >> 24

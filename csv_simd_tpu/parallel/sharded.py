@@ -1,0 +1,152 @@
+"""Distributed index build: data-parallel byte shards over a device mesh.
+
+The reference only scaffolded parallelism (Chunk/boundaries split records
+for a thread pool that was never built, tape.rs:13-40, 385-428) and left
+"splitting work without first knowing record breaks" as an open problem
+(README.md:24). Here it is first-class, the TPU way (SURVEY.md §2.4, §5.7):
+
+- the byte stream is sharded by offset across devices on a 1-D mesh
+  ("data"); no record breaks need to be known up front;
+- each shard computes its *local* quote parity (a cheap associative
+  reduce), an exclusive XOR-scan across shards (all_gather + masked sum —
+  parity is associative, so no speculation about quote state is needed),
+  then runs the full stage-1 scan with its carried-in parity;
+- per-shard structural counts are exclusive-summed the same way to
+  rebase local bit positions into the global offset space;
+- outputs stay sharded: packed bitmask words live on the device that owns
+  the bytes; serving gathers cross-shard.
+
+Two-phase cost: the parity prepass re-reads the shard's bytes, but it is
+a pure streaming reduce (no scans/packing), so the total is ~1.2 passes —
+the price of a split point inside quoted text, paid without speculation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import DEFAULT_DIALECT, Dialect
+from ..ops.stage1_v2 import (
+    pad_to_words,
+    stage1_pallas_v2,
+    stage1_swar_jnp,
+    unpack_words_v2_host,
+)
+from ..ops.swar import swar_eq, swar_prefix_xor_bytes, swar_word_parity
+
+AXIS = "data"
+
+
+def _local_parity(w: jnp.ndarray, dialect: Dialect) -> jnp.ndarray:
+    """Quote parity of a local shard (cheap streaming reduce)."""
+    qf = swar_eq(w, dialect.quote)
+    wp = swar_word_parity(swar_prefix_xor_bytes(qf))
+    return jnp.sum(wp, dtype=jnp.int32) & 1
+
+
+def _exclusive_scan_axis(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Exclusive prefix-sum of a per-shard scalar across the mesh axis
+    (all_gather + masked sum; N is tiny so this beats a ppermute chain)."""
+    idx = jax.lax.axis_index(axis_name)
+    allv = jax.lax.all_gather(x, axis_name)  # (n_shards,)
+    n = allv.shape[0]
+    mask = (jnp.arange(n) < idx).astype(allv.dtype)
+    return jnp.sum(allv * mask, dtype=allv.dtype)
+
+
+def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int):
+    # phase A: local parity + exclusive XOR-scan across shards
+    local_par = _local_parity(w, dialect)
+    carry = (_exclusive_scan_axis(local_par, AXIS) + carry0[0]) & 1
+    # phase B: full stage-1 with the carried parity
+    if use_pallas:
+        packed, count, _ = stage1_pallas_v2(
+            w, carry, dialect, row_tile=min(row_tile, w.shape[0])
+        )
+    else:
+        packed, count, _ = stage1_swar_jnp(w, carry, dialect)
+    # global rebasing state
+    count_excl = _exclusive_scan_axis(count, AXIS)
+    total = jax.lax.psum(count, AXIS)
+    parity_out = (jax.lax.psum(local_par, AXIS) + carry0[0]) & 1
+    return packed, count[None], count_excl[None], total[None], parity_out[None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "dialect", "use_pallas", "row_tile"),
+)
+def sharded_stage1(
+    w2d: jnp.ndarray,
+    carry_in,
+    mesh: Mesh,
+    dialect: Dialect = DEFAULT_DIALECT,
+    use_pallas: bool = False,
+    row_tile: int = 512,
+):
+    """Sharded stage-1 over a 1-D mesh: (rows, 128) int32 byte-quad words,
+    rows divisible by n_shards*8.
+
+    Returns (packed words sharded (rows//8, 128), per-shard counts (n,),
+    per-shard exclusive count offsets (n,), total count, parity_out)."""
+    carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
+    fn = shard_map(
+        functools.partial(
+            _shard_fn, dialect=dialect, use_pallas=use_pallas, row_tile=row_tile
+        ),
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P()),
+        out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # without this the vma checker rejects the kernel inside shard_map
+        check_vma=False,
+    )
+    packed, counts, count_excl, total, parity = fn(w2d, carry_arr)
+    return packed, counts, count_excl, total[0], parity[0]
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def build_index_sharded(
+    data: bytes | np.ndarray,
+    mesh: Optional[Mesh] = None,
+    dialect: Dialect = DEFAULT_DIALECT,
+    use_pallas: Optional[bool] = None,
+) -> np.ndarray:
+    """End-to-end sharded build -> host int64 structural index with
+    sentinel, bit-identical to the single-device / golden result."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    mesh = mesh or make_mesh()
+    n_shards = mesh.devices.size
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+    w2d = pad_to_words(arr, row_align=8 * n_shards)
+    rows = w2d.shape[0]
+    if rows % (8 * n_shards) != 0:
+        pad_rows = -(-rows // (8 * n_shards)) * (8 * n_shards) - rows
+        w2d = np.concatenate(
+            [w2d, np.zeros((pad_rows, w2d.shape[1]), w2d.dtype)]
+        )
+    sharding = NamedSharding(mesh, P(AXIS, None))
+    w_dev = jax.device_put(jnp.asarray(w2d), sharding)
+    packed, _c, _ce, _total, _par = sharded_stage1(
+        w_dev, 0, mesh, dialect, use_pallas=use_pallas
+    )
+    mask = unpack_words_v2_host(np.asarray(packed), arr.size)
+    offsets = np.flatnonzero(mask).astype(np.int64)
+    return np.concatenate([np.zeros(1, dtype=np.int64), offsets])

@@ -73,3 +73,73 @@ def test_build_index_pallas_backend(sample_rx):
     got = build_index(sample_rx, backend="pallas")
     want = golden.structural_index(sample_rx)
     np.testing.assert_array_equal(got, want)
+
+
+# ---- v2 SWAR kernel (the production path) ----
+
+from csv_simd_tpu.ops.stage1_v2 import (  # noqa: E402
+    pad_to_words,
+    stage1_pallas_v2,
+    unpack_words_v2_host,
+)
+from csv_simd_tpu.ops.swar import swar_eq  # noqa: E402
+
+
+def _run_v2(data: bytes, row_tile: int = 64, carry_in: int = 0, row_scan="roll"):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    w2d = jnp.asarray(pad_to_words(arr, row_align=8))
+    packed, count, parity = stage1_pallas_v2(
+        w2d, carry_in, row_tile=min(row_tile, w2d.shape[0]),
+        row_scan=row_scan, interpret=True
+    )
+    return np.asarray(packed), int(count), int(parity), arr.size
+
+
+def test_swar_eq_exact():
+    """The naive SWAR zero-detector has borrow false positives (a 0x01
+    byte after a 0x00 byte); ours must be exact on adversarial layouts."""
+    import jax
+
+    tricky = np.array(
+        [0x00012C00, 0x2C2D0001, 0x012C0100, -0x7FFFFFD4], dtype=np.int32
+    ).reshape(1, 4)
+    got = np.asarray(jax.jit(lambda x: swar_eq(x, 0x2C))(jnp.asarray(tricky)))
+    bytes_le = tricky.view(np.uint8).reshape(-1)
+    want_flags = np.zeros(4, dtype=np.int64)
+    for w in range(4):
+        for b in range(4):
+            if bytes_le[w * 4 + b] == 0x2C:
+                want_flags[w] |= 0x80 << (8 * b)
+    want = want_flags.astype(np.uint32).astype(np.int64)
+    got_u = np.asarray(got, dtype=np.int64).reshape(-1) & 0xFFFFFFFF
+    np.testing.assert_array_equal(got_u, want)
+
+
+@pytest.mark.parametrize("case", basic_cases(), ids=lambda c: c.name)
+@pytest.mark.parametrize("row_scan", ["roll", "tril"])
+def test_v2_matches_golden(case, row_scan):
+    packed, count, parity, n = _run_v2(case.data, row_scan=row_scan)
+    mask = unpack_words_v2_host(packed, n)
+    want = golden.structural_mask(np.frombuffer(case.data, dtype=np.uint8))
+    np.testing.assert_array_equal(mask, want)
+    assert parity == golden.quote_parity_out(case.data)
+    assert count == want.sum()
+
+
+def test_v2_carry_across_tiles():
+    inner = "x," * 40000  # 80 KB of quoted commas spans several 32-row tiles
+    data = f'a,b\n"{inner}end",2\nq,w\n'.encode()
+    packed, _, parity, n = _run_v2(data, row_tile=32)
+    mask = unpack_words_v2_host(packed, n)
+    want = golden.structural_mask(np.frombuffer(data, dtype=np.uint8))
+    np.testing.assert_array_equal(mask, want)
+    assert parity == 0
+
+
+def test_v2_carry_in():
+    data = b'ab",c\nx,y\n'
+    packed, _, parity, n = _run_v2(data, carry_in=1)
+    mask = unpack_words_v2_host(packed, n)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    np.testing.assert_array_equal(mask, golden.structural_mask(arr, carry_in=1))
+    assert parity == golden.quote_parity_out(arr, carry_in=1)

@@ -1,0 +1,49 @@
+"""Distributed build tests on the virtual 8-device CPU mesh: the sharded
+index must be bit-identical to golden regardless of shard count, shard
+boundaries cutting quoted regions included."""
+
+import numpy as np
+import jax
+import pytest
+
+from csv_simd_tpu import golden
+from csv_simd_tpu.parallel.sharded import (
+    build_index_sharded,
+    make_mesh,
+)
+
+from corpus import basic_cases, synthetic_wide_table
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_mesh(n)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sharded_matches_golden(n_shards):
+    mesh = _mesh(n_shards)
+    data = synthetic_wide_table(200_000)
+    got = build_index_sharded(data, mesh=mesh, use_pallas=False)
+    want = golden.structural_index(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_quote_spanning_shards():
+    """A quoted region crossing shard boundaries: the exclusive XOR-scan
+    of shard parities must flip downstream shards' interpretation."""
+    mesh = _mesh(4)
+    inner = "x," * 30000  # 60 KB quoted span >> one shard at this size
+    data = f'a,b\n"{inner}end",2\nq,w\n'.encode()
+    got = build_index_sharded(data, mesh=mesh, use_pallas=False)
+    want = golden.structural_index(data)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("case", basic_cases(), ids=lambda c: c.name)
+def test_sharded_corpus(case):
+    mesh = _mesh(8)
+    got = build_index_sharded(case.data, mesh=mesh, use_pallas=False)
+    want = golden.structural_index(case.data)
+    np.testing.assert_array_equal(got, want)

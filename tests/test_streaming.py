@@ -1,0 +1,73 @@
+"""Streaming build tests: chunked builds must be bit-identical to one-shot
+builds for any chunking, including cuts inside quoted regions."""
+
+import io
+
+import numpy as np
+import pytest
+
+from csv_simd_tpu import golden
+from csv_simd_tpu.streaming import (
+    StreamingIndexBuilder,
+    build_index_streaming,
+    create_streaming,
+)
+
+from corpus import basic_cases, synthetic_wide_table
+
+
+@pytest.mark.parametrize("chunk", [7, 64, 1000, 1 << 16])
+def test_chunked_identical(chunk):
+    data = synthetic_wide_table(150_000)
+    got = build_index_streaming(
+        io.BytesIO(data), backend="jnp", chunk_bytes=chunk
+    )
+    want = golden.structural_index(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cut_inside_quotes():
+    inner = "x," * 5000
+    data = f'a,b\n"{inner}end",2\nq,w\n'.encode()
+    got = build_index_streaming(io.BytesIO(data), backend="jnp", chunk_bytes=501)
+    want = golden.structural_index(data)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("case", basic_cases(), ids=lambda c: c.name)
+def test_corpus_streaming(case):
+    got = build_index_streaming(io.BytesIO(case.data), backend="jnp", chunk_bytes=37)
+    want = golden.structural_index(case.data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_builder_state():
+    b = StreamingIndexBuilder(backend="jnp")
+    b.feed(b'a,b\n"unterminated ')
+    assert b.quote_parity == 1
+    b.feed(b'closed",2\n')
+    assert b.quote_parity == 0
+    idx = b.finish()
+    data = b'a,b\n"unterminated closed",2\n'
+    np.testing.assert_array_equal(idx, golden.structural_index(data))
+    assert b.bytes_consumed == len(data)
+
+
+def test_create_streaming(tmp_path):
+    data = synthetic_wide_table(50_000)
+    p = tmp_path / "t.csv"
+    p.write_bytes(data)
+    tape = create_streaming(p, backend="jnp", chunk_bytes=4096)
+    from csv_simd_tpu import create_from_bytes
+
+    ref = create_from_bytes(data, backend="golden")
+    assert tape.record_cnt == ref.record_cnt
+    assert tape.seek_record(0) == ref.seek_record(0)
+    assert tape.seek_field(3, 2) == ref.seek_field(3, 2)
+
+
+def test_chunk_iterable_source():
+    data = synthetic_wide_table(30_000)
+    chunks = [data[i : i + 999] for i in range(0, len(data), 999)]
+    got = build_index_streaming(chunks, backend="jnp")
+    np.testing.assert_array_equal(got, golden.structural_index(data))
