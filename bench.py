@@ -56,7 +56,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from csv_simd_tpu.ops.stage1_v2 import pad_to_words, stage1_pallas_v2
+    from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+    from csv_simd_tpu.ops.stage1_v3 import stage1_fused
 
     n_mb = int(os.environ.get("BENCH_MB", "64"))
     n = n_mb * 1024 * 1024
@@ -68,8 +69,8 @@ def main():
     @functools.partial(jax.jit, static_argnames=("k",))
     def stage1_chain(a, k):
         def body(i, acc):
-            packed, count, parity = stage1_pallas_v2(a, acc & 1, row_tile=512)
-            return acc + count + packed[0, 0]
+            packed, parity = stage1_fused(a, acc & 1, row_tile=512)
+            return acc + parity + packed[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     # Speed-of-light: streaming reduce whose scalar operand varies per

@@ -135,18 +135,23 @@ def build_index(
         else np.asarray(data, dtype=np.uint8)
     )
     backend = _resolve_backend(backend)
-    if backend == "pallas":
-        from .ops.stage1_v2 import (
-            pad_to_words,
-            stage1_pallas_v2,
-            unpack_words_v2_host,
+    if backend in ("pallas", "jnp"):
+        from .ops.stage1_v2 import pad_to_words
+        from .ops.stage1_v3 import (
+            stage1_fused,
+            stage1_swar_xla,
+            unpack_packed_host,
         )
 
         w2d = jnp.asarray(pad_to_words(arr))
-        packed, _count, _par = stage1_pallas_v2(
-            w2d, 0, dialect, interpret=not _have_tpu()
-        )
-        mask = unpack_words_v2_host(np.asarray(packed), arr.size)
+        if backend == "pallas":
+            packed, _par = stage1_fused(
+                w2d, 0, dialect, interpret=not _have_tpu()
+            )
+        else:
+            packed, _par = stage1_swar_xla(w2d, 0, dialect)
+        tile = min(512, w2d.shape[0])
+        mask = unpack_packed_host(np.asarray(packed), arr.size, tile=tile)
     else:
         words, n, _ = stage1_words(arr, dialect, backend)
         mask = unpack_words_host(words, n)

@@ -1,0 +1,229 @@
+"""Stage-1 v3: the production SWAR + MXU Pallas kernel.
+
+Evolution (measured on the v5e chip, tools/ablate.py):
+  v1 (byte-per-lane, iota-tril scans)          ~100 GB/s
+  v2 (SWAR byte quads, roll row scan)          ~103 GB/s
+  v3 (this)                                    ~311 GB/s
+  DMA + classify alone                          630-760 GB/s (the roof)
+
+What changed vs v2:
+- both prefix scans ride the MXU as *int8* matmuls with int32
+  accumulation (no bf16/f32 converts): the lane scan contracts word
+  parities with a strict-upper-ones (128,128), and the row scan first
+  reduces row sums mod 2 (only parity matters downstream) so the
+  (T,T) strict-lower-ones matmul runs on exact {0,1} int8;
+- the bitmask pack is 3 constant-shift fold steps (halve rows, OR with
+  shift 1/2/4) instead of a per-row variable shift + sublane reduce;
+- the structural count moved out of the kernel: a popcount over the
+  packed words (1/16 the data) after the fact.
+
+Packed word layout (tile-dependent, default tile=512): for grid step s,
+output row group g in [0, tile/8), word (s*tile/8 + g, lane) holds
+bit (8*b + sigma(j)) = byte b of input word (s*tile + j*tile/8 + g, lane),
+where sigma(j) = bit-reversal of the 3-bit j (fold order). Inverted by
+`unpack_packed_host`.
+
+Reference lineage: same fused pipeline as avx/stage1.rs:193-430; SWAR
+equality replaces the nibble-LUT vpshufb and MXU matmul scans replace
+PCLMULQDQ (prefix-XOR is associative; SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT_DIALECT, Dialect
+from .swar import (
+    swar_broadcast_flag,
+    swar_eq,
+    swar_prefix_xor_bytes,
+    swar_word_parity,
+)
+
+LANES = 128
+DEFAULT_ROW_TILE = 512  # x 512 B/row = 256 KiB of input per grid step
+
+_SIGMA = [0, 4, 2, 6, 1, 5, 3, 7]  # sigma(j) = bitrev3(j)
+
+
+def _fold_pack(masked: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """(tile, 128) 0x80-flag words -> (tile/8, 128) packed words via 3
+    constant-shift folds (shifts 1, 2, 4)."""
+    t = (masked >> 7) & 0x01010101
+    h = tile // 2
+    t = t[:h] | (t[h:] << 1)
+    h //= 2
+    t = t[:h] | (t[h:] << 2)
+    h //= 2
+    return t[:h] | (t[h:] << 4)
+
+
+def _classify(x: jnp.ndarray, dialect: Dialect):
+    qf = swar_eq(x, dialect.quote)
+    sf = swar_eq(x, dialect.delimiter)
+    for nl in dialect.newlines:
+        sf = sf | swar_eq(x, nl)
+    return sf, qf
+
+
+def _stage1_v3_kernel(
+    carry_in_ref, w_ref, triu_ref, ones_ref, tril_ref, packed_ref,
+    parity_ref, carry_sm, *, dialect: Dialect, tile: int
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_sm[0] = carry_in_ref[0]
+
+    x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
+    sf, qf = _classify(x, dialect)
+    p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
+    wp = swar_word_parity(p_in)               # (T, 128) 0/1 word parity
+
+    wp8 = wp.astype(jnp.int8)
+    lane_excl = jax.lax.dot_general(          # words before, same row
+        wp8, triu_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rowsum = jax.lax.dot_general(             # whole-row count, broadcast
+        wp8, ones_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rowpar = (rowsum & 1).astype(jnp.int8)    # mod 2: exact in int8
+    row_excl_par = jax.lax.dot_general(       # rows before, this tile
+        tril_ref[:], rowpar, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    base = (lane_excl + row_excl_par + carry_sm[0]) & 1
+    inq = p_in ^ swar_broadcast_flag(base)    # inclusive in-quote flags
+    masked = sf & ~inq
+    packed_ref[:] = _fold_pack(masked, tile)
+
+    tile_par = (row_excl_par[tile - 1, 0] + rowsum[tile - 1, 0]) & 1
+    new_carry = (carry_sm[0] + tile_par) & 1
+    carry_sm[0] = new_carry
+    parity_ref[0, 0] = new_carry
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dialect", "row_tile", "interpret")
+)
+def stage1_fused(
+    w2d: jnp.ndarray,
+    carry_in,
+    dialect: Dialect = DEFAULT_DIALECT,
+    row_tile: int = DEFAULT_ROW_TILE,
+    interpret: bool = False,
+):
+    """(rows, 128) int32 byte-quad words + carry parity ->
+    (packed (rows//8, 128) int32, parity_out). rows % row-tile == 0
+    (callers pad via pad_to_words; tile = min(row_tile, rows))."""
+    rows, lanes = w2d.shape
+    assert lanes == LANES and rows % 8 == 0, (rows, lanes)
+    tile = min(row_tile, rows)
+    assert rows % tile == 0, (rows, tile)
+    grid = rows // tile
+
+    triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
+    ones = jnp.ones((LANES, LANES), jnp.int8)
+    tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
+
+    kernel = functools.partial(_stage1_v3_kernel, dialect=dialect, tile=tile)
+    carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
+
+    packed, parity = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile // 8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows // 8, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(carry_arr, w2d, triu, ones, tril)
+    return packed, parity[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("dialect", "row_tile"))
+def stage1_swar_xla(
+    w2d: jnp.ndarray,
+    carry_in,
+    dialect: Dialect = DEFAULT_DIALECT,
+    row_tile: int = DEFAULT_ROW_TILE,
+):
+    """Pure-XLA twin with the identical packed layout (tile-emulated):
+    runs on any platform; used inside shard_map on CPU and as the
+    differential check for the kernel. Returns (packed, parity_out)."""
+    rows, lanes = w2d.shape
+    tile = min(row_tile, rows)
+    steps = rows // tile
+    x = w2d
+    sf, qf = _classify(x, dialect)
+    p_in = swar_prefix_xor_bytes(qf)
+    wp = swar_word_parity(p_in)
+    # global scans (no tiling needed for correctness)
+    incl = wp
+    s = 1
+    while s < lanes:
+        incl = incl + jnp.pad(incl, ((0, 0), (s, 0)))[:, :lanes]
+        s *= 2
+    lane_excl = incl - wp
+    row_tot = incl[:, lanes - 1]
+    row_excl = (jnp.cumsum(row_tot) - row_tot)[:, None]
+    base = (lane_excl + row_excl + carry_in) & 1
+    inq = p_in ^ swar_broadcast_flag(base)
+    masked = sf & ~inq
+    # per-tile fold pack to match the kernel layout
+    m3 = masked.reshape(steps, tile, lanes)
+    t = (m3 >> 7) & 0x01010101
+    h = tile // 2
+    t = t[:, :h] | (t[:, h:] << 1)
+    h //= 2
+    t = t[:, :h] | (t[:, h:] << 2)
+    h //= 2
+    t = (t[:, :h] | (t[:, h:] << 4)).reshape(rows // 8, lanes)
+    parity = (jnp.sum(wp) + carry_in) & 1
+    return t, parity
+
+
+def count_packed(packed: jnp.ndarray) -> jnp.ndarray:
+    """Total structural count from packed words (XLA popcount, 1/16 the
+    input data; replaces the in-kernel reduction v2 paid for)."""
+    return jnp.sum(jax.lax.population_count(packed), dtype=jnp.int32)
+
+
+def unpack_packed_host(
+    packed: np.ndarray, n_bytes: int, tile: int = DEFAULT_ROW_TILE
+) -> np.ndarray:
+    """Invert the fold-pack: (rows//8, 128) int32 -> flat 0/1 uint8 mask
+    of n_bytes. `tile` must match the build (min(row_tile, rows))."""
+    g_total, lanes = packed.shape
+    rows = g_total * 8
+    tile = min(tile, rows)
+    gp = tile // 8
+    steps = g_total // gp
+    p3 = packed.reshape(steps, gp, lanes)
+    # out[steps, j, gp, lanes, b] = bit (8b + sigma(j))
+    out = np.empty((steps, 8, gp, lanes, 4), np.uint8)
+    for j in range(8):
+        for b in range(4):
+            out[:, j, :, :, b] = (p3 >> (8 * b + _SIGMA[j])) & 1
+    return out.reshape(-1)[:n_bytes]

@@ -33,11 +33,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import DEFAULT_DIALECT, Dialect
-from ..ops.stage1_v2 import (
-    pad_to_words,
-    stage1_pallas_v2,
-    stage1_swar_jnp,
-    unpack_words_v2_host,
+from ..ops.stage1_v2 import pad_to_words
+from ..ops.stage1_v3 import (
+    count_packed,
+    stage1_fused,
+    stage1_swar_xla,
+    unpack_packed_host,
 )
 from ..ops.swar import swar_eq, swar_prefix_xor_bytes, swar_word_parity
 
@@ -66,12 +67,12 @@ def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int):
     local_par = _local_parity(w, dialect)
     carry = (_exclusive_scan_axis(local_par, AXIS) + carry0[0]) & 1
     # phase B: full stage-1 with the carried parity
+    tile = min(row_tile, w.shape[0])
     if use_pallas:
-        packed, count, _ = stage1_pallas_v2(
-            w, carry, dialect, row_tile=min(row_tile, w.shape[0])
-        )
+        packed, _ = stage1_fused(w, carry, dialect, row_tile=tile)
     else:
-        packed, count, _ = stage1_swar_jnp(w, carry, dialect)
+        packed, _ = stage1_swar_xla(w, carry, dialect, row_tile=tile)
+    count = count_packed(packed)
     # global rebasing state
     count_excl = _exclusive_scan_axis(count, AXIS)
     total = jax.lax.psum(count, AXIS)
@@ -147,6 +148,9 @@ def build_index_sharded(
     packed, _c, _ce, _total, _par = sharded_stage1(
         w_dev, 0, mesh, dialect, use_pallas=use_pallas
     )
-    mask = unpack_words_v2_host(np.asarray(packed), arr.size)
+    shard_rows = w2d.shape[0] // n_shards
+    mask = unpack_packed_host(
+        np.asarray(packed), arr.size, tile=min(512, shard_rows)
+    )
     offsets = np.flatnonzero(mask).astype(np.int64)
     return np.concatenate([np.zeros(1, dtype=np.int64), offsets])

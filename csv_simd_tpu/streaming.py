@@ -85,17 +85,16 @@ class StreamingIndexBuilder:
         if backend == "pallas":
             import jax.numpy as jnp
 
-            from .ops.stage1_v2 import (
-                pad_to_words,
-                stage1_pallas_v2,
-                unpack_words_v2_host,
-            )
+            from .ops.stage1_v2 import pad_to_words
+            from .ops.stage1_v3 import stage1_fused, unpack_packed_host
 
             w2d = jnp.asarray(pad_to_words(arr))
-            packed, _count, par = stage1_pallas_v2(
+            packed, par = stage1_fused(
                 w2d, self._parity, self._dialect, interpret=not _have_tpu()
             )
-            mask = unpack_words_v2_host(np.asarray(packed), arr.size)
+            mask = unpack_packed_host(
+                np.asarray(packed), arr.size, tile=min(512, w2d.shape[0])
+            )
             self._parity = int(par)
         else:
             words, n, par = stage1_words(
