@@ -7,6 +7,8 @@ selectable backend:
 - "golden": pure NumPy oracle (always available, any host);
 - "jnp":    jitted XLA pipeline (CPU or TPU);
 - "pallas": fused Pallas TPU kernel (the production path);
+- "native": multithreaded C++ host engine (ctypes; no device roundtrip —
+            fastest for small files given the device tunnel's latency);
 - "auto":   pallas on TPU, jnp otherwise.
 """
 
@@ -24,7 +26,7 @@ def _build_index(data: bytes, dialect, backend: str):
         from . import golden
 
         return golden.structural_index(data, dialect)
-    if backend in ("jnp", "pallas", "auto"):
+    if backend in ("jnp", "pallas", "native", "auto"):
         from .index import build_index
 
         return build_index(data, dialect=dialect, backend=backend)

@@ -135,6 +135,11 @@ def build_index(
         else np.asarray(data, dtype=np.uint8)
     )
     backend = _resolve_backend(backend)
+    if backend == "native":
+        from . import native
+
+        offsets, _par = native.host_stage1(arr, dialect)
+        return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
     if backend in ("pallas", "jnp"):
         from .ops.stage1_v2 import pad_to_words
         from .ops.stage1_v3 import (
@@ -151,7 +156,16 @@ def build_index(
         else:
             packed, _par = stage1_swar_xla(w2d, 0, dialect)
         tile = min(512, w2d.shape[0])
-        mask = unpack_packed_host(np.asarray(packed), arr.size, tile=tile)
+        packed_np = np.asarray(packed)
+        try:
+            from . import native
+
+            if native.available():
+                offsets = native.extract_offsets_v3(packed_np, tile, arr.size)
+                return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
+        except Exception:
+            pass  # fall through to the NumPy unpack
+        mask = unpack_packed_host(packed_np, arr.size, tile=tile)
     else:
         words, n, _ = stage1_words(arr, dialect, backend)
         mask = unpack_words_host(words, n)
