@@ -1,0 +1,98 @@
+"""CLI: index, inspect and serve CSV files.
+
+The reference's binary is a stub that prints "not required"
+(bin/main.rs:11-14); this is the real thing.
+
+  python -m csv_simd_tpu info FILE [--backend B]
+  python -m csv_simd_tpu field FILE RECORD FIELD [--backend B]
+  python -m csv_simd_tpu record FILE RECORD [--backend B]
+  python -m csv_simd_tpu column FILE FIELD [--limit N]
+  python -m csv_simd_tpu index FILE -o OUT.npz     # build + save artifact
+  python -m csv_simd_tpu serve FILE --from-index OUT.npz RECORD FIELD
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="csv_simd_tpu")
+    p.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "golden", "jnp", "pallas", "native"],
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("info")
+    sp.add_argument("file")
+
+    sp = sub.add_parser("field")
+    sp.add_argument("file")
+    sp.add_argument("record", type=int)
+    sp.add_argument("field", type=int)
+
+    sp = sub.add_parser("record")
+    sp.add_argument("file")
+    sp.add_argument("record", type=int)
+
+    sp = sub.add_parser("column")
+    sp.add_argument("file")
+    sp.add_argument("field", type=int)
+    sp.add_argument("--limit", type=int, default=20)
+
+    sp = sub.add_parser("index")
+    sp.add_argument("file")
+    sp.add_argument("-o", "--out", required=True)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("file")
+    sp.add_argument("--from-index", required=True)
+    sp.add_argument("record", type=int)
+    sp.add_argument("field", type=int)
+
+    args = p.parse_args(argv)
+
+    from . import create
+    from .errors import StructureError
+
+    try:
+        if args.cmd == "serve":
+            from .artifact import load_tape
+
+            with open(args.file, "rb") as f:
+                data = f.read()
+            tape = load_tape(args.from_index, data)
+            val = tape.seek_field(args.record, args.field)
+            print(val.decode("utf-8", "replace") if val is not None else "<out of range>")
+            return 0
+
+        tape = create(args.file, backend=args.backend)
+        if args.cmd == "info":
+            print(tape)
+            print("header:", ", ".join(tape.header_names()))
+            print("data records:", tape.num_data_records)
+        elif args.cmd == "field":
+            val = tape.seek_field(args.record, args.field)
+            print(val.decode("utf-8", "replace") if val is not None else "<out of range>")
+        elif args.cmd == "record":
+            val = tape.seek_record(args.record)
+            print(val.decode("utf-8", "replace") if val is not None else "<out of range>")
+        elif args.cmd == "column":
+            for v in tape.column(args.field)[: args.limit]:
+                print(v.decode("utf-8", "replace"))
+        elif args.cmd == "index":
+            from .artifact import save_tape
+
+            save_tape(tape, args.out)
+            print(f"wrote {args.out}: {len(tape.index)} index entries")
+    except StructureError as e:
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

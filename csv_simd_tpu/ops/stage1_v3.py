@@ -73,7 +73,7 @@ def _classify(x: jnp.ndarray, dialect: Dialect):
 
 
 def _stage1_v3_kernel(
-    carry_in_ref, w_ref, triu_ref, ones_ref, tril_ref, packed_ref,
+    carry_in_ref, w_ref, triu_ref, tril_ref, packed_ref,
     parity_ref, carry_sm, *, dialect: Dialect, tile: int
 ):
     i = pl.program_id(0)
@@ -91,20 +91,21 @@ def _stage1_v3_kernel(
     lane_excl = jax.lax.dot_general(          # words before, same row
         wp8, triu_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    rowsum = jax.lax.dot_general(             # whole-row count, broadcast
-        wp8, ones_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    rowpar = (rowsum & 1).astype(jnp.int8)    # mod 2: exact in int8
+    # row total = exclusive prefix at the last lane + that lane's parity
+    # (free from the lane scan — no separate ones-matmul); mod 2 because
+    # only parity matters downstream, keeping values exact in int8
+    rowpar = ((lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]) & 1)
+    rowpar8 = jnp.broadcast_to(rowpar, (tile, 8)).astype(jnp.int8)
     row_excl_par = jax.lax.dot_general(       # rows before, this tile
-        tril_ref[:], rowpar, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)     # (T, 8), narrow output
 
-    base = (lane_excl + row_excl_par + carry_sm[0]) & 1
+    base = (lane_excl + row_excl_par[:, :1] + carry_sm[0]) & 1
     inq = p_in ^ swar_broadcast_flag(base)    # inclusive in-quote flags
     masked = sf & ~inq
     packed_ref[:] = _fold_pack(masked, tile)
 
-    tile_par = (row_excl_par[tile - 1, 0] + rowsum[tile - 1, 0]) & 1
+    tile_par = (row_excl_par[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
     new_carry = (carry_sm[0] + tile_par) & 1
     carry_sm[0] = new_carry
     parity_ref[0, 0] = new_carry
@@ -130,7 +131,6 @@ def stage1_fused(
     grid = rows // tile
 
     triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
-    ones = jnp.ones((LANES, LANES), jnp.int8)
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
 
     kernel = functools.partial(_stage1_v3_kernel, dialect=dialect, tile=tile)
@@ -142,7 +142,6 @@ def stage1_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -158,7 +157,7 @@ def stage1_fused(
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
-    )(carry_arr, w2d, triu, ones, tril)
+    )(carry_arr, w2d, triu, tril)
     return packed, parity[0, 0]
 
 

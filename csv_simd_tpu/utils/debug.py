@@ -1,0 +1,49 @@
+"""Debug helpers — the analog of the reference's helper.rs ByteReport
+(pretty-print the head and tail of a byte buffer, helper.rs:4-53) plus
+mask/word visualisers for kernel debugging."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def byte_report(data: bytes | np.ndarray, head: int = 1024, tail: int = 100) -> str:
+    """Printable report of the first `head` and last `tail` bytes."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    n = arr.size
+
+    def render(chunk: np.ndarray) -> str:
+        return "".join(
+            chr(b) if 0x20 <= b < 0x7F else f"\\x{b:02x}" for b in chunk
+        )
+
+    lines = [f"ByteReport: {n} bytes"]
+    lines.append(f"head[{min(head, n)}]: {render(arr[:head])}")
+    if n > head:
+        lines.append(f"tail[{min(tail, n)}]: {render(arr[-tail:])}")
+    return "\n".join(lines)
+
+
+def mask_report(data: bytes | np.ndarray, mask: np.ndarray, width: int = 64) -> str:
+    """Render bytes with a ^ under every set mask position — the visual
+    check for quote-masking bugs."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    m = np.asarray(mask)
+    lines = []
+    for start in range(0, arr.size, width):
+        chunk = arr[start : start + width]
+        text = "".join(chr(b) if 0x20 <= b < 0x7F else "." for b in chunk)
+        marks = "".join(
+            "^" if m[start + i] else " " for i in range(len(chunk))
+        )
+        lines.append(text)
+        lines.append(marks)
+    return "\n".join(lines)

@@ -1,0 +1,166 @@
+"""Tests for device serving, artifacts, CLI, metrics and debug helpers."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from csv_simd_tpu import InvalidState, create_from_bytes, golden
+from csv_simd_tpu.artifact import load_tape, save_packed, save_tape
+from csv_simd_tpu.device_tape import DeviceTape
+from csv_simd_tpu.utils.debug import byte_report, mask_report
+from csv_simd_tpu.utils.metrics import Metrics
+
+from corpus import synthetic_wide_table
+
+
+@pytest.fixture(scope="module")
+def tape():
+    return create_from_bytes(synthetic_wide_table(60_000), backend="golden")
+
+
+# ---- device serving ----
+
+def test_device_gather_fields(tape):
+    dt = DeviceTape.from_tape(tape)
+    recs = np.array([0, 1, 5, 2], dtype=np.int32)
+    flds = np.array([0, 3, 1, 2], dtype=np.int32)
+    out, lengths, valid = dt.gather_fields(recs, flds, max_len=48)
+    vals = dt.to_host_lists(out, lengths, valid)
+    for i in range(len(recs)):
+        assert vals[i] == tape.seek_field(int(recs[i]), int(flds[i]))
+
+
+def test_device_gather_column(tape):
+    dt = DeviceTape.from_tape(tape)
+    out, lengths, valid = dt.gather_column(3, max_len=48)
+    vals = dt.to_host_lists(out, lengths, valid)
+    want = tape.column(3)
+    assert vals == want
+
+
+def test_device_gather_out_of_range(tape):
+    dt = DeviceTape.from_tape(tape)
+    recs = np.array([0, 10**6, -1], dtype=np.int32)
+    flds = np.array([0, 0, 0], dtype=np.int32)
+    out, lengths, valid = dt.gather_fields(recs, flds, max_len=16)
+    vals = dt.to_host_lists(out, lengths, valid)
+    assert vals[0] == tape.seek_field(0, 0)
+    assert vals[1] is None and vals[2] is None
+
+
+def test_device_gather_truncation(tape):
+    dt = DeviceTape.from_tape(tape)
+    out, lengths, valid = dt.gather_fields(
+        np.array([0]), np.array([3]), max_len=2
+    )
+    full = tape.seek_field(0, 3)
+    assert bytes(np.asarray(out)[0, : min(2, len(full))]) == full[:2]
+
+
+# ---- artifacts ----
+
+def test_save_load_offsets(tape, tmp_path):
+    p = str(tmp_path / "idx.npz")
+    save_tape(tape, p)
+    t2 = load_tape(p, tape.data_bytes)
+    np.testing.assert_array_equal(t2.index, tape.index)
+    assert t2.seek_field(2, 1) == tape.seek_field(2, 1)
+    assert t2.header_names() == tape.header_names()
+
+
+def test_load_rejects_stale(tape, tmp_path):
+    p = str(tmp_path / "idx.npz")
+    save_tape(tape, p)
+    with pytest.raises(InvalidState):
+        load_tape(p, tape.data_bytes[:-10])
+
+
+def test_save_load_packed(tmp_path):
+    import jax.numpy as jnp
+
+    from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+    from csv_simd_tpu.ops.stage1_v3 import stage1_swar_xla
+    from csv_simd_tpu.tape import Header
+
+    data = synthetic_wide_table(40_000)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    w2d = jnp.asarray(pad_to_words(arr, row_align=8))
+    tile = min(512, w2d.shape[0])
+    packed, _ = stage1_swar_xla(w2d, 0, row_tile=tile)
+    header = Header.parse(data)
+    p = str(tmp_path / "packed.npz")
+    save_packed(np.asarray(packed), tile, header, data, p)
+    t2 = load_tape(p, data)
+    ref = create_from_bytes(data, backend="golden")
+    np.testing.assert_array_equal(t2.index, ref.index)
+
+
+# ---- CLI ----
+
+def _cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "csv_simd_tpu", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        timeout=120,
+    )
+
+
+@pytest.fixture(scope="module")
+def csv_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "t.csv"
+    p.write_bytes(b'a,b,c\n1,"x,y",3\n4,5,6\n')
+    return str(p)
+
+
+def test_cli_info(csv_file):
+    r = _cli("--backend", "golden", "info", csv_file)
+    assert r.returncode == 0 and "records" in r.stdout
+
+
+def test_cli_field(csv_file):
+    r = _cli("--backend", "golden", "field", csv_file, "0", "1")
+    assert r.returncode == 0 and r.stdout.strip() == '"x,y"'
+
+
+def test_cli_index_and_serve(csv_file, tmp_path):
+    out = str(tmp_path / "i.npz")
+    r = _cli("--backend", "golden", "index", csv_file, "-o", out)
+    assert r.returncode == 0
+    r = _cli("serve", csv_file, "--from-index", out, "1", "2")
+    assert r.returncode == 0 and r.stdout.strip() == "6"
+
+
+def test_cli_error_path(tmp_path):
+    bad = tmp_path / "bad.csv"
+    bad.write_bytes(b"a,b,c\n1,2,3,\n")
+    r = _cli("--backend", "golden", "info", str(bad))
+    assert r.returncode == 1 and "InvalidCsvFormat" in r.stderr
+
+
+# ---- metrics & debug ----
+
+def test_metrics():
+    m = Metrics()
+    with m.span("scan", n_bytes=10**9):
+        pass
+    m.record("extract", 0.5, 2 * 10**9)
+    rep = m.report()
+    assert "scan" in rep and "extract" in rep
+    lines = m.json_lines().splitlines()
+    assert json.loads(lines[1])["gbps"] == 4.0
+
+
+def test_byte_report():
+    rep = byte_report(b"hello\nworld" * 200)
+    assert "head[" in rep and "tail[" in rep and "\\x0a" in rep
+
+
+def test_mask_report():
+    data = b"a,b\n"
+    mask = golden.structural_mask(np.frombuffer(data, dtype=np.uint8))
+    rep = mask_report(data, mask)
+    assert "^" in rep
