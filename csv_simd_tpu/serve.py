@@ -95,3 +95,22 @@ class RecordSourceMixin:
         """Count of servable data records (record_cnt minus the header
         stride — the reference's bound `record_idx + 1 < record_cnt`)."""
         return max(self.record_cnt - 1, 0)
+
+    # -- iteration: the reference's Tape::as_records was `todo!()`
+    #    (tape.rs:147-149) — finished here --
+
+    def iter_records(self):
+        """Yield every data record's raw bytes in order."""
+        for r in range(self.num_data_records):
+            yield self.seek_record(r)
+
+    def iter_rows(self):
+        """Yield every data record as a list of raw field slices."""
+        for r in range(self.num_data_records):
+            yield [self.seek_field(r, f) for f in range(self.field_cnt)]
+
+    def __iter__(self):
+        return self.iter_records()
+
+    def __len__(self) -> int:
+        return self.num_data_records
