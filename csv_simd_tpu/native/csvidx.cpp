@@ -105,7 +105,7 @@ static int64_t chunk_stage1(const uint8_t* data, int64_t n, int64_t base,
   return k;
 }
 
-static const int kSigma[8] = {0, 4, 2, 6, 1, 5, 3, 7};
+static const int kSigma[8] = {7, 3, 5, 1, 6, 2, 4, 0};  // 7 - bitrev3(j)
 
 }  // namespace
 

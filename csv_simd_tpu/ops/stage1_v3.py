@@ -20,8 +20,8 @@ What changed vs v2:
 Packed word layout (tile-dependent, default tile=512): for grid step s,
 output row group g in [0, tile/8), word (s*tile/8 + g, lane) holds
 bit (8*b + sigma(j)) = byte b of input word (s*tile + j*tile/8 + g, lane),
-where sigma(j) = bit-reversal of the 3-bit j (fold order). Inverted by
-`unpack_packed_host`.
+where sigma(j) = 7 - bitrev3(j) (right-shift fold order). Inverted by
+`unpack_packed_host` and the native extractor.
 
 Reference lineage: same fused pipeline as avx/stage1.rs:193-430; SWAR
 equality replaces the nibble-LUT vpshufb and MXU matmul scans replace
@@ -49,19 +49,23 @@ from .swar import (
 LANES = 128
 DEFAULT_ROW_TILE = 512  # x 512 B/row = 256 KiB of input per grid step
 
-_SIGMA = [0, 4, 2, 6, 1, 5, 3, 7]  # sigma(j) = bitrev3(j)
+_SIGMA = [7, 3, 5, 1, 6, 2, 4, 0]  # sigma(j) = 7 - bitrev3(j)
 
 
 def _fold_pack(masked: jnp.ndarray, tile: int) -> jnp.ndarray:
     """(tile, 128) 0x80-flag words -> (tile/8, 128) packed words via 3
-    constant-shift folds (shifts 1, 2, 4)."""
-    t = (masked >> 7) & 0x01010101
+    constant RIGHT-shift folds (shifts 1, 2, 4) applied to the flag bits
+    directly — no separate (>>7)&mask prep pass. Flag bits start at
+    8b+7 and land at 8b + 7 - bitrev3(j) = 8b + sigma(j); right shifts
+    stay within bytes, and the AND only clears the arithmetic shift's
+    sign fill of bit 31 (int32 lanes have no logical shift here)."""
+    t = masked
     h = tile // 2
-    t = t[:h] | (t[h:] << 1)
+    t = t[:h] | ((t[h:] >> 1) & 0x7FFFFFFF)
     h //= 2
-    t = t[:h] | (t[h:] << 2)
+    t = t[:h] | ((t[h:] >> 2) & 0x3FFFFFFF)
     h //= 2
-    return t[:h] | (t[h:] << 4)
+    return t[:h] | ((t[h:] >> 4) & 0x0FFFFFFF)
 
 
 def _classify(x: jnp.ndarray, dialect: Dialect):
@@ -190,15 +194,14 @@ def stage1_swar_xla(
     base = (lane_excl + row_excl + carry_in) & 1
     inq = p_in ^ swar_broadcast_flag(base)
     masked = sf & ~inq
-    # per-tile fold pack to match the kernel layout
-    m3 = masked.reshape(steps, tile, lanes)
-    t = (m3 >> 7) & 0x01010101
+    # per-tile fold pack to match the kernel layout (right-shift folds)
+    t = masked.reshape(steps, tile, lanes)
     h = tile // 2
-    t = t[:, :h] | (t[:, h:] << 1)
+    t = t[:, :h] | ((t[:, h:] >> 1) & 0x7FFFFFFF)
     h //= 2
-    t = t[:, :h] | (t[:, h:] << 2)
+    t = t[:, :h] | ((t[:, h:] >> 2) & 0x3FFFFFFF)
     h //= 2
-    t = (t[:, :h] | (t[:, h:] << 4)).reshape(rows // 8, lanes)
+    t = (t[:, :h] | ((t[:, h:] >> 4) & 0x0FFFFFFF)).reshape(rows // 8, lanes)
     parity = (jnp.sum(wp) + carry_in) & 1
     return t, parity
 
