@@ -118,6 +118,39 @@ class StreamingIndexBuilder:
     def finish(self) -> np.ndarray:
         return np.concatenate(self._parts)
 
+    # -- checkpoint/resume: an interrupted ingest restarts from the last
+    #    consumed byte with only the parity bit + offset + partial index
+    #    (SURVEY.md §5.4 — the reference had nothing here) --
+
+    def state_dict(self) -> dict:
+        return {
+            "parity": self._parity,
+            "offset": self._offset,
+            "index_parts": np.concatenate(self._parts),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, dialect=None, backend: str = "auto"):
+        from .config import DEFAULT_DIALECT
+
+        b = cls(dialect or DEFAULT_DIALECT, backend)
+        b._parity = int(state["parity"])
+        b._offset = int(state["offset"])
+        b._parts = [np.asarray(state["index_parts"], dtype=np.int64)]
+        return b
+
+    def save(self, path) -> None:
+        np.savez_compressed(path, **self.state_dict())
+
+    @classmethod
+    def load(cls, path, dialect=None, backend: str = "auto"):
+        z = np.load(path, allow_pickle=False)
+        return cls.from_state(
+            {k: z[k] for k in ("parity", "offset", "index_parts")},
+            dialect,
+            backend,
+        )
+
 
 def build_index_streaming(
     source: Union[str, os.PathLike, BinaryIO, Iterable[bytes]],
