@@ -173,28 +173,64 @@ def build_index(
     return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
 
 
+@partial(jax.jit, static_argnames=("dialect", "capacity"))
+def _device_offsets_v3(w2d, carry_in, dialect: Dialect, capacity: int):
+    """v3 scan + device compaction: byte-quad words -> (offsets, count).
+
+    The flag mask is expanded from SWAR 0x80 flags to a per-byte mask in
+    flat order (word (r, lane) bytes b=0..3 -> flat (r*128 + lane)*4 + b)
+    and compacted with a fixed-capacity nonzero — all on device; offsets
+    never leave HBM (gather serving reads them in place)."""
+    from .ops.stage1_v3 import _classify, swar_broadcast_flag
+    from .ops.swar import swar_prefix_xor_bytes, swar_word_parity
+
+    rows, lanes = w2d.shape
+    sf, qf = _classify(w2d, dialect)
+    p_in = swar_prefix_xor_bytes(qf)
+    wp = swar_word_parity(p_in)
+    incl = wp
+    s = 1
+    while s < lanes:
+        incl = incl + jnp.pad(incl, ((0, 0), (s, 0)))[:, :lanes]
+        s *= 2
+    lane_excl = incl - wp
+    row_tot = incl[:, lanes - 1]
+    row_excl = (jnp.cumsum(row_tot) - row_tot)[:, None]
+    base = (lane_excl + row_excl + carry_in) & 1
+    masked = sf & ~(p_in ^ swar_broadcast_flag(base))
+    # expand 4 flag bits/word -> per-byte mask in flat byte order
+    bits = jnp.stack(
+        [(masked >> (8 * b + 7)) & 1 for b in range(4)], axis=-1
+    ).reshape(rows, lanes * 4)
+    flat = bits.reshape(-1)
+    count = jnp.sum(flat, dtype=jnp.int32)
+    (offsets,) = jnp.nonzero(flat, size=capacity, fill_value=flat.shape[0])
+    return offsets.astype(jnp.int32), count
+
+
 def build_index_device(
     data: bytes | np.ndarray,
     dialect: Dialect = DEFAULT_DIALECT,
     density: float = 0.25,
 ):
-    """Device-resident index build: returns (offsets int32 device array,
-    count int) where offsets[1:count+1] are structural positions and
-    offsets[0] is the sentinel. Capacity grows from the density heuristic
-    (the reference reserves len/6, design_notes_2.md:14) until it fits."""
-    from .ops.compact import extract_offsets_device
+    """Device-resident index build (v3 scan + on-device compaction):
+    returns (offsets int32 device array with leading 0 sentinel, count).
+    Capacity grows from the density heuristic (the reference reserves
+    len/6, design_notes_2.md:14) until the compaction fits."""
+    from .ops.stage1_v2 import pad_to_words
 
     arr = (
         np.frombuffer(data, dtype=np.uint8)
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
-    b2d = jnp.asarray(pad_to_grid(arr))
-    mask, _ = stage1_mask_jnp(b2d, jnp.int32(0), DEFAULT_DIALECT if dialect is None else dialect)
+    w2d = jnp.asarray(pad_to_words(arr))
     n = arr.size
     cap = max(int(n * density) + 64, 64)
     while True:
-        offsets, count = extract_offsets_device(mask, capacity=cap)
+        offsets, count = _device_offsets_v3(
+            w2d, jnp.int32(0), dialect, capacity=cap
+        )
         count = int(count)
         if count <= cap:
             break

@@ -157,12 +157,30 @@ def build_index_streaming(
     dialect: Dialect = DEFAULT_DIALECT,
     backend: str = "auto",
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    prefetch: bool = True,
 ) -> np.ndarray:
     """Build the full structural index from a path / file object / chunk
-    iterable without materialising the input."""
+    iterable without materialising the input.
+
+    With prefetch=True (default) a background thread reads the next chunk
+    while the current one is being scanned — the IO/compute overlap the
+    reference's design notes discuss but never built (README.md:17)."""
     builder = StreamingIndexBuilder(dialect, backend)
-    for chunk in _iter_chunks(source, chunk_bytes):
-        builder.feed(chunk)
+    chunks = _iter_chunks(source, chunk_bytes)
+    if prefetch:
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = pool.submit(lambda: next(chunks, None))
+            while True:
+                chunk = nxt.result()
+                if chunk is None:
+                    break
+                nxt = pool.submit(lambda: next(chunks, None))
+                builder.feed(chunk)
+    else:
+        for chunk in chunks:
+            builder.feed(chunk)
     return builder.finish()
 
 
