@@ -29,6 +29,14 @@ from .errors import (
 )
 from .tape import Header, Tape, NewLine, Boundary, Chunk, boundaries
 from .api import create, create_from_bytes
+from .decode import DecodedView, decode_field, decode_str
+from .device_tape import DeviceTape
+from .streaming import (
+    StreamingIndexBuilder,
+    build_index_streaming,
+    create_streaming,
+)
+from .artifact import load_tape, save_tape
 
 __all__ = [
     "Dialect",
@@ -52,6 +60,15 @@ __all__ = [
     "boundaries",
     "create",
     "create_from_bytes",
+    "DecodedView",
+    "decode_field",
+    "decode_str",
+    "DeviceTape",
+    "StreamingIndexBuilder",
+    "build_index_streaming",
+    "create_streaming",
+    "load_tape",
+    "save_tape",
 ]
 
 __version__ = "0.1.0"

@@ -147,10 +147,45 @@ class Tape(RecordSourceMixin):
         n_struct = len(self._index) - 1  # drop the 0 sentinel
         self._record_cnt, problem = divmod(n_struct, self._jump)
         if problem != 0:
+            detail = self._diagnose_ragged()
             raise InvalidCsvFormat(
                 f"non-uniform record stride: {n_struct} structural entries "
-                f"not divisible by jump {self._jump}"
+                f"not divisible by jump {self._jump}{detail}"
             )
+
+    def _diagnose_ragged(self) -> str:
+        """Locate the first row whose field count deviates — better than
+        the reference's bare InvalidCsvFormat (tape.rs:342-344). Walks
+        newline entries in the index and counts delimiters between them."""
+        data = np.frombuffer(self._data, dtype=np.uint8)
+        offs = self._index[1:]
+        if offs.size == 0:
+            return ""
+        kinds = data[offs]  # byte at each structural offset
+        is_nl = (kinds == 0x0A) | (kinds == 0x0D)
+        row_no = 0
+        fields = 1
+        prev_was_cr = False
+        for off, nl in zip(offs, is_nl):
+            if nl:
+                if prev_was_cr and data[off] == 0x0A:
+                    prev_was_cr = False
+                    continue  # LF of a CRLF pair, same row break
+                prev_was_cr = data[off] == 0x0D
+                if fields != self._header.field_cnt:
+                    return (
+                        f" (row {row_no} has {fields} fields, "
+                        f"expected {self._header.field_cnt}, "
+                        f"row ends at byte {int(off)})"
+                    )
+                row_no += 1
+                fields = 1
+            else:
+                prev_was_cr = False
+                fields += 1
+        if fields != 1:
+            return f" (unterminated final row {row_no} with {fields} fields)"
+        return ""
 
     # -- RecordSource required getters (record_source.rs:141-146) --
     @property
