@@ -83,6 +83,23 @@ def basic_cases() -> List[Case]:
     cases.append(Case("single_column", b"h\n1\n2\n3\n"))
     cases.append(
         Case(
+            "mac_cr_endings",
+            # classic-Mac \r-only endings: \r classifies as newline, the
+            # CRLF sniff sees no following \n -> jump = field_cnt, works
+            b"a,b\r1,2\r3,4\r",
+        )
+    )
+    cases.append(
+        Case(
+            "mixed_endings_ragged",
+            # LF rows then a CRLF row: the CR adds an index slot ->
+            # stride breaks -> build must reject
+            b"a,b\n1,2\n3,4\r\n",
+            should_build=False,
+        )
+    )
+    cases.append(
+        Case(
             "whitespace_preserved",
             _table([["a", "b"], ["  padded  ", " x "], ["1", "2"]]),
         )

