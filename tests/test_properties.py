@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just corpus cases.
+
+Properties:
+1. index entries are strictly ascending and point at structural bytes
+   outside quotes (checked against a scalar in-quote scan);
+2. chunked/streamed builds equal one-shot builds for arbitrary cut
+   points;
+3. backends agree bit-for-bit on arbitrary byte soup;
+4. serving round-trip: joining decoded fields with the dialect
+   delimiter reconstructs each record for quote-free tables.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from csv_simd_tpu import create_from_bytes, golden
+from csv_simd_tpu.index import build_index
+from csv_simd_tpu.streaming import StreamingIndexBuilder
+
+# byte soup weighted toward structural chars so properties get exercised
+soup = st.binary(min_size=0, max_size=2000).map(
+    lambda b: bytes(
+        x if x >= 56 else (0x2C, 0x22, 0x0A, 0x0D, 0x61, 0x00, 0x5C, 0x20)[x % 8]
+        for x in b
+    )
+)
+
+
+def scalar_structural(data: bytes):
+    out, in_q = [], False
+    for i, b in enumerate(data):
+        if b == 0x22:
+            in_q = not in_q
+        elif b in (0x2C, 0x0A, 0x0D) and not in_q:
+            out.append(i)
+    return np.array(out, dtype=np.int64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(soup)
+def test_index_matches_scalar_scan(data):
+    idx = golden.structural_index(data)
+    assert idx[0] == 0
+    np.testing.assert_array_equal(idx[1:], scalar_structural(data))
+    assert (np.diff(idx[1:]) > 0).all() if len(idx) > 2 else True
+
+
+@settings(max_examples=60, deadline=None)
+@given(soup, st.integers(min_value=1, max_value=500))
+def test_streaming_any_cut(data, chunk):
+    b = StreamingIndexBuilder(backend="golden")
+    for i in range(0, len(data), chunk):
+        b.feed(data[i : i + chunk])
+    np.testing.assert_array_equal(b.finish(), golden.structural_index(data))
+
+
+@settings(max_examples=40, deadline=None)
+@given(soup)
+def test_backends_agree(data):
+    want = golden.structural_index(data)
+    np.testing.assert_array_equal(build_index(data, backend="jnp"), want)
+    try:
+        from csv_simd_tpu import native
+
+        if native.available():
+            offs, _ = native.host_stage1(data, n_threads=1)
+            np.testing.assert_array_equal(offs, want[1:])
+    except RuntimeError:
+        pass
+
+
+# well-formed quote-free tables for the serving round-trip
+field_txt = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters='",\r\n'
+    ),
+    max_size=8,
+)
+table = st.lists(
+    st.lists(field_txt, min_size=2, max_size=5),
+    min_size=2,
+    max_size=8,
+).filter(lambda rows: len({len(r) for r in rows}) == 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(table)
+def test_serving_roundtrip(rows):
+    data = ("\n".join(",".join(r) for r in rows) + "\n").encode()
+    tape = create_from_bytes(data, backend="golden")
+    assert tape.num_data_records == len(rows) - 1
+    for r in range(tape.num_data_records):
+        fields = [tape.seek_field(r, f) for f in range(tape.field_cnt)]
+        assert b",".join(fields) == tape.seek_record(r)
+        assert [f.decode() for f in fields] == rows[r + 1]
