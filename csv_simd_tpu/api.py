@@ -44,7 +44,13 @@ def create_from_bytes(data: bytes, dialect=None, backend: str = "auto") -> Tape:
 
 
 def create(filename: str | os.PathLike, dialect=None, backend: str = "auto") -> Tape:
-    """Build a Tape from a CSV file (memory-mapped, zero-copy read)."""
+    """Build a Tape from a CSV file.
+
+    The file is memory-mapped and served zero-copy (the reference's mmap
+    design, lib.rs:65): the Tape's bytes are a NumPy view of the mapping,
+    so a 1 GiB file costs no copy on the host path."""
+    import numpy as np
+
     try:
         with open(filename, "rb") as f:
             mapped = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
@@ -53,5 +59,5 @@ def create(filename: str | os.PathLike, dialect=None, backend: str = "auto") -> 
         raise IoError(f"{filename}: {e}") from e
     except OSError as e:
         raise IoError(str(e)) from e
-    data = memoryview(mapped)
-    return create_from_bytes(bytes(data), dialect=dialect, backend=backend)
+    data = np.frombuffer(mapped, dtype=np.uint8)
+    return create_from_bytes(data, dialect=dialect, backend=backend)

@@ -74,7 +74,13 @@ class DeviceTape:
 
     @classmethod
     def from_tape(cls, tape) -> "DeviceTape":
-        data = jnp.asarray(np.frombuffer(tape.data_bytes, dtype=np.uint8))
+        raw = tape.data_bytes
+        host = (
+            np.frombuffer(raw, dtype=np.uint8)
+            if isinstance(raw, (bytes, bytearray, memoryview))
+            else np.asarray(raw, dtype=np.uint8)
+        )
+        data = jnp.asarray(host)
         index = jnp.asarray(np.asarray(tape.index, dtype=np.int32))
         return cls(
             data, index, tape.record_jump_size, tape.field_cnt, tape.record_cnt

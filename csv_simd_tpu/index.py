@@ -138,8 +138,8 @@ def build_index(
     if backend == "native":
         from . import native
 
-        offsets, _par = native.host_stage1(arr, dialect)
-        return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
+        index, _par = native.host_stage1(arr, dialect, with_sentinel=True)
+        return index
     if backend in ("pallas", "jnp"):
         from .ops.stage1_v2 import pad_to_words
         from .ops.stage1_v3 import (

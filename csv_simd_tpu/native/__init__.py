@@ -58,7 +58,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.host_stage1.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
         ]
         lib.host_quote_parity.restype = ctypes.c_int
         lib.host_quote_parity.argtypes = [
@@ -87,9 +87,13 @@ def host_stage1(
     dialect=None,
     carry_in: int = 0,
     n_threads: int = 0,
+    with_sentinel: bool = False,
 ) -> Tuple[np.ndarray, int]:
-    """CPU stage-1: bytes -> (ascending int64 offsets WITHOUT the sentinel,
-    quote parity out). Multithreaded two-phase parity stitch."""
+    """CPU stage-1: bytes -> (ascending int64 offsets, quote parity out).
+
+    with_sentinel=True prepends the tape's 0 sentinel IN PLACE (the
+    extractor writes past a preset slot 0), avoiding a full-index copy.
+    Multithreaded two-phase parity stitch."""
     from ..config import DEFAULT_DIALECT
 
     lib = _load()
@@ -105,14 +109,23 @@ def host_stage1(
     )
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
-    out = np.empty(arr.size + 1, dtype=np.int64)
-    parity = ctypes.c_int(0)
-    cnt = lib.host_stage1(
-        arr.ctypes.data, arr.size, d.delimiter, d.quote, nl0, nl1,
-        carry_in & 1, n_threads, out.ctypes.data,
-        ctypes.byref(parity),
-    )
-    return out[:cnt], int(parity.value)
+    lead = 1 if with_sentinel else 0
+    # density heuristic (the reference reserves len/6, design_notes_2.md:14)
+    # with growth-on-overflow — never allocate 8x the input up front
+    cap = max(arr.size // 4 + 4096, 4096)
+    while True:
+        out = np.empty(cap + lead, dtype=np.int64)
+        if lead:
+            out[0] = 0
+        parity = ctypes.c_int(0)
+        cnt = lib.host_stage1(
+            arr.ctypes.data, arr.size, d.delimiter, d.quote, nl0, nl1,
+            carry_in & 1, n_threads, out.ctypes.data + 8 * lead, cap,
+            ctypes.byref(parity),
+        )
+        if cnt >= 0:
+            return out[: cnt + lead], int(parity.value)
+        cap = min(cap * 4, arr.size + 1)
 
 
 def host_quote_parity(data: bytes | np.ndarray, quote: int = 0x22,

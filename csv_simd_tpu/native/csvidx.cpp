@@ -72,10 +72,11 @@ static int chunk_quote_parity(const uint8_t* data, int64_t n, uint64_t quote) {
 }
 
 // Stage-1 over [data, data+n), byte offsets rebased by +base. Returns the
-// number of offsets written; *parity_out = quote parity after the chunk.
+// number of offsets written, or -1 if `cap` would be exceeded;
+// *parity_out = quote parity after the chunk.
 static int64_t chunk_stage1(const uint8_t* data, int64_t n, int64_t base,
                             const Dialect64& d, int carry_in, int64_t* out,
-                            int* parity_out) {
+                            int64_t cap, int* parity_out) {
   int64_t k = 0;
   uint64_t carry = carry_in ? ~0ULL : 0ULL;  // broadcast parity
   int64_t i = 0;
@@ -87,9 +88,12 @@ static int64_t chunk_stage1(const uint8_t* data, int64_t n, int64_t base,
     uint64_t pin = prefix_xor_bytes(qf);
     uint64_t inq = pin ^ (carry & kHi1);
     uint64_t m = sf & ~inq;
-    while (m) {
-      out[k++] = base + i + (__builtin_ctzll(m) >> 3);
-      m &= m - 1;
+    if (m) {
+      if (k + __builtin_popcountll(m) > cap) return -1;
+      do {
+        out[k++] = base + i + (__builtin_ctzll(m) >> 3);
+        m &= m - 1;
+      } while (m);
     }
     carry ^= static_cast<uint64_t>(-static_cast<int64_t>(pin >> 63));
   }
@@ -98,8 +102,10 @@ static int64_t chunk_stage1(const uint8_t* data, int64_t n, int64_t base,
     uint8_t b = data[i];
     if (b == (d.quote & 0xff)) par ^= 1;
     else if (!par && (b == (d.delim & 0xff) || b == (d.nl0 & 0xff) ||
-                      b == (d.nl1 & 0xff)))
+                      b == (d.nl1 & 0xff))) {
+      if (k >= cap) return -1;
       out[k++] = base + i;
+    }
   }
   *parity_out = par;
   return k;
@@ -111,14 +117,16 @@ static const int kSigma[8] = {7, 3, 5, 1, 6, 2, 4, 0};  // 7 - bitrev3(j)
 
 extern "C" {
 
-// CPU stage-1: data[n] -> ascending offsets (caller provides out with
-// capacity >= n). Returns count; parity after the buffer in *parity_out.
-// n_threads <= 1 runs serially. Two-phase: chunk parities first, then
-// parallel extraction with carried parity and exact offset rebasing —
-// chunk boundaries may cut quoted regions.
+// CPU stage-1: data[n] -> ascending offsets into out[out_cap]. Returns
+// the count, or -1 if out_cap would be exceeded (caller grows and
+// retries — the reference's len/6 density heuristic applies). Parity
+// after the buffer in *parity_out. n_threads <= 1 runs serially.
+// Two-phase: chunk parities first, then parallel extraction with carried
+// parity and exact offset rebasing — chunk boundaries may cut quoted
+// regions.
 int64_t host_stage1(const uint8_t* data, int64_t n, int delim, int quote,
                     int nl0, int nl1, int carry_in, int n_threads,
-                    int64_t* out, int* parity_out) {
+                    int64_t* out, int64_t out_cap, int* parity_out) {
   Dialect64 d{kOnes * static_cast<uint64_t>(delim),
               kOnes * static_cast<uint64_t>(quote),
               kOnes * static_cast<uint64_t>(nl0),
@@ -128,7 +136,8 @@ int64_t host_stage1(const uint8_t* data, int64_t n, int delim, int quote,
     return 0;
   }
   if (n_threads <= 1 || n < (1 << 20)) {
-    return chunk_stage1(data, n, 0, d, carry_in & 1, out, parity_out);
+    return chunk_stage1(data, n, 0, d, carry_in & 1, out, out_cap,
+                        parity_out);
   }
   const int t = n_threads;
   const int64_t chunk = (n + t - 1) / t;
@@ -153,25 +162,36 @@ int64_t host_stage1(const uint8_t* data, int64_t n, int delim, int quote,
     acc ^= par[i];
   }
   // phase B: parallel extraction into per-chunk scratch (uninitialized
-  // new[] — vector::resize would zero n*8 bytes and dominate runtime)
+  // new[] — vector::resize would zero the buffer and dominate runtime).
+  // Per-chunk capacity is the shared out_cap's per-chunk share times a
+  // slack factor; an overflowing chunk retries serially into a chunk-
+  // sized buffer (rare: pathologically dense regions).
   std::vector<std::unique_ptr<int64_t[]>> scratch(t);
   std::vector<int64_t> cnt(t, 0);
+  const int64_t per_cap =
+      std::min<int64_t>(chunk, out_cap / t * 2 + 4096);
   {
     std::vector<std::thread> ths;
     for (int i = 0; i < t; ++i) {
       ths.emplace_back([&, i] {
         int64_t lo = i * chunk, hi = std::min<int64_t>(n, lo + chunk);
         if (hi <= lo) return;
-        scratch[i].reset(new int64_t[hi - lo]);
+        scratch[i].reset(new int64_t[per_cap]);
         int p;
         cnt[i] = chunk_stage1(data + lo, hi - lo, lo, d, carry[i],
-                              scratch[i].get(), &p);
+                              scratch[i].get(), per_cap, &p);
+        if (cnt[i] < 0) {  // dense chunk: retry with full capacity
+          scratch[i].reset(new int64_t[hi - lo]);
+          cnt[i] = chunk_stage1(data + lo, hi - lo, lo, d, carry[i],
+                                scratch[i].get(), hi - lo, &p);
+        }
       });
     }
     for (auto& th : ths) th.join();
   }
   int64_t k = 0;
   for (int i = 0; i < t; ++i) {
+    if (k + cnt[i] > out_cap) return -1;
     if (cnt[i])
       std::memcpy(out + k, scratch[i].get(), cnt[i] * sizeof(int64_t));
     k += cnt[i];

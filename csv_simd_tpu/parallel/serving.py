@@ -42,8 +42,14 @@ class ShardedTape:
 
     @classmethod
     def from_tape(cls, tape, mesh: Mesh) -> "ShardedTape":
+        raw = tape.data_bytes
+        host = (
+            np.frombuffer(raw, dtype=np.uint8)
+            if isinstance(raw, (bytes, bytearray, memoryview))
+            else np.asarray(raw, dtype=np.uint8)
+        )
         return cls(
-            np.frombuffer(tape.data_bytes, dtype=np.uint8),
+            host,
             np.asarray(tape.index),
             tape.record_jump_size,
             tape.field_cnt,

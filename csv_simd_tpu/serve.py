@@ -27,6 +27,12 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _to_bytes(chunk) -> bytes:
+    """Normalise a slice of the data buffer (bytes / memoryview / uint8
+    array — the zero-copy mmap path) to bytes."""
+    return chunk if isinstance(chunk, bytes) else bytes(chunk)
+
+
 class RecordSourceMixin:
     """Serving methods over the getters a tape-like object provides:
     record_cnt, record_jump_size, field_cnt, index, data_bytes."""
@@ -40,7 +46,7 @@ class RecordSourceMixin:
         start_slot = (record_idx + 1) * self.record_jump_size
         mem_start = int(self.index[start_slot])
         mem_end = int(self.index[start_slot + self.field_cnt])
-        return self.data_bytes[mem_start + 1 : mem_end]
+        return _to_bytes(self.data_bytes[mem_start + 1 : mem_end])
 
     def seek_field(self, record_idx: int, field_idx: int) -> Optional[bytes]:
         """Field f of record r as raw bytes (record_source.rs:104-140)."""
@@ -51,7 +57,7 @@ class RecordSourceMixin:
         slot = (record_idx + 1) * self.record_jump_size + field_idx
         mem_start = int(self.index[slot])
         mem_end = int(self.index[slot + 1])
-        return self.data_bytes[mem_start + 1 : mem_end]
+        return _to_bytes(self.data_bytes[mem_start + 1 : mem_end])
 
     def seek_record_str(self, record_idx: int) -> Optional[str]:
         raw = self.seek_record(record_idx)
@@ -88,7 +94,7 @@ class RecordSourceMixin:
         """Materialise a whole column as a list of bytes values."""
         starts, ends = self.column_slices(field_idx)
         data = self.data_bytes
-        return [data[int(s) : int(e)] for s, e in zip(starts, ends)]
+        return [_to_bytes(data[int(s) : int(e)]) for s, e in zip(starts, ends)]
 
     @property
     def num_data_records(self) -> int:

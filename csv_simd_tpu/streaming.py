@@ -203,6 +203,8 @@ def create_streaming(
             mapped = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
     except (OSError, ValueError) as e:
         raise IoError(str(e)) from e
-    data = bytes(memoryview(mapped))
+    import numpy as np
+
+    data = np.frombuffer(mapped, dtype=np.uint8)
     header = Header.parse(data, delimiter=dialect.delimiter)
     return Tape(data, index, header)

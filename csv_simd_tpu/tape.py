@@ -63,20 +63,35 @@ class Header:
     record_offset: int  # byte offset of the header-terminating newline
 
     @classmethod
-    def parse(cls, data: bytes, delimiter: int = 0x2C) -> "Header":
-        end = 0
-        n = len(data)
-        while end < n and data[end] not in (0x0D, 0x0A):
-            end += 1
+    def parse(cls, data, delimiter: int = 0x2C) -> "Header":
+        arr = (
+            np.frombuffer(data, dtype=np.uint8)
+            if isinstance(data, (bytes, bytearray, memoryview))
+            else np.asarray(data, dtype=np.uint8)
+        )
+        n = arr.size
+        # find the first \r/\n without scanning the whole (possibly GiB)
+        # buffer: widen the probe window geometrically
+        end = n
+        probe = 64 * 1024
+        while True:
+            head = arr[: min(probe, n)]
+            hits = np.flatnonzero((head == 0x0D) | (head == 0x0A))
+            if hits.size:
+                end = int(hits[0])
+                break
+            if probe >= n:
+                break
+            probe *= 16
         # Reference reads data[end + 1] unconditionally (panics at EOF);
         # we treat truncation as LF.
         new_line = (
-            NewLine.CRLF if end + 1 < n and data[end + 1] == 0x0A else NewLine.LF
+            NewLine.CRLF if end + 1 < n and arr[end + 1] == 0x0A else NewLine.LF
         )
         start = 0
-        while start < n and data[start] in _BOM_BYTES:
+        while start < n and arr[start] in _BOM_BYTES:
             start += 1
-        raw = data[start:end].decode("utf-8", errors="surrogateescape")
+        raw = bytes(arr[start:end]).decode("utf-8", errors="surrogateescape")
         names = [name.strip() for name in raw.split(chr(delimiter))]
         return cls(
             names=names,
@@ -134,7 +149,8 @@ class Tape(RecordSourceMixin):
     """The sealed public tape: bytes + structural index + record geometry
     (reference: tape.rs:74-153, init at tape.rs:315-347)."""
 
-    def __init__(self, data: bytes, index: np.ndarray, header: Header):
+    def __init__(self, data, index: np.ndarray, header: Header):
+        # data: bytes or a uint8 array/memoryview (zero-copy mmap view)
         self._data = data
         self._index = np.asarray(index)
         self._header = header
@@ -157,7 +173,11 @@ class Tape(RecordSourceMixin):
         """Locate the first row whose field count deviates — better than
         the reference's bare InvalidCsvFormat (tape.rs:342-344). Walks
         newline entries in the index and counts delimiters between them."""
-        data = np.frombuffer(self._data, dtype=np.uint8)
+        data = (
+            np.frombuffer(self._data, dtype=np.uint8)
+            if isinstance(self._data, (bytes, bytearray, memoryview))
+            else np.asarray(self._data, dtype=np.uint8)
+        )
         offs = self._index[1:]
         if offs.size == 0:
             return ""
