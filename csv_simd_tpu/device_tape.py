@@ -19,7 +19,7 @@ clamp to 0 and are reported in the validity mask.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

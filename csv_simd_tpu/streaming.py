@@ -82,20 +82,41 @@ class StreamingIndexBuilder:
         if arr.size == 0:
             return
         backend = _resolve_backend(self._backend)
-        if backend == "pallas":
+        if backend in ("pallas", "jnp"):
             import jax.numpy as jnp
 
             from .ops.stage1_v2 import pad_to_words
-            from .ops.stage1_v3 import stage1_fused, unpack_packed_host
+            from .ops.stage1_v3 import (
+                stage1_fused,
+                stage1_swar_xla,
+                unpack_packed_host,
+            )
 
             w2d = jnp.asarray(pad_to_words(arr))
-            packed, par = stage1_fused(
-                w2d, self._parity, self._dialect, interpret=not _have_tpu()
-            )
-            mask = unpack_packed_host(
-                np.asarray(packed), arr.size, tile=min(512, w2d.shape[0])
-            )
+            tile = min(512, w2d.shape[0])
+            if backend == "pallas":
+                packed, par = stage1_fused(
+                    w2d, self._parity, self._dialect,
+                    interpret=not _have_tpu(),
+                )
+            else:
+                packed, par = stage1_swar_xla(w2d, self._parity, self._dialect)
+            packed_np = np.asarray(packed)
             self._parity = int(par)
+            try:
+                from . import native
+
+                if native.available():
+                    local = native.extract_offsets_v3(
+                        packed_np, tile, arr.size, base=self._offset
+                    )
+                    if local.size:
+                        self._parts.append(local)
+                    self._offset += arr.size
+                    return
+            except Exception:
+                pass
+            mask = unpack_packed_host(packed_np, arr.size, tile=tile)
         else:
             words, n, par = stage1_words(
                 arr, self._dialect, backend, carry_in=self._parity

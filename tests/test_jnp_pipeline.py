@@ -11,8 +11,6 @@ from csv_simd_tpu.index import (
     build_index,
     build_index_device,
     pad_to_grid,
-    stage1_jnp,
-    stage1_mask_jnp,
     stage1_words,
 )
 from csv_simd_tpu.ops.pack import pack_words, unpack_words_host, unpack_words_device

@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 from csv_simd_tpu.experiments.json_levels import (
-    json_string_mask,
     json_structural_index,
     level_sets,
 )

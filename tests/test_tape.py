@@ -9,10 +9,8 @@ from csv_simd_tpu import (
     Header,
     InvalidCsvFormat,
     NewLine,
-    Tape,
     boundaries,
     create_from_bytes,
-    golden,
 )
 
 
