@@ -111,3 +111,136 @@ class DeviceTape:
         return [
             bytes(o[i, : ln[i]]) if v[i] else None for i in range(o.shape[0])
         ]
+
+    # -- device-side typed columns: CSV text -> numeric jnp arrays
+    #    without the bytes ever leaving HBM --
+
+    def column_int32(self, field: int, max_len: int = 20):
+        """Parse a whole column as int32 ON DEVICE (vectorised atoi:
+        optional sign/whitespace, decimal digits). Returns (values (N,)
+        int32, ok (N,) bool — False for malformed/overflowing fields)."""
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_int32(out, lengths, valid)
+
+    def column_float32(self, field: int, max_len: int = 24):
+        """Parse a column as float32 on device (sign, integer part,
+        fraction; no exponent notation — `ok` is False for those)."""
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_float32(out, lengths, valid)
+
+    def filter_equals(self, field: int, value: bytes, max_len: int = 64):
+        """Record ids whose `field` equals `value` exactly (byte compare
+        on device). Returns a host int32 array of record indices."""
+        out, lengths, valid = self.gather_column(field, max_len)
+        v = np.zeros(max_len, dtype=np.uint8)
+        raw = np.frombuffer(value, dtype=np.uint8)[:max_len]
+        v[: raw.size] = raw
+        hits = _filter_equals(out, lengths, valid, jnp.asarray(v), len(value))
+        return np.flatnonzero(np.asarray(hits)).astype(np.int32)
+
+
+@jax.jit
+def _parse_int32(out, lengths, valid):
+    n, max_len = out.shape
+    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    b = out.astype(jnp.int32)
+    in_field = pos < lengths[:, None]
+    # skip leading spaces, then optional sign
+    is_space = (b == 0x20) & in_field
+    lead_sp = jnp.cumprod(is_space, axis=1)  # 1 while still in leading run
+    start = jnp.sum(lead_sp, axis=1)
+    first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
+    has_sign = (first == 0x2D) | (first == 0x2B)
+    neg = first == 0x2D
+    dstart = start + has_sign.astype(jnp.int32)
+    is_digit_pos = (pos >= dstart[:, None]) & in_field
+    digit = b - 0x30
+    good_digit = (digit >= 0) & (digit <= 9)
+    # every position from dstart to length must be a digit
+    ok = valid & (lengths > dstart) & jnp.all(
+        ~is_digit_pos | good_digit, axis=1
+    )
+
+    # value = fold left: v = v*10 + d, flagging int32 overflow as we go
+    # (v*10+d wraps iff v > 214748364, or v == 214748364 and d > 7)
+    def step(carry, j):
+        v, of = carry
+        d = digit[:, j]
+        use = is_digit_pos[:, j]
+        wraps = (v > 214748364) | ((v == 214748364) & (d > 7))
+        v2 = jnp.where(use, v * 10 + d, v)
+        of2 = of | (use & wraps)
+        return (v2, of2), None
+
+    (val, overflow), _ = jax.lax.scan(
+        step,
+        (jnp.zeros(n, jnp.int32), jnp.zeros(n, bool)),
+        jnp.arange(max_len),
+    )
+    # exception: exactly INT32_MIN (-2147483648) wraps during the
+    # positive accumulation but negates back to the correct value.
+    # Guard digit count + leading digit so a larger alias (e.g.
+    # 6442450944 = 2^31 + 2^32) can't masquerade as it.
+    digit_cnt = lengths - dstart
+    first_digit = jnp.take_along_axis(b, dstart[:, None], axis=1)[:, 0]
+    int_min = (
+        overflow & neg & (val == jnp.int32(-(2**31)))
+        & (digit_cnt == 10) & (first_digit == 0x32)
+    )
+    ok = ok & (~overflow | int_min)
+    val = jnp.where(neg, -val, val)
+    return jnp.where(ok, val, 0), ok
+
+
+@jax.jit
+def _parse_float32(out, lengths, valid):
+    n, max_len = out.shape
+    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    b = out.astype(jnp.int32)
+    in_field = pos < lengths[:, None]
+    is_space = (b == 0x20) & in_field
+    lead_sp = jnp.cumprod(is_space, axis=1)
+    start = jnp.sum(lead_sp, axis=1)
+    first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
+    has_sign = (first == 0x2D) | (first == 0x2B)
+    neg = first == 0x2D
+    dstart = start + has_sign.astype(jnp.int32)
+    digit = b - 0x30
+    good_digit = (digit >= 0) & (digit <= 9)
+    is_dot = b == 0x2E
+    dot_count = jnp.sum(is_dot & in_field, axis=1)
+    # dot position (first dot; max_len if none)
+    dot_pos = jnp.min(
+        jnp.where(is_dot & in_field, pos, max_len), axis=1
+    )
+    body = (pos >= dstart[:, None]) & in_field
+    ok = valid & (lengths > dstart) & (dot_count <= 1) & jnp.all(
+        ~body | good_digit | (is_dot & (dot_count[:, None] == 1)), axis=1
+    )
+
+    def step(carry, j):
+        v, scale = carry
+        d = digit[:, j].astype(jnp.float32)
+        is_d = body[:, j] & good_digit[:, j]
+        after_dot = j > dot_pos
+        v2 = jnp.where(is_d, v * 10.0 + d, v)
+        scale2 = jnp.where(is_d & after_dot, scale * 10.0, scale)
+        return (v2, scale2), None
+
+    (val, scale), _ = jax.lax.scan(
+        step,
+        (jnp.zeros(n, jnp.float32), jnp.ones(n, jnp.float32)),
+        jnp.arange(max_len),
+    )
+    val = val / scale
+    val = jnp.where(neg, -val, val)
+    return jnp.where(ok, val, jnp.float32(0)), ok
+
+
+@jax.jit
+def _filter_equals(out, lengths, valid, needle, needle_len):
+    max_len = out.shape[1]
+    pos = jnp.arange(max_len)[None, :]
+    in_field = pos < lengths[:, None]
+    same = (out == needle[None, :]) | ~in_field
+    return valid & (lengths == needle_len) & jnp.all(same, axis=1)

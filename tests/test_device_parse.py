@@ -1,0 +1,84 @@
+"""Device-side typed parsing & filtering tests: vectorised atoi/atof and
+equality filters over gathered columns, differential vs Python parsing."""
+
+import numpy as np
+import pytest
+
+from csv_simd_tpu import create_from_bytes
+from csv_simd_tpu.device_tape import DeviceTape
+
+
+def _tape(rows):
+    data = ("\n".join(rows) + "\n").encode()
+    return DeviceTape.from_tape(create_from_bytes(data, backend="golden"))
+
+
+def test_column_int32():
+    dt = _tape(["id,v", "1,42", "2,-17", "3,0", "4,2147483647", "5, 88"])
+    vals, ok = dt.column_int32(1)
+    np.testing.assert_array_equal(np.asarray(ok), [True] * 5)
+    np.testing.assert_array_equal(
+        np.asarray(vals), [42, -17, 0, 2147483647, 88]
+    )
+
+
+def test_column_int32_malformed():
+    dt = _tape(["id,v", "1,42", "2,abc", "3,", "4,1.5", "5,+7"])
+    vals, ok = dt.column_int32(1)
+    np.testing.assert_array_equal(np.asarray(ok), [True, False, False, False, True])
+    assert np.asarray(vals)[0] == 42 and np.asarray(vals)[4] == 7
+
+
+def test_column_float32():
+    rows = ["id,v", "1,3.5", "2,-0.25", "3,100", "4,2.", "5,.5", "6, 7.125"]
+    dt = _tape(rows)
+    vals, ok = dt.column_float32(1)
+    expect = [3.5, -0.25, 100.0, 2.0, 0.5, 7.125]
+    np.testing.assert_array_equal(np.asarray(ok), [True] * 6)
+    np.testing.assert_allclose(np.asarray(vals), expect, rtol=1e-6)
+
+
+def test_column_float32_malformed():
+    dt = _tape(["id,v", "1,1e5", "2,1.2.3", "3,nope", "4,8"])
+    vals, ok = dt.column_float32(1)
+    np.testing.assert_array_equal(np.asarray(ok), [False, False, False, True])
+    assert np.asarray(vals)[3] == 8.0
+
+
+def test_column_int_random_differential():
+    rng = np.random.default_rng(5)
+    nums = rng.integers(-(2**31) + 1, 2**31 - 1, 300)
+    rows = ["a,b"] + [f"{i},{v}" for i, v in enumerate(nums)]
+    dt = _tape(rows)
+    vals, ok = dt.column_int32(1)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(vals), nums.astype(np.int32))
+
+
+def test_filter_equals():
+    dt = _tape(["k,v", "x,1", "y,2", "x,3", "z,4", "x,5"])
+    hits = dt.filter_equals(0, b"x")
+    np.testing.assert_array_equal(hits, [0, 2, 4])
+    assert dt.filter_equals(0, b"nope").size == 0
+    # prefix must not match
+    hits = dt.filter_equals(0, b"x" + b"x")
+    assert hits.size == 0
+
+
+def test_int32_overflow_edges():
+    dt = _tape(
+        [
+            "a,b",
+            "0,-2147483648",   # INT32_MIN: exact, accepted
+            "1,2147483648",    # INT32_MAX+1: rejected
+            "2,9999999999",    # wraps: rejected
+            "3,-6442450944",   # aliases INT32_MIN mod 2^32: rejected
+            "4,2147483647",    # INT32_MAX: accepted
+        ]
+    )
+    vals, ok = dt.column_int32(1)
+    np.testing.assert_array_equal(
+        np.asarray(ok), [True, False, False, False, True]
+    )
+    assert np.asarray(vals)[0] == -(2**31)
+    assert np.asarray(vals)[4] == 2**31 - 1
