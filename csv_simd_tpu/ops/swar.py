@@ -20,12 +20,35 @@ _LO7 = 0x7F7F7F7F
 _HI1 = -0x7F7F7F80  # 0x80808080 as int32
 
 
+def _bcast32(byte: int) -> int:
+    """byte replicated into an int32 bit pattern (two's-complement safe
+    for bytes >= 0x80)."""
+    v = (byte & 0xFF) * 0x01010101
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
 def swar_eq(x: jnp.ndarray, byte: int) -> jnp.ndarray:
     """0x80 flag per byte of x equal to `byte` (int32 lanes, 4 bytes each)."""
-    y = x ^ jnp.int32(byte * 0x01010101)
+    y = x ^ jnp.int32(_bcast32(byte))
     t = (y & _LO7) + _LO7  # bit7 of each byte set iff low7 bits nonzero
     t = t | y              # ... or iff bit7 of y set
     return ~t & _HI1       # 0x80 iff the whole byte was zero
+
+
+_ONES = 0x01010101
+
+
+def swar_eq_alt(x: jnp.ndarray, byte: int) -> jnp.ndarray:
+    """Same function as swar_eq via a different exact identity:
+    ((y | 0x80..) - 0x01..) | y has byte-bit7 clear iff the byte is zero
+    (each byte of y|0x80.. is >= 0x80 so the subtract never borrows
+    across bytes). Deliberately NOT syntactically equal to swar_eq —
+    kernels use it to rematerialize classification after a matmul
+    boundary without common-subexpression elimination fusing the two
+    computations back into one long-lived intermediate."""
+    y = x ^ jnp.int32(_bcast32(byte))
+    t = ((y | _HI1) - _ONES) | y
+    return (t ^ _HI1) & _HI1  # bit7 clear -> flag 0x80
 
 
 def swar_prefix_xor_bytes(flags: jnp.ndarray) -> jnp.ndarray:

@@ -143,3 +143,19 @@ def test_v2_carry_in():
     arr = np.frombuffer(data, dtype=np.uint8)
     np.testing.assert_array_equal(mask, golden.structural_mask(arr, carry_in=1))
     assert parity == golden.quote_parity_out(arr, carry_in=1)
+
+
+def test_swar_eq_alt_equivalence():
+    """The CSE-proof alternate zero-byte detector must agree with
+    swar_eq for every byte value (used for rematerialization studies)."""
+    import jax
+
+    from csv_simd_tpu.ops.swar import swar_eq, swar_eq_alt
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-(2**31), 2**31, (64, 128), dtype=np.int64).astype(np.int32)
+    x.view(np.uint8).reshape(-1)[:256] = np.arange(256, dtype=np.uint8)
+    for byte in (0x2C, 0x22, 0x0A, 0x0D, 0x00, 0xFF, 0x80, 0x01):
+        a = np.asarray(jax.jit(lambda v, b=byte: swar_eq(v, b))(jnp.asarray(x)))
+        b = np.asarray(jax.jit(lambda v, b=byte: swar_eq_alt(v, b))(jnp.asarray(x)))
+        np.testing.assert_array_equal(a, b, err_msg=hex(byte))
