@@ -134,6 +134,13 @@ def build_index(
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
+    if arr.size >= 2**31 and backend in ("pallas", "jnp", "auto"):
+        raise ValueError(
+            "device index build uses int32 offsets: shard inputs >= 2 GiB "
+            "across devices (parallel.sharded) or stream them "
+            "(streaming.build_index_streaming); the native/golden backends "
+            "are int64 and unlimited"
+        )
     backend = _resolve_backend(backend)
     if backend == "native":
         from . import native
