@@ -82,13 +82,29 @@ def main():
             return acc + jnp.sum(jnp.maximum(a, acc & 127), dtype=jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
+    # full index build: scan + sequential pack + popcount prefix — the
+    # complete offsets-free index artifact (offsetfree.PackedDeviceTape)
+    from csv_simd_tpu.offsetfree import prefix_for_packed
+    from csv_simd_tpu.ops.stage1_v3 import stage1_fused_seq
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def build_chain(a, k):
+        def body(i, acc):
+            packed, parity = stage1_fused_seq(a, acc & 1, row_tile=512)
+            cum = prefix_for_packed(packed)
+            return acc + parity + cum[-1] + packed[0, 0]
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
     per_s1 = _marginal(stage1_chain, w2d, 32, 96)
+    per_build = _marginal(build_chain, w2d, 16, 48)
     per_sol = _marginal(sol_chain, w2d, 128, 384)
     stage1_gbps = n_padded / per_s1 / 1e9
+    build_gbps = n_padded / per_build / 1e9
     sol_gbps = n_padded / per_sol / 1e9
 
     print(
-        f"# stage1 {stage1_gbps:.1f} GB/s; streaming SoL {sol_gbps:.1f} GB/s; "
+        f"# stage1 {stage1_gbps:.1f} GB/s; full index build {build_gbps:.1f} "
+        f"GB/s; streaming SoL {sol_gbps:.1f} GB/s; "
         f"buffer {n_mb} MiB (padded {n_padded/2**20:.0f} MiB)",
         file=sys.stderr,
     )

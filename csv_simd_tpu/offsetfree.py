@@ -1,0 +1,186 @@
+"""Offsets-free device serving: the packed bitmask IS the index.
+
+Materialising the offsets array on device requires stream compaction,
+and XLA's `nonzero` lowering on TPU is catastrophically slow (~0.07 GB/s
+measured — 4000x below the scan). This module sidesteps compaction
+entirely, which no offsets-array design can:
+
+- the index artifact is the *sequential-order* packed structural bitmask
+  (1 bit per input byte, ops/stage1_v3.stage1_seq_xla) plus an exclusive
+  popcount prefix over its 32-bit words (a cheap dense cumsum on 1/32 of
+  the data) — so "index build" runs at scan speed, full stop;
+- a tape slot lookup (the k-th structural character) becomes
+  searchsorted(word_prefix, k) + an in-word rank-select (5-step binary
+  search on popcounts of halves), vectorised over query batches;
+- serving then gathers bytes exactly like device_tape.
+
+The slot arithmetic is unchanged from the reference (slot = (r+1)*jump+f,
+value = bytes[pos(slot-1)+1 : pos(slot)] — slot k>=1 maps to set-bit
+k-1 because slot 0 is the synthetic 0 sentinel, reader.rs:216).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_DIALECT, Dialect
+from .errors import InvalidCsvFormat
+from .ops.stage1_v2 import pad_to_words
+from .ops.stage1_v3 import stage1_seq_xla
+from .tape import Header, NewLine
+
+
+def fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix-sum of a 1-D int32 array via hierarchical
+    (rows, 512) log-step scans. XLA's native 1-D cumsum lowering on TPU
+    is ~10x slower at millions of elements (reduce-window); this is a
+    few shift-adds per level."""
+    n = x.shape[0]
+    if n <= 2048:
+        return jnp.cumsum(x, dtype=jnp.int32)
+    w = 512
+    rows = -(-n // w)
+    padded = jnp.pad(x, (0, rows * w - n)).reshape(rows, w)
+    s = 1
+    while s < w:
+        padded = padded + jnp.pad(padded, ((0, 0), (s, 0)))[:, :w]
+        s *= 2
+    tot = padded[:, w - 1]
+    excl = fast_cumsum_i32(tot) - tot
+    return (padded + excl[:, None]).reshape(-1)[:n]
+
+
+def prefix_for_packed(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive ROW-granularity popcount prefix over (rows, 16) packed
+    words: cumsum of per-row bit counts. 1/16 the scan length of a
+    per-word prefix; queries resolve within-row at lookup time."""
+    row_counts = jnp.sum(jax.lax.population_count(packed), axis=1)
+    return fast_cumsum_i32(row_counts)
+
+
+def _select_bit(w: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+    """Position (0..31) of the j-th (0-indexed) set bit of each int32
+    word — vectorised 5-step binary search over half popcounts."""
+    pos = jnp.zeros_like(j)
+    cur = w
+    jj = j
+    for width in (16, 8, 4, 2, 1):
+        low_mask = jnp.int32((1 << width) - 1)
+        low = cur & low_mask
+        c = jax.lax.population_count(low)
+        go_high = jj >= c
+        jj = jj - jnp.where(go_high, c, 0)
+        pos = pos + jnp.where(go_high, width, 0)
+        cur = jnp.where(go_high, (cur >> width) & ((1 << (32 - width)) - 1), low)
+    return pos
+
+
+@jax.jit
+def _kth_positions(words2d, row_cum_incl, ks):
+    """Flat byte positions of the k-th set bits (vectorised).
+
+    Two-level: searchsorted on the ROW-granularity popcount prefix (the
+    only thing the build materialises — 1/16 the prefix work of a
+    per-word prefix), then the 16 words of the hit row are gathered and
+    scanned per query (dense (Q,16) ops)."""
+    row = jnp.searchsorted(row_cum_incl, ks, side="right").astype(jnp.int32)
+    excl_row = jnp.where(row > 0, row_cum_incl[jnp.maximum(row - 1, 0)], 0)
+    j = (ks - excl_row).astype(jnp.int32)  # rank within the row
+    wrow = words2d[row]  # (Q, 16)
+    pc = jax.lax.population_count(wrow)
+    cum = jnp.cumsum(pc, axis=1)  # (Q, 16), tiny
+    g = jnp.sum((cum <= j[:, None]).astype(jnp.int32), axis=1)
+    excl_word = jnp.where(
+        g > 0,
+        jnp.take_along_axis(cum, jnp.maximum(g - 1, 0)[:, None], axis=1)[:, 0],
+        0,
+    )
+    jj = j - excl_word
+    w = jnp.take_along_axis(wrow, g[:, None], axis=1)[:, 0]
+    return (row * 16 + g) * 32 + _select_bit(w, jj)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def _serve(data, words2d, cum_incl, records, fields, jump, field_cnt,
+           record_cnt, max_len: int):
+    valid = (
+        (records >= 0) & (records + 1 < record_cnt)
+        & (fields >= 0) & (fields < field_cnt)
+    )
+    r = jnp.where(valid, records, 0)
+    f = jnp.where(valid, fields, 0)
+    slots = (r + 1) * jump + f  # >= 1 for all valid queries
+    ks = jnp.concatenate([slots - 1, slots])  # start bit, end bit
+    pos = _kth_positions(words2d, cum_incl, ks)
+    n = slots.shape[0]
+    starts = pos[:n] + 1
+    ends = pos[n:]
+    lengths = jnp.where(valid, ends - starts, 0)
+    grid = starts[:, None] + jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    in_range = grid < ends[:, None]
+    grid = jnp.clip(grid, 0, data.shape[0] - 1)
+    out = jnp.where(in_range & valid[:, None], data[grid], jnp.uint8(0))
+    return out, lengths, valid
+
+
+class PackedDeviceTape:
+    """Device tape whose index is the sequential packed bitmask + word
+    popcount prefix — built at scan speed, no compaction pass."""
+
+    def __init__(self, data: bytes | np.ndarray,
+                 dialect: Dialect = DEFAULT_DIALECT):
+        arr = (
+            np.frombuffer(data, dtype=np.uint8)
+            if isinstance(data, (bytes, bytearray, memoryview))
+            else np.asarray(data, dtype=np.uint8)
+        )
+        self.n_bytes = arr.size
+        header = Header.parse(arr, delimiter=dialect.delimiter)
+        self.header = header
+        w2d = jnp.asarray(pad_to_words(arr))
+        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+        if use_pallas:
+            from .ops.stage1_v3 import stage1_fused_seq
+
+            packed, _par = stage1_fused_seq(w2d, 0, dialect)
+        else:
+            packed, _par = stage1_seq_xla(w2d, 0, dialect)
+        self.cum_incl = jax.jit(prefix_for_packed)(packed)
+        self.words = packed  # (rows, 16)
+        self.data = jnp.asarray(arr)
+        count = int(self.cum_incl[-1])
+        jump = header.field_cnt + (1 if header.new_line is NewLine.CRLF else 0)
+        record_cnt, rem = divmod(count, jump)
+        if rem != 0:
+            raise InvalidCsvFormat(
+                f"non-uniform record stride: {count} structural entries "
+                f"not divisible by jump {jump}"
+            )
+        self.jump = jnp.int32(jump)
+        self.field_cnt = jnp.int32(header.field_cnt)
+        self.record_cnt = jnp.int32(record_cnt)
+        self.num_data_records = max(record_cnt - 1, 0)
+
+    def gather_fields(self, records, fields, max_len: int = 64):
+        return _serve(
+            self.data, self.words, self.cum_incl,
+            jnp.asarray(records, jnp.int32), jnp.asarray(fields, jnp.int32),
+            self.jump, self.field_cnt, self.record_cnt, max_len,
+        )
+
+    def gather_column(self, field: int, max_len: int = 64):
+        n = self.num_data_records
+        return self.gather_fields(
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((n,), field, jnp.int32),
+            max_len,
+        )
+
+    def to_host_lists(self, out, lengths, valid) -> list:
+        o, ln, v = np.asarray(out), np.asarray(lengths), np.asarray(valid)
+        return [bytes(o[i, : ln[i]]) if v[i] else None for i in range(o.shape[0])]

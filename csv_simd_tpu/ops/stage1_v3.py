@@ -165,6 +165,166 @@ def stage1_fused(
     return packed, parity[0, 0]
 
 
+def _seq_pack_weights() -> np.ndarray:
+    """(128, 16, 2) bf16 weights for the MXU sequential pack: lane
+    8g+l contributes v * 2^(4*(l%4)) to word g's low (l<4) or high
+    (l>=4) 16-bit half. Each half sums four <2^16 terms — exact in f32."""
+    w = np.zeros((128, 16, 2), np.float32)
+    for lane in range(128):
+        g, l = divmod(lane, 8)
+        w[lane, g, l // 4] = float(1 << (4 * (l % 4)))
+    return w
+
+
+def _stage1_seq_kernel(
+    carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
+    packed_ref, parity_ref, carry_sm, *, dialect: Dialect, tile: int
+):
+    """Fused kernel emitting the sequential packed layout: the scan is
+    identical to _stage1_v3_kernel; the pack compresses each word's 4
+    flags with the multiply-gather then reduces lane groups of 8 on the
+    MXU (two bf16 matmuls -> exact 16-bit halves; Mosaic cannot lower
+    the (T,16,8) lane reshape directly)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_sm[0] = carry_in_ref[0]
+
+    x = w_ref[:]
+    sf, qf = _classify(x, dialect)
+    p_in = swar_prefix_xor_bytes(qf)
+    wp = swar_word_parity(p_in)
+    wp8 = wp.astype(jnp.int8)
+    lane_excl = jax.lax.dot_general(
+        wp8, triu_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rowpar = (lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]) & 1
+    rowpar8 = jnp.broadcast_to(rowpar, (tile, 8)).astype(jnp.int8)
+    row_excl_par = jax.lax.dot_general(
+        tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    base = (lane_excl + row_excl_par[:, :1] + carry_sm[0]) & 1
+    inq = p_in ^ swar_broadcast_flag(base)
+    masked = sf & ~inq
+
+    u = (masked >> 7) & 0x01010101
+    v = (((u * 0x01020408) >> 24) & 0xF).astype(jnp.bfloat16)
+    lo = jax.lax.dot_general(
+        v, wlo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    hi = jax.lax.dot_general(
+        v, whi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    packed_ref[:] = lo | (hi << 16)
+
+    tile_par = (row_excl_par[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
+    new_carry = (carry_sm[0] + tile_par) & 1
+    carry_sm[0] = new_carry
+    parity_ref[0, 0] = new_carry
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dialect", "row_tile", "interpret")
+)
+def stage1_fused_seq(
+    w2d: jnp.ndarray,
+    carry_in,
+    dialect: Dialect = DEFAULT_DIALECT,
+    row_tile: int = DEFAULT_ROW_TILE,
+    interpret: bool = False,
+):
+    """Pallas kernel with SEQUENTIAL packed output: (rows, 16) int32
+    whose flat little-endian bits are the structural mask in byte order
+    (same layout as stage1_seq_xla). Feeds offset-free serving."""
+    rows, lanes = w2d.shape
+    assert lanes == LANES and rows % 8 == 0, (rows, lanes)
+    tile = min(row_tile, rows)
+    assert rows % tile == 0, (rows, tile)
+    grid = rows // tile
+
+    triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
+    tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
+    wboth = _seq_pack_weights()
+    wlo = jnp.asarray(wboth[:, :, 0], jnp.bfloat16)
+    whi = jnp.asarray(wboth[:, :, 1], jnp.bfloat16)
+
+    kernel = functools.partial(_stage1_seq_kernel, dialect=dialect, tile=tile)
+    carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
+
+    packed, parity = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 16), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(carry_arr, w2d, triu, tril, wlo, whi)
+    return packed, parity[0, 0]
+
+
+def _scan_masked(w2d: jnp.ndarray, carry_in, dialect: Dialect):
+    """Shared XLA scan internals: byte-quad words -> (masked 0x80 flag
+    words (rows,128), total quote parity). Both packers build on this."""
+    rows, lanes = w2d.shape
+    sf, qf = _classify(w2d, dialect)
+    p_in = swar_prefix_xor_bytes(qf)
+    wp = swar_word_parity(p_in)
+    incl = wp
+    s = 1
+    while s < lanes:
+        incl = incl + jnp.pad(incl, ((0, 0), (s, 0)))[:, :lanes]
+        s *= 2
+    lane_excl = incl - wp
+    row_tot = incl[:, lanes - 1]
+    row_excl = (jnp.cumsum(row_tot) - row_tot)[:, None]
+    base = (lane_excl + row_excl + carry_in) & 1
+    inq = p_in ^ swar_broadcast_flag(base)
+    masked = sf & ~inq
+    parity = (jnp.sum(wp) + carry_in) & 1
+    return masked, parity
+
+
+@functools.partial(jax.jit, static_argnames=("dialect",))
+def stage1_seq_xla(
+    w2d: jnp.ndarray,
+    carry_in,
+    dialect: Dialect = DEFAULT_DIALECT,
+):
+    """XLA scan emitting SEQUENTIAL-order packed words: (rows, 16) int32
+    where bit m of word (r, g) covers flat byte r*512 + 32*g + m — i.e.
+    the flat little-endian bitstream of the structural mask. This is the
+    layout offset-free serving needs (popcount-prefix + rank-select);
+    `np.unpackbits(words.view('<u4').view(uint8), bitorder='little')`
+    inverts it directly.
+
+    Pack: per-word 4-flag compress via the multiply-gather
+    (u * 0x01020408) >> 24, then 8 lanes combine with shifts 4l.
+    Returns (packed_seq, parity_out)."""
+    rows, lanes = w2d.shape
+    masked, parity = _scan_masked(w2d, carry_in, dialect)
+    u = (masked >> 7) & 0x01010101
+    v = ((u * 0x01020408) >> 24) & 0xF  # bits b=0..3 -> 0..3
+    w3 = v.reshape(rows, 16, 8)
+    shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None, :]
+    packed = jnp.sum(w3 << shifts, axis=-1, dtype=jnp.int32)
+    return packed, parity
+
+
 @functools.partial(jax.jit, static_argnames=("dialect", "row_tile"))
 def stage1_swar_xla(
     w2d: jnp.ndarray,
