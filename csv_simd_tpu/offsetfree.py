@@ -184,3 +184,64 @@ class PackedDeviceTape:
     def to_host_lists(self, out, lengths, valid) -> list:
         o, ln, v = np.asarray(out), np.asarray(lengths), np.asarray(valid)
         return [bytes(o[i, : ln[i]]) if v[i] else None for i in range(o.shape[0])]
+
+    # -- persistence: the packed words ARE the artifact (1 bit/byte);
+    #    the prefix is recomputed on load (cheap) --
+
+    def save(self, path) -> None:
+        import json
+
+        h = self.header
+        meta = dict(
+            magic="csv-simd-tpu-index", version=1, encoding="packed_seq",
+            names=h.names, new_line=h.new_line.value, field_cnt=h.field_cnt,
+            delimiter=h.delimiter, record_offset=h.record_offset,
+            n_bytes=self.n_bytes,
+        )
+        np.savez_compressed(
+            path,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            packed=np.asarray(self.words, dtype=np.int32),
+        )
+
+    @classmethod
+    def load(cls, path, data: bytes | np.ndarray,
+             dialect: Dialect = DEFAULT_DIALECT) -> "PackedDeviceTape":
+        """Rebuild a serving tape from a saved artifact + the original
+        bytes — no re-scan; only the prefix cumsum is recomputed."""
+        import json
+
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta.get("encoding") != "packed_seq":
+            raise InvalidCsvFormat(f"not a packed_seq artifact: {meta.get('encoding')}")
+        arr = (
+            np.frombuffer(data, dtype=np.uint8)
+            if isinstance(data, (bytes, bytearray, memoryview))
+            else np.asarray(data, dtype=np.uint8)
+        )
+        if meta["n_bytes"] != arr.size:
+            raise InvalidCsvFormat("artifact does not match these bytes")
+        self = cls.__new__(cls)
+        self.n_bytes = arr.size
+        self.header = Header(
+            names=list(meta["names"]), new_line=NewLine(meta["new_line"]),
+            field_cnt=meta["field_cnt"], delimiter=meta["delimiter"],
+            record_offset=meta["record_offset"],
+        )
+        packed = jnp.asarray(z["packed"])
+        self.words = packed
+        self.cum_incl = jax.jit(prefix_for_packed)(packed)
+        self.data = jnp.asarray(arr)
+        count = int(self.cum_incl[-1])
+        jump = self.header.field_cnt + (
+            1 if self.header.new_line is NewLine.CRLF else 0
+        )
+        record_cnt, rem = divmod(count, jump)
+        if rem != 0:
+            raise InvalidCsvFormat("artifact stride mismatch")
+        self.jump = jnp.int32(jump)
+        self.field_cnt = jnp.int32(self.header.field_cnt)
+        self.record_cnt = jnp.int32(record_cnt)
+        self.num_data_records = max(record_cnt - 1, 0)
+        return self

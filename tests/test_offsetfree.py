@@ -81,3 +81,19 @@ def test_packed_tape_column_and_bounds():
 def test_packed_tape_ragged_rejected():
     with pytest.raises(InvalidCsvFormat):
         PackedDeviceTape(b"a,b,c\n1,2,3,\n")
+
+
+def test_packed_tape_save_load(tmp_path):
+    data = synthetic_wide_table(60_000)
+    pt = PackedDeviceTape(data)
+    p = str(tmp_path / "seq.npz")
+    pt.save(p)
+    pt2 = PackedDeviceTape.load(p, data)
+    assert pt2.num_data_records == pt.num_data_records
+    out, ln, v = pt2.gather_fields([0, 3], [1, 2])
+    host = create_from_bytes(data, backend="golden")
+    vals = pt2.to_host_lists(out, ln, v)
+    assert vals[0] == host.seek_field(0, 1)
+    assert vals[1] == host.seek_field(3, 2)
+    with pytest.raises(InvalidCsvFormat):
+        PackedDeviceTape.load(p, data[:-5])
