@@ -52,6 +52,40 @@ def _marginal(chain, arr, k_lo, k_hi, trials=4, reps=3):
     return (mins[k_hi] - mins[k_lo]) / (k_hi - k_lo)
 
 
+def _correctness_gate():
+    """Refuse to report a number from a miscompiled kernel: build a
+    corpus buffer with the COMPILED v3 and v4 kernels on the real chip
+    and require bit-identity vs the golden oracle (VERDICT r1 item 4)."""
+    import jax.numpy as jnp
+
+    from csv_simd_tpu import golden
+    from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+    from csv_simd_tpu.ops.stage1_v3 import stage1_fused, unpack_packed_host
+    from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
+
+    rng = np.random.default_rng(2026)
+    data = rng.choice(
+        np.frombuffer(b'ab"",\n\rx,z":; \t09', dtype=np.uint8), size=700_000
+    )
+    ref = golden.structural_mask(data)
+    w2d = jnp.asarray(pad_to_words(data))
+    p3, _ = stage1_fused(w2d, 0, row_tile=512)
+    m3 = unpack_packed_host(np.asarray(p3), data.size, tile=512)
+    if not (m3 == ref).all():
+        print("FATAL: compiled v3 kernel output != golden", file=sys.stderr)
+        sys.exit(1)
+    p4, _ = stage1_fused_v4(w2d, 0, row_tile=512)
+    m4 = np.unpackbits(
+        np.ascontiguousarray(np.asarray(p4)).view("<u4").view(np.uint8),
+        bitorder="little",
+    )[: data.size]
+    if not (m4 == ref).all():
+        print("FATAL: compiled v4 kernel output != golden", file=sys.stderr)
+        sys.exit(1)
+    print("# on-chip correctness gate: v3+v4 bit-identical to golden",
+          file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -59,6 +93,7 @@ def main():
     from csv_simd_tpu.ops.stage1_v2 import pad_to_words
     from csv_simd_tpu.ops.stage1_v3 import stage1_fused
 
+    _correctness_gate()
     n_mb = int(os.environ.get("BENCH_MB", "64"))
     n = n_mb * 1024 * 1024
     data = _gen_csv(n)
@@ -82,15 +117,15 @@ def main():
             return acc + jnp.sum(jnp.maximum(a, acc & 127), dtype=jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    # full index build: scan + sequential pack + popcount prefix — the
+    # full index build: fused scan+seq-pack (v4) + popcount prefix — the
     # complete offsets-free index artifact (offsetfree.PackedDeviceTape)
     from csv_simd_tpu.offsetfree import prefix_for_packed
-    from csv_simd_tpu.ops.stage1_v3 import stage1_fused_seq
+    from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def build_chain(a, k):
         def body(i, acc):
-            packed, parity = stage1_fused_seq(a, acc & 1, row_tile=512)
+            packed, parity = stage1_fused_v4(a, acc & 1, row_tile=1024)
             cum = prefix_for_packed(packed)
             return acc + parity + cum[-1] + packed[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))

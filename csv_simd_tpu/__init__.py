@@ -37,8 +37,10 @@ from .streaming import (
     create_streaming,
 )
 from .artifact import load_tape, save_tape
+from .offsetfree import PackedDeviceTape
 
 __all__ = [
+    "PackedDeviceTape",
     "Dialect",
     "build_nibble_luts",
     "CODE_NEWLINE",

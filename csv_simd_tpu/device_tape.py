@@ -64,10 +64,21 @@ class DeviceTape:
     (bytes (N, max_len) uint8, lengths (N,), valid (N,)) device arrays.
     """
 
-    def __init__(self, data: jnp.ndarray, index: jnp.ndarray, jump: int,
+    def __init__(self, data: jnp.ndarray, index, jump: int,
                  field_cnt: int, record_cnt: int):
         self.data = data
-        self.index = index.astype(jnp.int32)
+        # guard BEFORE any int32 conversion (jnp.asarray would already
+        # wrap an int64 host index when x64 is disabled): native/golden
+        # backends emit int64 indexes for >= 2 GiB inputs, and a wrapped
+        # offset would silently mis-serve
+        idx_host = np.asarray(index)
+        if idx_host.size and int(idx_host[-1]) >= 2**31:
+            raise ValueError(
+                "device tape uses int32 offsets: this index addresses "
+                ">= 2 GiB; shard across devices (parallel.serving) "
+                "or serve from the host Tape"
+            )
+        self.index = jnp.asarray(idx_host.astype(np.int32))
         self.jump = jnp.int32(jump)
         self.field_cnt = jnp.int32(field_cnt)
         self.record_cnt = jnp.int32(record_cnt)
@@ -81,9 +92,9 @@ class DeviceTape:
             else np.asarray(raw, dtype=np.uint8)
         )
         data = jnp.asarray(host)
-        index = jnp.asarray(np.asarray(tape.index, dtype=np.int32))
         return cls(
-            data, index, tape.record_jump_size, tape.field_cnt, tape.record_cnt
+            data, np.asarray(tape.index),
+            tape.record_jump_size, tape.field_cnt, tape.record_cnt,
         )
 
     def gather_fields(
@@ -103,28 +114,38 @@ class DeviceTape:
         flds = jnp.full((n,), field, jnp.int32)
         return self.gather_fields(recs, flds, max_len)
 
-    def to_host_lists(self, out, lengths, valid) -> list:
-        """Decode a gather result into a list of bytes (None if invalid)."""
-        o = np.asarray(out)
-        ln = np.asarray(lengths)
-        v = np.asarray(valid)
-        return [
-            bytes(o[i, : ln[i]]) if v[i] else None for i in range(o.shape[0])
-        ]
+    def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
+        """Decode a gather result into a list of bytes (None if invalid).
+
+        `lengths` are TRUE field lengths; when a field is longer than the
+        gather's max_len the buffer holds a prefix only. That raises here
+        unless allow_truncated=True (then the prefix is returned)."""
+        return _to_host_lists(out, lengths, valid, allow_truncated)
 
     # -- device-side typed columns: CSV text -> numeric jnp arrays
     #    without the bytes ever leaving HBM --
 
     def column_int32(self, field: int, max_len: int = 20):
-        """Parse a whole column as int32 ON DEVICE (vectorised atoi:
-        optional sign/whitespace, decimal digits). Returns (values (N,)
-        int32, ok (N,) bool — False for malformed/overflowing fields)."""
+        """Parse a whole column as int32 ON DEVICE (vectorised atoi).
+
+        Accepted grammar: `[spaces][+|-]digits` — leading ASCII spaces,
+        one optional sign, then decimal digits to the END of the field.
+        Returns (values (N,) int32, ok (N,) bool). `ok` is False for:
+        empty/sign-only fields, any non-digit after the digits start
+        (including trailing spaces, quotes, underscores, hex), values
+        outside int32 (INT32_MIN itself is accepted), and invalid rows.
+        Values for not-ok rows are 0."""
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_int32(out, lengths, valid)
 
     def column_float32(self, field: int, max_len: int = 24):
-        """Parse a column as float32 on device (sign, integer part,
-        fraction; no exponent notation — `ok` is False for those)."""
+        """Parse a column as float32 on device.
+
+        Accepted grammar: `[spaces][+|-]digits[.digits]` and
+        `[spaces][+|-][digits].digits` — no exponent notation, no
+        inf/nan words, no trailing spaces; `ok` is False for those (use
+        column_float32_exp for scientific notation). Values for not-ok
+        rows are 0.0."""
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_float32(out, lengths, valid)
 
@@ -137,6 +158,28 @@ class DeviceTape:
         v[: raw.size] = raw
         hits = _filter_equals(out, lengths, valid, jnp.asarray(v), len(value))
         return np.flatnonzero(np.asarray(hits)).astype(np.int32)
+
+
+def _to_host_lists(out, lengths, valid, allow_truncated=False) -> list:
+    """Shared gather-result decoder (DeviceTape / PackedDeviceTape /
+    sharded tapes): true lengths beyond the buffer width mean the gather
+    truncated; refuse unless the caller opted in."""
+    o = np.asarray(out)
+    ln = np.asarray(lengths)
+    v = np.asarray(valid)
+    if not allow_truncated:
+        cut = np.flatnonzero(v & (ln > o.shape[1]))
+        if cut.size:
+            raise ValueError(
+                f"gather truncated {cut.size} field(s) (first at row "
+                f"{int(cut[0])}: length {int(ln[cut[0]])} > max_len "
+                f"{o.shape[1]}); re-gather with a larger max_len or pass "
+                "allow_truncated=True"
+            )
+    return [
+        bytes(o[i, : min(ln[i], o.shape[1])]) if v[i] else None
+        for i in range(o.shape[0])
+    ]
 
 
 @jax.jit

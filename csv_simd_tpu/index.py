@@ -87,7 +87,14 @@ def _have_tpu() -> bool:
         return False
 
 
+_BACKENDS = ("auto", "pallas", "jnp", "native", "golden")
+
+
 def _resolve_backend(backend: str) -> str:
+    if backend not in _BACKENDS:
+        raise ValueError(
+            f"unknown backend {backend!r}; expected one of {_BACKENDS}"
+        )
     if backend == "auto":
         return "pallas" if _have_tpu() else "jnp"
     return backend
@@ -114,8 +121,13 @@ def stage1_words(
         words, _count, par = stage1_pallas(
             jnp.asarray(b2d), carry_in, dialect, interpret=interpret
         )
-    else:
+    elif backend == "jnp":
         words, par = stage1_jnp(jnp.asarray(b2d), jnp.int32(carry_in), dialect)
+    else:
+        raise ValueError(
+            f"stage1_words emits packed device words; backend {backend!r} "
+            "does not (use build_index for native/golden)"
+        )
     return np.asarray(words), arr.size, int(par)
 
 
@@ -134,19 +146,28 @@ def build_index(
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
-    if arr.size >= 2**31 and backend in ("pallas", "jnp", "auto"):
-        raise ValueError(
-            "device index build uses int32 offsets: shard inputs >= 2 GiB "
-            "across devices (parallel.sharded) or stream them "
-            "(streaming.build_index_streaming); the native/golden backends "
-            "are int64 and unlimited"
-        )
     backend = _resolve_backend(backend)
+    if arr.size >= 2**31 and backend in ("pallas", "jnp"):
+        # single-call device builds address bytes with int32; route big
+        # inputs through the streamed device scan (same kernel, 64 MiB
+        # chunks, int64 rebasing at the host boundary — reference
+        # capacity bar: usize offsets, reader.rs:305)
+        from .streaming import StreamingIndexBuilder
+
+        b = StreamingIndexBuilder(dialect, backend)
+        step = 1 << 26
+        for lo in range(0, arr.size, step):
+            b.feed(arr[lo : lo + step])
+        return b.finish()
     if backend == "native":
         from . import native
 
         index, _par = native.host_stage1(arr, dialect, with_sentinel=True)
         return index
+    if backend == "golden":
+        from . import golden
+
+        return golden.structural_index(arr, dialect)
     if backend in ("pallas", "jnp"):
         from .ops.stage1_v2 import pad_to_words
         from .ops.stage1_v3 import (
@@ -173,9 +194,6 @@ def build_index(
         except Exception:
             pass  # fall through to the NumPy unpack
         mask = unpack_packed_host(packed_np, arr.size, tile=tile)
-    else:
-        words, n, _ = stage1_words(arr, dialect, backend)
-        mask = unpack_words_host(words, n)
     offsets = np.flatnonzero(mask).astype(np.int64)
     return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
 

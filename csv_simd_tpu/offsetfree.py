@@ -139,15 +139,21 @@ class PackedDeviceTape:
             if isinstance(data, (bytes, bytearray, memoryview))
             else np.asarray(data, dtype=np.uint8)
         )
+        if arr.size >= 2**31:
+            raise ValueError(
+                "PackedDeviceTape uses int32 flat byte positions: shard "
+                "inputs >= 2 GiB across devices (parallel.serving."
+                "ShardedPackedTape) or serve via the int64 native path"
+            )
         self.n_bytes = arr.size
         header = Header.parse(arr, delimiter=dialect.delimiter)
         self.header = header
         w2d = jnp.asarray(pad_to_words(arr))
         use_pallas = jax.devices()[0].platform in ("tpu", "axon")
         if use_pallas:
-            from .ops.stage1_v3 import stage1_fused_seq
+            from .ops.stage1_v4 import stage1_fused_v4
 
-            packed, _par = stage1_fused_seq(w2d, 0, dialect)
+            packed, _par = stage1_fused_v4(w2d, 0, dialect)
         else:
             packed, _par = stage1_seq_xla(w2d, 0, dialect)
         self.cum_incl = jax.jit(prefix_for_packed)(packed)
@@ -181,9 +187,12 @@ class PackedDeviceTape:
             max_len,
         )
 
-    def to_host_lists(self, out, lengths, valid) -> list:
-        o, ln, v = np.asarray(out), np.asarray(lengths), np.asarray(valid)
-        return [bytes(o[i, : ln[i]]) if v[i] else None for i in range(o.shape[0])]
+    def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
+        """See DeviceTape.to_host_lists: raises if any valid field's true
+        length exceeds the gathered max_len, unless allow_truncated."""
+        from .device_tape import _to_host_lists
+
+        return _to_host_lists(out, lengths, valid, allow_truncated)
 
     # -- persistence: the packed words ARE the artifact (1 bit/byte);
     #    the prefix is recomputed on load (cheap) --
@@ -191,12 +200,15 @@ class PackedDeviceTape:
     def save(self, path) -> None:
         import json
 
+        from .artifact import _fingerprint
+
         h = self.header
         meta = dict(
             magic="csv-simd-tpu-index", version=1, encoding="packed_seq",
             names=h.names, new_line=h.new_line.value, field_cnt=h.field_cnt,
             delimiter=h.delimiter, record_offset=h.record_offset,
             n_bytes=self.n_bytes,
+            fingerprint=_fingerprint(np.asarray(self.data)),
         )
         np.savez_compressed(
             path,
@@ -222,6 +234,17 @@ class PackedDeviceTape:
         )
         if meta["n_bytes"] != arr.size:
             raise InvalidCsvFormat("artifact does not match these bytes")
+        if arr.size >= 2**31:
+            raise ValueError(
+                "PackedDeviceTape uses int32 flat byte positions; this "
+                "buffer is >= 2 GiB (see parallel.serving.ShardedPackedTape)"
+            )
+        from .artifact import _fingerprint
+
+        if meta.get("fingerprint") != _fingerprint(arr):
+            raise InvalidCsvFormat(
+                "index artifact does not match these bytes (fingerprint)"
+            )
         self = cls.__new__(cls)
         self.n_bytes = arr.size
         self.header = Header(

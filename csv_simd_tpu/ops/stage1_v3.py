@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DEFAULT_DIALECT, Dialect
 from .swar import (
     swar_broadcast_flag,
+    swar_classify_s80_q80,
     swar_eq,
     swar_prefix_xor_bytes,
     swar_word_parity,
@@ -69,6 +70,13 @@ def _fold_pack(masked: jnp.ndarray, tile: int) -> jnp.ndarray:
 
 
 def _classify(x: jnp.ndarray, dialect: Dialect):
+    """0x80-flag (structural, quote) classify. Uses the shared-
+    subexpression detector (~30% fewer ops) for ASCII dialects, the
+    independent exact detectors otherwise."""
+    chars = dialect.newlines + (dialect.delimiter,)
+    if dialect.quote < 0x80 and all(c < 0x80 for c in chars):
+        sf, qf = swar_classify_s80_q80(x, chars, dialect.quote)
+        return sf, qf
     qf = swar_eq(x, dialect.quote)
     sf = swar_eq(x, dialect.delimiter)
     for nl in dialect.newlines:
@@ -116,7 +124,7 @@ def _stage1_v3_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dialect", "row_tile", "interpret")
+    jax.jit, static_argnames=("dialect", "row_tile", "interpret", "vma")
 )
 def stage1_fused(
     w2d: jnp.ndarray,
@@ -124,10 +132,14 @@ def stage1_fused(
     dialect: Dialect = DEFAULT_DIALECT,
     row_tile: int = DEFAULT_ROW_TILE,
     interpret: bool = False,
+    vma: tuple = (),
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed (rows//8, 128) int32, parity_out). rows % row-tile == 0
-    (callers pad via pad_to_words; tile = min(row_tile, rows))."""
+    (callers pad via pad_to_words; tile = min(row_tile, rows)).
+
+    `vma`: mesh axes the outputs vary over — set to the shard axis when
+    calling from inside shard_map so the vma checker stays enabled."""
     rows, lanes = w2d.shape
     assert lanes == LANES and rows % 8 == 0, (rows, lanes)
     tile = min(row_tile, rows)
@@ -139,6 +151,14 @@ def stage1_fused(
 
     kernel = functools.partial(_stage1_v3_kernel, dialect=dialect, tile=tile)
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
+    if vma:
+        # inside shard_map the scan constants are replicated while the
+        # data is device-varying; align them so the vma checker passes
+        def _align(x):
+            missing = tuple(a for a in vma if a not in jax.typeof(x).vma)
+            return jax.lax.pvary(x, missing) if missing else x
+
+        triu, tril, carry_arr = _align(triu), _align(tril), _align(carry_arr)
 
     packed, parity = pl.pallas_call(
         kernel,
@@ -156,8 +176,8 @@ def stage1_fused(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows // 8, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rows // 8, LANES), jnp.int32, vma=frozenset(vma)),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,

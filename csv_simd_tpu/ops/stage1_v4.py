@@ -1,0 +1,174 @@
+"""Stage-1 v4: the sequential-layout production kernel.
+
+One fused pass: classify -> full-width quote scans -> mask -> MXU seq
+pack, emitting the packed structural bitmask in SEQUENTIAL bit order —
+the layout offsets-free serving needs (bit m of word (r, g) covers flat
+byte r*512 + 32*g + m, identical to stage1_seq_xla), so a single kernel
+feeds both counting and the production index artifact.
+
+What changed vs the round-1 pair (stage1_v3.stage1_fused +
+stage1_fused_seq), per tools/ablate2.py measurements:
+
+- classify uses the shared-subexpression SWAR detector
+  (swar_classify_su_q80): the low-7 mask and bit-7 test are computed
+  once for all four target chars (~20% kernel time saved);
+- structural flags stay in 0x01 form end-to-end: the mask application
+  AND the pack prep consume them directly, skipping the 0x80->0x01
+  conversion the old seq kernel paid after masking;
+- the quote-parity machinery is v3's proven full-width chain (in-word
+  prefix-XOR + int8 MXU lane/row scans) — measured ablations showed
+  scan/mask work on narrow (T,16) packed tensors lowers ~10x worse
+  per element than full-width, so scanning BEFORE packing wins;
+- the pack is the 4-bit nibble compress (multiply-gather) + two
+  (128,16) bf16 matmuls whose outputs combine as lo | hi << 16 with
+  no lane movement (both land in lanes 0..15).
+
+Reference lineage: the same fused pass as avx/stage1.rs:193-430; SWAR
+equality replaces the vpshufb nibble LUTs, MXU matmuls replace both
+PCLMULQDQ (prefix-XOR scans) and movemask (the bit pack).
+SURVEY.md §7.1/7.4.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT_DIALECT, Dialect
+from .swar import (
+    swar_classify_su_q80,
+    swar_prefix_xor_bytes,
+)
+
+LANES = 128
+WORDS = 16  # packed int32 words per 512-byte row
+DEFAULT_ROW_TILE_V4 = 512
+
+_ONES = 0x01010101
+_HI1 = -0x7F7F7F80  # 0x80808080
+
+
+def _seq_pack_weights16() -> np.ndarray:
+    """(2, 128, 16) bf16-exact weights: half 0 accumulates the low
+    16 bits of packed word g from lanes 8g..8g+3 (weights 16^l),
+    half 1 the high 16 bits from lanes 8g+4..8g+7."""
+    w = np.zeros((2, LANES, WORDS), np.float32)
+    for lane in range(LANES):
+        g, l = divmod(lane, 8)
+        w[l // 4, lane, g] = float(1 << (4 * (l % 4)))
+    return w
+
+
+def _stage1_v4_kernel(
+    carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
+    packed_ref, parity_ref, carry_sm,
+    *, dialect: Dialect, tile: int,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_sm[0] = carry_in_ref[0]
+
+    x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
+    us, qf = swar_classify_su_q80(
+        x, dialect.newlines + (dialect.delimiter,), dialect.quote
+    )
+    p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
+    wp = (p_in >> 31) & 1                     # (T, 128) word parity
+    lane_excl = jax.lax.dot_general(          # words before, same row
+        wp.astype(jnp.int8), triu_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rowpar = (lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]) & 1
+    rowpar8 = jnp.broadcast_to(rowpar, (tile, 8)).astype(jnp.int8)
+    row_excl = jax.lax.dot_general(           # rows before, this tile
+        tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    base = (lane_excl + row_excl[:, :1] + carry_sm[0]) & 1
+    inq = p_in ^ (base * _HI1)                # 0x80 in-quote per byte
+    masked_u = us & ((~inq >> 7) & _ONES)     # kept structurals, 0x01
+
+    v = ((masked_u * 0x01020408) >> 24) & 0xF  # 4 flag bits per word
+    vb = v.astype(jnp.bfloat16)
+    lo = jax.lax.dot_general(
+        vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    hi = jax.lax.dot_general(
+        vb, whi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    packed_ref[:] = lo | (hi << 16)
+
+    tile_par = (row_excl[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
+    new_carry = (carry_sm[0] + tile_par) & 1
+    carry_sm[0] = new_carry
+    parity_ref[0, 0] = new_carry
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dialect", "row_tile", "interpret", "vma")
+)
+def stage1_fused_v4(
+    w2d: jnp.ndarray,
+    carry_in,
+    dialect: Dialect = DEFAULT_DIALECT,
+    row_tile: int = DEFAULT_ROW_TILE_V4,
+    interpret: bool = False,
+    vma: tuple = (),
+):
+    """(rows, 128) int32 byte-quad words + carry parity ->
+    (packed_seq (rows, 16) int32, parity_out). Same contract and output
+    layout as stage1_fused_seq / stage1_seq_xla."""
+    rows, lanes = w2d.shape
+    assert lanes == LANES and rows % 8 == 0, (rows, lanes)
+    tile = min(row_tile, rows)
+    assert rows % tile == 0, (rows, tile)
+    grid = rows // tile
+
+    triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
+    tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
+    wboth = _seq_pack_weights16()
+    wlo = jnp.asarray(wboth[0], jnp.bfloat16)
+    whi = jnp.asarray(wboth[1], jnp.bfloat16)
+
+    kernel = functools.partial(_stage1_v4_kernel, dialect=dialect, tile=tile)
+    carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
+    if vma:
+        # align replicated constants with device-varying data inside
+        # shard_map (see stage1_fused)
+        def _align(x):
+            missing = tuple(a for a in vma if a not in jax.typeof(x).vma)
+            return jax.lax.pvary(x, missing) if missing else x
+
+        triu, tril, wlo, whi, carry_arr = (
+            _align(triu), _align(tril), _align(wlo), _align(whi),
+            _align(carry_arr),
+        )
+
+    packed, parity = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, WORDS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, WORDS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, WORDS), jnp.int32, vma=frozenset(vma)),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(carry_arr, w2d, triu, tril, wlo, whi)
+    return packed, parity[0, 0]

@@ -51,6 +51,60 @@ def swar_eq_alt(x: jnp.ndarray, byte: int) -> jnp.ndarray:
     return (t ^ _HI1) & _HI1  # bit7 clear -> flag 0x80
 
 
+def _classify_parts(x: jnp.ndarray, structural: tuple, quote: int):
+    assert quote < 0x80 and all(c < 0x80 for c in structural)
+    xl = x & _LO7
+    xh = x & _HI1
+    ts = None
+    for c in structural:
+        t = (xl ^ jnp.int32(_bcast32(c) & _LO7)) + _LO7
+        ts = t if ts is None else ts & t
+    tq = (xl ^ jnp.int32(_bcast32(quote) & _LO7)) + _LO7
+    return ts, tq, xh
+
+
+def swar_classify_s80_q80(
+    x: jnp.ndarray, structural: tuple, quote: int
+) -> tuple:
+    """Shared-subexpression classify, 0x80-flag outputs (drop-in for
+    paired swar_eq calls): (sf, qf) with bit 7 per byte set iff the byte
+    matches any `structural` char / the quote char. ~30% fewer VPU ops
+    than independent detectors: the low-7 mask and bit-7 test are
+    hoisted (targets must be ASCII < 0x80, asserted), each char then
+    costs 2 ops, and per-char results combine before one final negate."""
+    ts, tq, xh = _classify_parts(x, structural, quote)
+    return ~(ts | xh) & _HI1, ~(tq | xh) & _HI1
+
+
+def swar_classify_su_q80(
+    x: jnp.ndarray, structural: tuple, quote: int
+) -> tuple:
+    """Classify for the seq-pack kernel: structural flags in 0x01 form
+    (feeding the nibble compress) and quote flags in 0x80 form (feeding
+    the prefix-XOR scan)."""
+    ts, tq, xh = _classify_parts(x, structural, quote)
+    return (~(ts | xh) >> 7) & _ONES, ~(tq | xh) & _HI1
+
+
+def swar_classify_u(
+    x: jnp.ndarray, structural: tuple, quote: int
+) -> tuple:
+    """Shared-subexpression classify, both outputs in 0x01-flag form.
+
+    Same role as the reference's nibble-LUT classify
+    (avx/stage1.rs:249-316); construction is original SWAR.
+    """
+    ts, tq, xh = _classify_parts(x, structural, quote)
+    return (~(ts | xh) >> 7) & _ONES, (~(tq | xh) >> 7) & _ONES
+
+
+def swar_nibble_compress(u: jnp.ndarray) -> jnp.ndarray:
+    """0x01-per-byte flags -> 4-bit value per word (bit b = byte b's
+    flag): multiply-gather (u * 0x01020408) places u0..u3 at bits
+    24..27; overflow wraps harmlessly above."""
+    return ((u * 0x01020408) >> 24) & 0xF
+
+
 def swar_prefix_xor_bytes(flags: jnp.ndarray) -> jnp.ndarray:
     """In-word inclusive prefix XOR of 0x80-per-byte flags, in memory
     (little-endian) byte order: output bit 8k+7 = XOR of input flags of

@@ -37,9 +37,11 @@ from ..ops.stage1_v2 import pad_to_words
 from ..ops.stage1_v3 import (
     count_packed,
     stage1_fused,
+    stage1_seq_xla,
     stage1_swar_xla,
     unpack_packed_host,
 )
+from ..ops.stage1_v4 import stage1_fused_v4
 from ..ops.swar import swar_eq, swar_prefix_xor_bytes, swar_word_parity
 
 AXIS = "data"
@@ -62,14 +64,26 @@ def _exclusive_scan_axis(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jnp.sum(allv * mask, dtype=allv.dtype)
 
 
-def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int):
+def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int,
+              interpret: bool = False, layout: str = "fold"):
     # phase A: local parity + exclusive XOR-scan across shards
     local_par = _local_parity(w, dialect)
     carry = (_exclusive_scan_axis(local_par, AXIS) + carry0[0]) & 1
     # phase B: full stage-1 with the carried parity
     tile = min(row_tile, w.shape[0])
-    if use_pallas:
-        packed, _ = stage1_fused(w, carry, dialect, row_tile=tile)
+    if layout == "seq":
+        if use_pallas:
+            packed, _ = stage1_fused_v4(
+                w, carry, dialect, row_tile=tile, interpret=interpret,
+                vma=(AXIS,),
+            )
+        else:
+            packed, _ = stage1_seq_xla(w, carry, dialect)
+    elif use_pallas:
+        packed, _ = stage1_fused(
+            w, carry, dialect, row_tile=tile, interpret=interpret,
+            vma=(AXIS,),
+        )
     else:
         packed, _ = stage1_swar_xla(w, carry, dialect, row_tile=tile)
     count = count_packed(packed)
@@ -82,7 +96,8 @@ def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "dialect", "use_pallas", "row_tile"),
+    static_argnames=("mesh", "dialect", "use_pallas", "row_tile", "interpret",
+                     "layout"),
 )
 def sharded_stage1(
     w2d: jnp.ndarray,
@@ -91,6 +106,8 @@ def sharded_stage1(
     dialect: Dialect = DEFAULT_DIALECT,
     use_pallas: bool = False,
     row_tile: int = 512,
+    interpret: bool = False,
+    layout: str = "fold",
 ):
     """Sharded stage-1 over a 1-D mesh: (rows, 128) int32 byte-quad words,
     rows divisible by n_shards*8.
@@ -100,14 +117,17 @@ def sharded_stage1(
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     fn = shard_map(
         functools.partial(
-            _shard_fn, dialect=dialect, use_pallas=use_pallas, row_tile=row_tile
+            _shard_fn, dialect=dialect, use_pallas=use_pallas,
+            row_tile=row_tile, interpret=interpret, layout=layout,
         ),
         mesh=mesh,
         in_specs=(P(AXIS, None), P()),
         out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(), P()),
-        # pallas_call out_shapes carry no varying-mesh-axes annotation;
-        # without this the vma checker rejects the kernel inside shard_map
-        check_vma=False,
+        # the vma checker stays ON for the compiled kernel (its out_shape
+        # carries vma=(AXIS,)) and for the jnp path; only the Pallas HLO
+        # interpreter can't propagate vma through in-kernel literals yet
+        # (JAX suggests this exact workaround for interpret mode)
+        check_vma=not (use_pallas and interpret),
     )
     packed, counts, count_excl, total, parity = fn(w2d, carry_arr)
     return packed, counts, count_excl, total[0], parity[0]
@@ -124,6 +144,7 @@ def build_index_sharded(
     mesh: Optional[Mesh] = None,
     dialect: Dialect = DEFAULT_DIALECT,
     use_pallas: Optional[bool] = None,
+    interpret: Optional[bool] = None,
 ) -> np.ndarray:
     """End-to-end sharded build -> host int64 structural index with
     sentinel, bit-identical to the single-device / golden result."""
@@ -134,19 +155,28 @@ def build_index_sharded(
     )
     mesh = mesh or make_mesh()
     n_shards = mesh.devices.size
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
+        use_pallas = on_tpu
+    if interpret is None:
+        interpret = use_pallas and not on_tpu
     w2d = pad_to_words(arr, row_align=8 * n_shards)
     rows = w2d.shape[0]
-    if rows % (8 * n_shards) != 0:
-        pad_rows = -(-rows // (8 * n_shards)) * (8 * n_shards) - rows
+    # every shard must satisfy the kernel's rows % tile == 0 (tile =
+    # min(512, shard_rows)): shard_rows <= 512 only needs % 8, larger
+    # shards must be multiples of 512 — so pad rows to n_shards * 512
+    # granularity once any shard exceeds 512 rows (e.g. 3 shards on a
+    # large input would otherwise trip the in-kernel assert)
+    unit = 8 * n_shards if rows <= 512 * n_shards else 512 * n_shards
+    if rows % unit != 0:
+        pad_rows = -(-rows // unit) * unit - rows
         w2d = np.concatenate(
             [w2d, np.zeros((pad_rows, w2d.shape[1]), w2d.dtype)]
         )
     sharding = NamedSharding(mesh, P(AXIS, None))
     w_dev = jax.device_put(jnp.asarray(w2d), sharding)
     packed, _c, _ce, _total, _par = sharded_stage1(
-        w_dev, 0, mesh, dialect, use_pallas=use_pallas
+        w_dev, 0, mesh, dialect, use_pallas=use_pallas, interpret=interpret
     )
     shard_rows = w2d.shape[0] // n_shards
     mask = unpack_packed_host(

@@ -82,6 +82,30 @@ class StreamingIndexBuilder:
         if arr.size == 0:
             return
         backend = _resolve_backend(self._backend)
+        if backend == "golden":
+            from . import golden
+
+            mask = golden.structural_mask(arr, self._dialect, self._parity)
+            self._parity = golden.quote_parity_out(
+                arr, self._dialect, self._parity
+            )
+            local = np.flatnonzero(mask).astype(np.int64)
+            if local.size:
+                self._parts.append(local + self._offset)
+            self._offset += arr.size
+            return
+        if backend == "native":
+            from . import native
+
+            local, par = native.host_stage1(
+                arr, self._dialect, carry_in=self._parity,
+                with_sentinel=False,
+            )
+            self._parity = int(par)
+            if local.size:
+                self._parts.append(local + self._offset)
+            self._offset += arr.size
+            return
         if backend in ("pallas", "jnp"):
             import jax.numpy as jnp
 

@@ -47,3 +47,28 @@ def test_sharded_corpus(case):
     got = build_index_sharded(case.data, mesh=mesh, use_pallas=False)
     want = golden.structural_index(case.data)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_pallas_interpret(n_shards):
+    """The actual multi-chip production path — the Pallas kernel inside
+    shard_map — executed (interpret mode) on the CPU mesh and asserted
+    bit-identical to golden, quotes spanning shards included."""
+    mesh = _mesh(n_shards)
+    inner = "x," * 30000
+    data = f'a,b\n"{inner}end",2\nq,w\n'.encode()
+    got = build_index_sharded(data, mesh=mesh, use_pallas=True)
+    want = golden.structural_index(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_non_power_of_two_large():
+    """3 shards on an input large enough that each shard exceeds the 512
+    row tile: the pad must make shard rows a tile multiple (a round-1
+    advisor finding — the old 8*n_shards pad tripped the kernel's
+    rows % tile assertion here)."""
+    mesh = _mesh(3)
+    data = synthetic_wide_table(3 * 600 * 512 + 13)  # shard_rows > 512
+    got = build_index_sharded(data, mesh=mesh, use_pallas=False)
+    want = golden.structural_index(data)
+    np.testing.assert_array_equal(got, want)

@@ -44,6 +44,58 @@ def test_out_of_range_sharded(setup):
     assert vals[1] is None
 
 
+@pytest.fixture(scope="module")
+def packed_setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from csv_simd_tpu.parallel.serving import ShardedPackedTape
+
+    rows = b"".join(
+        b'%d,"val,%d",zz%d\n' % (i, i * 3, i) for i in range(3000)
+    )
+    data = b"a,b,c\n" + rows
+    tape = create_from_bytes(data, backend="golden")
+    return tape, ShardedPackedTape(data, make_mesh(8))
+
+
+def test_sharded_packed_lookups(packed_setup):
+    """Offsets-free sharded serving: no offsets array, no replication of
+    the index — packed words + bytes sharded, row prefix replicated."""
+    tape, st = packed_setup
+    rng = np.random.default_rng(3)
+    recs = rng.integers(0, tape.num_data_records, 64)
+    flds = rng.integers(0, tape.field_cnt, 64)
+    out, lengths, valid = st.gather_fields(recs, flds, max_len=48)
+    vals = st.to_host_lists(out, lengths, valid)
+    for i in range(64):
+        assert vals[i] == tape.seek_field(int(recs[i]), int(flds[i]))
+
+
+def test_sharded_packed_column_and_bounds(packed_setup):
+    tape, st = packed_setup
+    out, ln, v = st.gather_column(2, max_len=16)
+    vals = st.to_host_lists(out, ln, v)
+    assert vals == tape.column(2)
+    out, ln, v = st.gather_fields(
+        np.array([0, 10**8]), np.array([0, 0]), max_len=16
+    )
+    vals = st.to_host_lists(out, ln, v)
+    assert vals[0] == tape.seek_field(0, 0) and vals[1] is None
+
+
+def test_sharded_packed_sharding_layout(packed_setup):
+    """The contract that distinguishes this from round-1 ShardedTape:
+    words and bytes are actually SHARDED over the mesh (not replicated);
+    only the row prefix is replicated."""
+    _, st = packed_setup
+    ws = st.words.sharding.spec
+    assert tuple(ws)[0] == "data", ws
+    ds = st.data.sharding.spec
+    assert tuple(ds)[0] == "data", ds
+    cs = st.cum_incl.sharding.spec
+    assert all(ax is None for ax in tuple(cs)), cs
+
+
 def test_device_build_v3(setup):
     from csv_simd_tpu.index import build_index_device
     from csv_simd_tpu import golden
