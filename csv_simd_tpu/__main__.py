@@ -9,6 +9,9 @@ The reference's binary is a stub that prints "not required"
   python -m csv_simd_tpu column FILE FIELD [--limit N]
   python -m csv_simd_tpu index FILE -o OUT.npz     # build + save artifact
   python -m csv_simd_tpu serve FILE --from-index OUT.npz RECORD FIELD
+
+Global flags: --backend {auto,golden,jnp,pallas,native}, --decode
+(RFC-4180 unquote/unescape/trim on output), --validate-utf8.
 """
 
 from __future__ import annotations
@@ -17,12 +20,36 @@ import argparse
 import sys
 
 
+class _DecodedCli:
+    """Tape facade routing value reads through the stage-2 decoder."""
+
+    def __init__(self, tape, view):
+        self._tape, self._view = tape, view
+
+    def __getattr__(self, name):
+        return getattr(self._tape, name)
+
+    def seek_field(self, r, f):
+        return self._view.seek_field(r, f)
+
+    def column(self, f):
+        return self._view.column(f)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="csv_simd_tpu")
     p.add_argument(
         "--backend",
         default="auto",
         choices=["auto", "golden", "jnp", "pallas", "native"],
+    )
+    p.add_argument(
+        "--decode", action="store_true",
+        help="unquote/unescape/trim served values (stage-2 decode)",
+    )
+    p.add_argument(
+        "--validate-utf8", action="store_true",
+        help="refuse files that are not valid UTF-8",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -69,7 +96,13 @@ def main(argv=None) -> int:
             print(val.decode("utf-8", "replace") if val is not None else "<out of range>")
             return 0
 
-        tape = create(args.file, backend=args.backend)
+        tape = create(
+            args.file, backend=args.backend, validate_utf8=args.validate_utf8
+        )
+        if args.decode:
+            from .decode import DecodedView
+
+            tape = _DecodedCli(tape, DecodedView(tape))
         if args.cmd == "info":
             print(tape)
             print("header:", ", ".join(tape.header_names()))

@@ -33,17 +33,52 @@ def _build_index(data: bytes, dialect, backend: str):
     raise ValueError(f"unknown backend: {backend!r}")
 
 
-def create_from_bytes(data: bytes, dialect=None, backend: str = "auto") -> Tape:
-    """Build a Tape from an in-memory byte buffer."""
+def _check_utf8(data) -> None:
+    """Raise InvalidCsvFormat unless `data` is valid UTF-8. On TPU the
+    full Keiser-Lemire check runs on device (ops/utf8.py); the ASCII
+    fast path is free either way. Opt-in (the reference's utf8check was
+    dead code, avx/utf8check.rs — here it is a live, optional gate)."""
+    import jax
+    import numpy as np
+
+    from .errors import InvalidCsvFormat
+    from .ops import utf8
+
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray, memoryview))
+        else np.asarray(data, dtype=np.uint8)
+    )
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    ok = (
+        utf8.validate_utf8_device(arr) if on_tpu and arr.size
+        else utf8.validate_utf8(arr)
+    )
+    if not ok:
+        raise InvalidCsvFormat("input is not valid UTF-8")
+
+
+def create_from_bytes(data: bytes, dialect=None, backend: str = "auto",
+                      validate_utf8: bool = False) -> Tape:
+    """Build a Tape from an in-memory byte buffer.
+
+    validate_utf8=True gates the build on full UTF-8 validity
+    (device-side Keiser-Lemire on TPU), raising InvalidCsvFormat."""
     from .config import DEFAULT_DIALECT
 
     dialect = dialect or DEFAULT_DIALECT
+    if validate_utf8:
+        _check_utf8(data)
     header = Header.parse(data, delimiter=dialect.delimiter)
     index = _build_index(data, dialect, backend)
     return Tape(data, index, header)
 
 
-def create(filename: str | os.PathLike, dialect=None, backend: str = "auto") -> Tape:
+def create(filename: str | os.PathLike, dialect=None, backend: str = "auto",
+           validate_utf8: bool = False) -> Tape:
     """Build a Tape from a CSV file.
 
     The file is memory-mapped and served zero-copy (the reference's mmap
@@ -60,4 +95,6 @@ def create(filename: str | os.PathLike, dialect=None, backend: str = "auto") -> 
     except OSError as e:
         raise IoError(str(e)) from e
     data = np.frombuffer(mapped, dtype=np.uint8)
-    return create_from_bytes(data, dialect=dialect, backend=backend)
+    return create_from_bytes(
+        data, dialect=dialect, backend=backend, validate_utf8=validate_utf8
+    )

@@ -149,6 +149,36 @@ class DeviceTape:
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_float32(out, lengths, valid)
 
+    def gather_decoded(self, records, fields, max_len: int = 64,
+                       dialect=None, trim: bool = True):
+        """Batched gather + device stage-2 decode (trim/unquote/`""`
+        unescape as a compaction gather — decode.decode_field semantics,
+        all on device). Returns (bytes, lengths, valid)."""
+        from .config import DEFAULT_DIALECT
+
+        d = dialect or DEFAULT_DIALECT
+        out, lengths, valid = self.gather_fields(records, fields, max_len)
+        spaces = (d.space, 0x09) if trim else ()
+        return _decode_fields(out, lengths, valid, d.quote, spaces)
+
+    def column_decoded(self, field: int, max_len: int = 64,
+                       dialect=None, trim: bool = True) -> list:
+        """Whole decoded column as host bytes — byte-equal to
+        decode.DecodedView.column on the same tape."""
+        n = int(self.record_cnt) - 1
+        out, ln, v = self.gather_decoded(
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((n,), field, jnp.int32),
+            max_len, dialect, trim,
+        )
+        return self.to_host_lists(out, ln, v)
+
+    def column_float32_exp(self, field: int, max_len: int = 32):
+        """Float column parse accepting exponent notation (`1.5e-3`).
+        See _parse_float32_exp for the precision contract."""
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_float32_exp(out, lengths, valid)
+
     def filter_equals(self, field: int, value: bytes, max_len: int = 64):
         """Record ids whose `field` equals `value` exactly (byte compare
         on device). Returns a host int32 array of record indices."""
@@ -276,6 +306,142 @@ def _parse_float32(out, lengths, valid):
         jnp.arange(max_len),
     )
     val = val / scale
+    val = jnp.where(neg, -val, val)
+    return jnp.where(ok, val, jnp.float32(0)), ok
+
+
+@functools.partial(jax.jit, static_argnames=("quote", "spaces"))
+def _decode_fields(out, lengths, valid, quote: int, spaces: tuple):
+    """Device stage-2: trim -> unquote -> `""`-unescape as a fixed-shape
+    gather-compaction over a gathered batch (N, max_len).
+
+    Matches decode.decode_field byte-for-byte: trim strips the space
+    chars OUTSIDE quotes first; a field is unquoted iff the trimmed span
+    is >= 2 bytes with quote chars at both ends; doubled quotes collapse
+    left-to-right ONLY inside a quoted field. The reference classified
+    space/escape but never used them (stage1.rs:51, README.md:32) —
+    this is that stage-2, the TPU way: per-byte keep mask + stable-order
+    compaction gather, no data-dependent shapes."""
+    n, L = out.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    b = out.astype(jnp.int32)
+    in_field = pos < lengths[:, None]
+    is_sp = jnp.zeros_like(in_field)
+    for sp in spaces:
+        is_sp = is_sp | (b == sp)
+    is_sp = is_sp & in_field
+
+    lead = jnp.cumprod(is_sp.astype(jnp.int32), axis=1)
+    start = jnp.sum(lead, axis=1)
+    tail_run = jnp.cumprod(
+        jnp.flip((is_sp | ~in_field).astype(jnp.int32), axis=1), axis=1
+    )
+    trail = jnp.sum(tail_run, axis=1) - (L - lengths)
+    end = lengths - trail
+    start = jnp.minimum(start, end)  # all-space field -> empty
+
+    first = jnp.take_along_axis(
+        b, jnp.clip(start, 0, L - 1)[:, None], axis=1
+    )[:, 0]
+    last = jnp.take_along_axis(
+        b, jnp.clip(end - 1, 0, L - 1)[:, None], axis=1
+    )[:, 0]
+    has_q = (end - start >= 2) & (first == quote) & (last == quote)
+    start = start + has_q.astype(jnp.int32)
+    end = end - has_q.astype(jnp.int32)
+
+    in_span = (pos >= start[:, None]) & (pos < end[:, None])
+    q = in_span & (b == quote)
+    prev_q = jnp.pad(q, ((0, 0), (1, 0)))[:, :L]
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(q & ~prev_q, pos, -1), axis=1
+    )
+    drop = q & (((pos - run_start) & 1) == 1) & has_q[:, None]
+    keep = in_span & ~drop
+
+    order = jnp.argsort(jnp.where(keep, pos, L + pos), axis=1)
+    gathered = jnp.take_along_axis(out, order, axis=1)
+    new_len = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    gathered = jnp.where(pos < new_len[:, None], gathered, jnp.uint8(0))
+    return gathered, new_len, valid
+
+
+@jax.jit
+def _parse_float32_exp(out, lengths, valid):
+    """Float parse WITH exponent notation:
+    `[spaces][+|-]digits[.digits][(e|E)[+|-]digits]` (also `.5`, `5.`).
+    Mantissa accumulates in float32, so >7 significant digits round
+    slightly differently from a correctly-rounded double parse; exponent
+    overflow saturates to +/-inf (ok stays True for well-formed text)."""
+    n, max_len = out.shape
+    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    b = out.astype(jnp.int32)
+    in_field = pos < lengths[:, None]
+    is_space = (b == 0x20) & in_field
+    lead_sp = jnp.cumprod(is_space, axis=1)
+    start = jnp.sum(lead_sp, axis=1)
+    first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
+    has_sign = (first == 0x2D) | (first == 0x2B)
+    neg = first == 0x2D
+    dstart = start + has_sign.astype(jnp.int32)
+
+    is_e = ((b == 0x65) | (b == 0x45)) & in_field
+    e_cnt = jnp.sum(is_e, axis=1)
+    epos = jnp.min(jnp.where(is_e, pos, max_len), axis=1)
+    mant_end = jnp.minimum(epos, lengths)
+
+    digit = b - 0x30
+    good_digit = (digit >= 0) & (digit <= 9)
+    is_dot = b == 0x2E
+    mant_body = (pos >= dstart[:, None]) & (pos < mant_end[:, None])
+    dot_count = jnp.sum(is_dot & mant_body, axis=1)
+    dot_pos = jnp.min(jnp.where(is_dot & mant_body, pos, max_len), axis=1)
+    mant_digits = jnp.sum(mant_body & good_digit, axis=1)
+    mant_ok = (
+        (dot_count <= 1)
+        & (mant_digits >= 1)
+        & jnp.all(~mant_body | good_digit | is_dot, axis=1)
+    )
+
+    # exponent part (optional)
+    has_e = epos < lengths
+    es = epos + 1
+    efirst = jnp.take_along_axis(b, jnp.clip(es, 0, max_len - 1)[:, None], axis=1)[:, 0]
+    e_sign = (efirst == 0x2D) | (efirst == 0x2B)
+    e_neg = (efirst == 0x2D) & has_e
+    eds = es + e_sign.astype(jnp.int32)
+    e_body = (pos >= eds[:, None]) & in_field
+    e_ok = ~has_e | (
+        (e_cnt == 1)
+        & (lengths > eds)
+        & jnp.all(~e_body | good_digit, axis=1)
+    )
+    ok = valid & mant_ok & e_ok
+
+    def step(carry, j):
+        v, scale, ev = carry
+        d = digit[:, j].astype(jnp.float32)
+        is_d = mant_body[:, j] & good_digit[:, j]
+        after_dot = j > dot_pos
+        v2 = jnp.where(is_d, v * 10.0 + d, v)
+        scale2 = jnp.where(is_d & after_dot, scale + 1, scale)
+        is_ed = e_body[:, j] & good_digit[:, j]
+        ev2 = jnp.where(is_ed, jnp.minimum(ev * 10 + digit[:, j], 9999), ev)
+        return (v2, scale2, ev2), None
+
+    (val, frac, ev), _ = jax.lax.scan(
+        step,
+        (
+            jnp.zeros(n, jnp.float32),
+            jnp.zeros(n, jnp.int32),
+            jnp.zeros(n, jnp.int32),
+        ),
+        jnp.arange(max_len),
+    )
+    exp10 = jnp.where(e_neg, -ev, ev) - frac
+    # split the scale to keep intermediates finite for moderate values
+    val = val * jnp.power(jnp.float32(10.0), (exp10 // 2).astype(jnp.float32))
+    val = val * jnp.power(jnp.float32(10.0), (exp10 - exp10 // 2).astype(jnp.float32))
     val = jnp.where(neg, -val, val)
     return jnp.where(ok, val, jnp.float32(0)), ok
 

@@ -133,7 +133,8 @@ class PackedDeviceTape:
     popcount prefix — built at scan speed, no compaction pass."""
 
     def __init__(self, data: bytes | np.ndarray,
-                 dialect: Dialect = DEFAULT_DIALECT):
+                 dialect: Dialect = DEFAULT_DIALECT,
+                 validate_utf8: bool = False):
         arr = (
             np.frombuffer(data, dtype=np.uint8)
             if isinstance(data, (bytes, bytearray, memoryview))
@@ -153,12 +154,28 @@ class PackedDeviceTape:
         if use_pallas:
             from .ops.stage1_v4 import stage1_fused_v4
 
-            packed, _par = stage1_fused_v4(w2d, 0, dialect)
+            packed, _par, na = stage1_fused_v4(w2d, 0, dialect)
+            self.nonascii_count = na
         else:
             packed, _par = stage1_seq_xla(w2d, 0, dialect)
+            self.nonascii_count = None
         self.cum_incl = jax.jit(prefix_for_packed)(packed)
         self.words = packed  # (rows, 16)
         self.data = jnp.asarray(arr)
+        if validate_utf8:
+            # fused fast path: the scan already counted high-bit bytes
+            # (v4's nonascii output); only non-ASCII data pays for the
+            # full device Keiser-Lemire pass
+            nonascii = (
+                int(self.nonascii_count)
+                if self.nonascii_count is not None
+                else int(jnp.sum((self.data & 0x80) != 0))
+            )
+            if nonascii:
+                from .ops.utf8 import validate_utf8_device
+
+                if not validate_utf8_device(arr):
+                    raise InvalidCsvFormat("input is not valid UTF-8")
         count = int(self.cum_incl[-1])
         jump = header.field_cnt + (1 if header.new_line is NewLine.CRLF else 0)
         record_cnt, rem = divmod(count, jump)
@@ -186,6 +203,17 @@ class PackedDeviceTape:
             jnp.full((n,), field, jnp.int32),
             max_len,
         )
+
+    def gather_decoded(self, records, fields, max_len: int = 64,
+                       dialect=None, trim: bool = True):
+        """Gather + device stage-2 decode (see DeviceTape.gather_decoded)."""
+        from .config import DEFAULT_DIALECT
+        from .device_tape import _decode_fields
+
+        d = dialect or DEFAULT_DIALECT
+        out, lengths, valid = self.gather_fields(records, fields, max_len)
+        spaces = (d.space, 0x09) if trim else ()
+        return _decode_fields(out, lengths, valid, d.quote, spaces)
 
     def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
         """See DeviceTape.to_host_lists: raises if any valid field's true

@@ -112,7 +112,9 @@ def _stage1_v3_kernel(
         tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)     # (T, 8), narrow output
 
-    base = (lane_excl + row_excl_par[:, :1] + carry_sm[0]) & 1
+    # carry folds into the NARROW (T,1) column, saving one full-width add
+    rowcol = row_excl_par[:, :1] + carry_sm[0]
+    base = (lane_excl + rowcol) & 1
     inq = p_in ^ swar_broadcast_flag(base)    # inclusive in-quote flags
     masked = sf & ~inq
     packed_ref[:] = _fold_pack(masked, tile)

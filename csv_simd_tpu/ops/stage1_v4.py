@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_DIALECT, Dialect
 from .swar import (
-    swar_classify_su_q80,
+    _classify_parts,
     swar_prefix_xor_bytes,
 )
 
@@ -66,7 +66,7 @@ def _seq_pack_weights16() -> np.ndarray:
 
 def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
-    packed_ref, parity_ref, carry_sm,
+    packed_ref, parity_ref, nonascii_ref, carry_sm,
     *, dialect: Dialect, tile: int,
 ):
     i = pl.program_id(0)
@@ -74,11 +74,20 @@ def _stage1_v4_kernel(
     @pl.when(i == 0)
     def _():
         carry_sm[0] = carry_in_ref[0]
+        carry_sm[1] = 0
 
     x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
-    us, qf = swar_classify_su_q80(
+    ts, tq, xh = _classify_parts(
         x, dialect.newlines + (dialect.delimiter,), dialect.quote
     )
+    us = (~(ts | xh) >> 7) & _ONES
+    qf = ~(tq | xh) & _HI1
+    # fused non-ASCII detection: xh is already computed by classify, so
+    # UTF-8's fast path (is_ascii, reader.rs:36) costs one popcount
+    # reduce — validation is free at scan time for ASCII data
+    na = carry_sm[1] + jnp.sum(jax.lax.population_count(xh))
+    carry_sm[1] = na
+    nonascii_ref[0, 0] = na
     p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
     wp = (p_in >> 31) & 1                     # (T, 128) word parity
     lane_excl = jax.lax.dot_general(          # words before, same row
@@ -89,7 +98,9 @@ def _stage1_v4_kernel(
     row_excl = jax.lax.dot_general(           # rows before, this tile
         tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    base = (lane_excl + row_excl[:, :1] + carry_sm[0]) & 1
+    # carry folds into the NARROW (T,1) column, saving one full-width add
+    rowcol = row_excl[:, :1] + carry_sm[0]
+    base = (lane_excl + rowcol) & 1
     inq = p_in ^ (base * _HI1)                # 0x80 in-quote per byte
     masked_u = us & ((~inq >> 7) & _ONES)     # kept structurals, 0x01
 
@@ -121,8 +132,10 @@ def stage1_fused_v4(
     vma: tuple = (),
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
-    (packed_seq (rows, 16) int32, parity_out). Same contract and output
-    layout as stage1_fused_seq / stage1_seq_xla."""
+    (packed_seq (rows, 16) int32, parity_out, nonascii_count). Same
+    packed layout as stage1_fused_seq / stage1_seq_xla; nonascii_count
+    is the number of bytes with the high bit set (the fused is_ascii —
+    0 means the buffer needs no further UTF-8 validation)."""
     rows, lanes = w2d.shape
     assert lanes == LANES and rows % 8 == 0, (rows, lanes)
     tile = min(row_tile, rows)
@@ -149,7 +162,7 @@ def stage1_fused_v4(
             _align(carry_arr),
         )
 
-    packed, parity = pl.pallas_call(
+    packed, parity, nonascii = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -163,12 +176,14 @@ def stage1_fused_v4(
         out_specs=[
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, WORDS), jnp.int32, vma=frozenset(vma)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
         ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
     )(carry_arr, w2d, triu, tril, wlo, whi)
-    return packed, parity[0, 0]
+    return packed, parity[0, 0], nonascii[0, 0]

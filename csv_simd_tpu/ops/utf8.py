@@ -78,6 +78,49 @@ def is_ascii(data: bytes | np.ndarray) -> bool:
     return bool((arr < 0x80).all())
 
 
+def validate_utf8_device(arr) -> bool:
+    """Device-side full UTF-8 validation (jnp twin of validate_utf8):
+    the three 16-entry LUTs become one-hot selects on device; shifts are
+    pad/slice on the flat byte stream. Returns a host bool.
+
+    Used by the validate_utf8 flag on create/PackedDeviceTape when the
+    fused scan's non-ASCII counter fires (ASCII-only buffers never pay
+    for this pass). Reference intent: avx/utf8check.rs:139-246 (dead
+    there, live here)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = int(arr.shape[0])
+    if n == 0:
+        return True
+
+    @jax.jit
+    def _check(a):
+        cur = a.astype(jnp.int32)
+
+        def shift(k):
+            return jnp.pad(cur, (k, 0))[:n]
+
+        prev1, prev2, prev3 = shift(1), shift(2), shift(3)
+        t1h = jnp.asarray(_T1H.astype(np.int32))
+        t1l = jnp.asarray(_T1L.astype(np.int32))
+        t2h = jnp.asarray(_T2H.astype(np.int32))
+        sc = t1h[prev1 >> 4] & t1l[prev1 & 0xF] & t2h[cur >> 4]
+        must23 = ((prev2 >= 0xE0) | (prev3 >= 0xF0)).astype(jnp.int32) * TWO_CONTS
+        errs = jnp.sum((sc ^ must23) != 0)
+        # truncated multi-byte sequence at the buffer end
+        tail = (
+            (a[n - 1] >= 0xC0).astype(jnp.int32)
+            + (a[n - 2] >= 0xE0).astype(jnp.int32) * (1 if n >= 2 else 0)
+            + (a[n - 3] >= 0xF0).astype(jnp.int32) * (1 if n >= 3 else 0)
+        )
+        return errs + tail
+
+    import jax.numpy as jnp  # noqa: F811
+
+    return int(_check(jnp.asarray(arr))) == 0
+
+
 def validate_utf8(data: bytes | np.ndarray) -> bool:
     """True iff the buffer is valid UTF-8 (RFC 3629)."""
     arr = _as_u8(data)

@@ -73,7 +73,7 @@ def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int,
     tile = min(row_tile, w.shape[0])
     if layout == "seq":
         if use_pallas:
-            packed, _ = stage1_fused_v4(
+            packed, _par, _na = stage1_fused_v4(
                 w, carry, dialect, row_tile=tile, interpret=interpret,
                 vma=(AXIS,),
             )

@@ -83,3 +83,98 @@ def test_streaming_checkpoint_resume(tmp_path):
     assert b2.quote_parity == b1.quote_parity
     b2.feed(data[cut:])
     np.testing.assert_array_equal(b2.finish(), golden.structural_index(data))
+
+
+# -- device-side stage-2 decode (round 2): gather-compaction on device
+#    must match the host decoder byte-for-byte --
+
+def _device_tape(data):
+    from csv_simd_tpu.device_tape import DeviceTape
+
+    tape = create_from_bytes(data, backend="golden")
+    return tape, DeviceTape.from_tape(tape)
+
+
+def test_device_decode_matches_decoded_view():
+    data = (
+        b"a,b,c\n"
+        b'1,"x,y",  pad  \n'
+        b'"he said ""hi""",2,3\n'
+        b' "q" ,"""",  \n'
+        b'"  inner  ",plain,"5"\n'
+    )
+    tape, dt = _device_tape(data)
+    view = DecodedView(tape)
+    for f in range(tape.field_cnt):
+        got = dt.column_decoded(f, max_len=32)
+        assert got == view.column(f), f
+
+
+def test_device_decode_no_trim():
+    data = b"a,b\n  x  ,\"  y  \"\n"
+    tape, dt = _device_tape(data)
+    view = DecodedView(tape, trim=False)
+    for f in range(2):
+        assert dt.column_decoded(f, max_len=16, trim=False) == view.column(f)
+
+
+def test_device_decode_corpus():
+    for case in basic_cases():
+        if not case.should_build:
+            continue
+        tape, dt = _device_tape(case.data)
+        view = DecodedView(tape)
+        for f in range(tape.field_cnt):
+            got = dt.column_decoded(f, max_len=96)
+            assert got == view.column(f), (case.name, f)
+
+
+def test_device_decode_custom_dialect():
+    d = Dialect(delimiter=0x3B, quote=0x27)
+    data = b"a;b\n'x;y';'it''s'\n"
+    tape = create_from_bytes(data, dialect=d, backend="golden")
+    from csv_simd_tpu.device_tape import DeviceTape
+
+    dt = DeviceTape.from_tape(tape)
+    view = DecodedView(tape, dialect=d)
+    for f in range(2):
+        assert dt.column_decoded(f, max_len=16, dialect=d) == view.column(f)
+
+
+def test_device_decode_offsetfree():
+    from csv_simd_tpu.offsetfree import PackedDeviceTape
+
+    data = b'a,b\n"x,""z""",  2  \nplain,"y"\n'
+    pt = PackedDeviceTape(data)
+    tape = create_from_bytes(data, backend="golden")
+    view = DecodedView(tape)
+    recs = np.array([0, 0, 1, 1])
+    flds = np.array([0, 1, 0, 1])
+    out, ln, v = pt.gather_decoded(recs, flds, max_len=24)
+    vals = pt.to_host_lists(out, ln, v)
+    want = [view.seek_field(int(r), int(f)) for r, f in zip(recs, flds)]
+    assert vals == want
+
+
+def test_float_exp_parse():
+    data = (
+        b"a,b\n"
+        b"1.5e3,x\n"
+        b"-2.25E-2,x\n"
+        b"1e0,x\n"
+        b"+.5e1,x\n"
+        b"3.,x\n"
+        b"7,x\n"
+        b" 42e1,x\n"
+        b"bad e,x\n"
+        b"1e,x\n"
+        b"1e+,x\n"
+        b"2e3q,x\n"
+        b"1.2.3e1,x\n"
+    )
+    tape, dt = _device_tape(data)
+    vals, ok = dt.column_float32_exp(0)
+    vals, ok = np.asarray(vals), np.asarray(ok)
+    want = [1500.0, -0.0225, 1.0, 5.0, 3.0, 7.0, 420.0]
+    assert ok[:7].all() and not ok[7:].any(), ok
+    np.testing.assert_allclose(vals[:7], np.float32(want), rtol=1e-6)

@@ -2,6 +2,7 @@
 builds for any chunking, including cuts inside quoted regions."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -71,3 +72,30 @@ def test_chunk_iterable_source():
     chunks = [data[i : i + 999] for i in range(0, len(data), 999)]
     got = build_index_streaming(chunks, backend="jnp")
     np.testing.assert_array_equal(got, golden.structural_index(data))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CSV_SIMD_BIG_TESTS"),
+    reason="3 GiB build is slow; set CSV_SIMD_BIG_TESTS=1",
+)
+def test_build_index_over_2gib():
+    """>= 2 GiB single-call build through the default API: the device
+    backends route through the streamed scan with int64 rebasing
+    (reference capacity bar: usize offsets, reader.rs:305)."""
+    from csv_simd_tpu.index import build_index
+
+    base = synthetic_wide_table(1 << 21)
+    reps = (2**31 + (1 << 22)) // len(base) + 1
+    data = np.frombuffer(base * reps, dtype=np.uint8)
+    assert data.size >= 2**31
+    idx = build_index(data, backend="jnp")
+    # spot-check against golden on a window that crosses the 2 GiB line
+    lo = 2**31 - 1000
+    inwin = idx[(idx >= lo) & (idx < lo + 4000)]
+    # golden on the window needs the carried quote parity at lo
+    from csv_simd_tpu import golden
+    par = golden.quote_parity_out(data[:lo])
+    mask = golden.structural_mask(data[lo : lo + 4000], carry_in=par)
+    want = np.flatnonzero(mask).astype(np.int64) + lo
+    np.testing.assert_array_equal(inwin, want)
+    assert idx[-1] > 2**31

@@ -83,3 +83,59 @@ def test_iter_records(sample_csv):
     assert recs[0] == tape.seek_record(0)
     rows = list(tape.iter_rows())
     assert rows[0][2] == tape.seek_field(0, 2)
+
+
+# -- round 2: device validation + the opt-in create gate --
+
+def test_validate_utf8_device_matches_host():
+    import jax.numpy as jnp
+
+    from csv_simd_tpu.ops.utf8 import validate_utf8, validate_utf8_device
+
+    cases = [
+        "plain ascii".encode(),
+        "héllo wörld ©®™".encode(),
+        "日本語テキスト𝄞".encode(),
+        b"\xff\xfe bad",
+        b"ok \xc3\x28 overlong-ish",   # invalid continuation
+        b"trunc \xe6\x97",             # truncated 3-byte at end
+        "edge߿ࠀ￿".encode() + "\U0010FFFF".encode(),
+        b"\xed\xa0\x80",               # surrogate
+        b"\xf4\x90\x80\x80",           # > U+10FFFF
+    ]
+    for c in cases:
+        import numpy as np
+
+        arr = np.frombuffer(c, dtype=np.uint8)
+        assert validate_utf8_device(arr) == validate_utf8(arr), c
+
+
+def test_create_validate_utf8_flag():
+    import pytest
+
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.errors import InvalidCsvFormat
+
+    good = "a,b\n1,héllo\n".encode()
+    t = create_from_bytes(good, backend="golden", validate_utf8=True)
+    assert t.seek_field(0, 1) == "héllo".encode()
+    bad = b"a,b\n1,\xff\xfe\n"
+    with pytest.raises(InvalidCsvFormat, match="UTF-8"):
+        create_from_bytes(bad, backend="golden", validate_utf8=True)
+    # without the flag the bytes pass through untouched (reference
+    # behavior: from_utf8_unchecked, record_source.rs:135-139)
+    t2 = create_from_bytes(bad, backend="golden")
+    assert t2.seek_field(0, 1) == b"\xff\xfe"
+
+
+def test_packed_tape_validate_utf8():
+    import pytest
+
+    from csv_simd_tpu.errors import InvalidCsvFormat
+    from csv_simd_tpu.offsetfree import PackedDeviceTape
+
+    good = "a,b\n1,héllo\n".encode()
+    pt = PackedDeviceTape(good, validate_utf8=True)
+    assert int(pt.record_cnt) == 2
+    with pytest.raises(InvalidCsvFormat, match="UTF-8"):
+        PackedDeviceTape(b"a,b\n1,\xff\xfe\n", validate_utf8=True)

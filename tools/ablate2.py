@@ -189,8 +189,8 @@ def mk(mode, tile):
     @functools.partial(jax.jit, static_argnames=("k",))
     def chain(a, k):
         def body(i, acc):
-            packed, parity = f(a, acc & 1, row_tile=tile, **kw)
-            return acc + parity + packed[0, 0]
+            out = f(a, acc & 1, row_tile=tile, **kw)
+            return acc + out[1] + out[0][0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     return chain

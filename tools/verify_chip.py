@@ -1,0 +1,84 @@
+"""On-hardware verification: compiled kernels + the sharded Pallas path
+on a single-chip mesh, all asserted bit-identical to golden.
+
+Run (with the axon TPU visible):
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_chip.py
+
+This is the compiled-mode complement of the interpret-mode CI tests:
+tests/ run the kernels under the Pallas interpreter on CPU; this script
+runs the Mosaic-COMPILED kernels on the real chip, including
+`sharded_stage1(use_pallas=True)` on a Mesh of size 1 — the exact code
+path a multi-chip deployment executes per shard.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from csv_simd_tpu import golden
+    from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+    from csv_simd_tpu.ops.stage1_v3 import stage1_fused, unpack_packed_host
+    from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
+    from csv_simd_tpu.parallel.sharded import make_mesh, sharded_stage1
+
+    plat = jax.devices()[0].platform
+    print(f"platform: {plat} ({len(jax.devices())} device(s))")
+    compiled = plat in ("tpu", "axon")
+    if not compiled:
+        print("WARNING: no TPU visible; kernels will run interpreted")
+
+    rng = np.random.default_rng(11)
+    data = rng.choice(
+        np.frombuffer(b'ab"",\n\rx,z":; \t09', dtype=np.uint8), size=900_000
+    )
+    ref = golden.structural_mask(data)
+    w2d = pad_to_words(data)
+
+    p3, _ = stage1_fused(jnp.asarray(w2d), 0, interpret=not compiled)
+    m3 = unpack_packed_host(np.asarray(p3), data.size, tile=512)
+    assert (m3 == ref).all(), "v3 compiled kernel != golden"
+    print("v3 fold kernel: bit-identical to golden")
+
+    p4, _, na = stage1_fused_v4(jnp.asarray(w2d), 0, interpret=not compiled)
+    m4 = np.unpackbits(
+        np.ascontiguousarray(np.asarray(p4)).view("<u4").view(np.uint8),
+        bitorder="little",
+    )[: data.size]
+    assert (m4 == ref).all(), "v4 seq kernel != golden"
+    assert int(na) == int((data >= 0x80).sum()), "fused non-ASCII count wrong"
+    print("v4 seq kernel: bit-identical to golden (non-ASCII count OK)")
+
+    # single-chip mesh: the compiled Pallas kernel INSIDE shard_map with
+    # the vma checker enabled — the per-shard production path
+    mesh = make_mesh(1)
+    w_dev = jax.device_put(jnp.asarray(w2d), NamedSharding(mesh, P("data", None)))
+    packed, counts, _ce, total, parity = sharded_stage1(
+        w_dev, 0, mesh, use_pallas=compiled, interpret=not compiled
+    )
+    ms = unpack_packed_host(np.asarray(packed), data.size, tile=512)
+    assert (ms == ref).all(), "sharded pallas path != golden"
+    assert int(total) == int(ref.sum())
+    print(f"sharded_stage1(use_pallas) on 1-chip mesh: OK (count {int(total)})")
+
+    # seq layout through shard_map too
+    packed_seq, _c, _ce2, total2, _p = sharded_stage1(
+        w_dev, 0, mesh, use_pallas=compiled, interpret=not compiled,
+        layout="seq",
+    )
+    m_seq = np.unpackbits(
+        np.ascontiguousarray(np.asarray(packed_seq)).view("<u4").view(np.uint8),
+        bitorder="little",
+    )[: data.size]
+    assert (m_seq == ref).all(), "sharded seq path != golden"
+    print("sharded_stage1(layout='seq') on 1-chip mesh: OK")
+    print("ALL ON-HARDWARE CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
