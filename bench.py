@@ -86,9 +86,24 @@ def _correctness_gate():
           file=sys.stderr)
 
 
+def _enable_compile_cache():
+    """Persist compiled kernels across bench processes: first-compile
+    through the device tunnel takes minutes; cached reloads ~100x less.
+    (Verified to work with the axon backend.)"""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from csv_simd_tpu.ops.stage1_v2 import pad_to_words
     from csv_simd_tpu.ops.stage1_v3 import stage1_fused

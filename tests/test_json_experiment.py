@@ -101,3 +101,55 @@ def test_level_sets():
     assert depths[6] == 1            # [ at depth 1
     # balanced: ends at depth 0
     assert ls[-1][1] == 0
+
+
+# -- round 2: the device JSON stage-1 (jitted) vs the golden oracle --
+
+def _dev():
+    from csv_simd_tpu.experiments import json_device
+    return json_device
+
+
+def test_device_json_matches_golden_basic():
+    from csv_simd_tpu.experiments.json_levels import json_structural_index
+
+    doc = b'{"a": [1, 2, {"b": "x,y"}], "c": "q\\"inner\\" end", "d": null}'
+    got = _dev().json_structural_index_device(doc)
+    np.testing.assert_array_equal(got, json_structural_index(doc))
+
+
+def test_device_json_escape_runs():
+    """Backslash runs of every length 0..8 before a quote, including
+    runs that keep the string open vs close it."""
+    from csv_simd_tpu.experiments.json_levels import json_structural_index
+
+    for k in range(9):
+        doc = b'{"x": "' + b"\\" * k + b'", "y": [1]}'
+        got = _dev().json_structural_index_device(doc)
+        want = json_structural_index(doc)
+        np.testing.assert_array_equal(got, want, err_msg=f"run={k}")
+
+
+def test_device_json_random_differential():
+    from csv_simd_tpu.experiments.json_levels import json_structural_index
+
+    rng = np.random.default_rng(5)
+    alphabet = np.frombuffer(b'{}[]:,"\\ab1 \n\t', dtype=np.uint8)
+    for trial in range(6):
+        data = rng.choice(alphabet, size=4096)
+        got = _dev().json_structural_index_device(data)
+        want = json_structural_index(data)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial={trial}")
+
+
+def test_device_json_depths():
+    from csv_simd_tpu.experiments.json_levels import level_sets
+    import jax.numpy as jnp
+
+    doc = b'{"a": [1, {"b": 2}], "c": []}'
+    arr = np.frombuffer(doc, dtype=np.uint8)
+    mask, depth = _dev().json_depths_device(jnp.asarray(arr))
+    mask, depth = np.asarray(mask), np.asarray(depth)
+    offs = np.flatnonzero(mask)
+    got = [(int(o), int(depth[o])) for o in offs]
+    assert got == level_sets(doc)
