@@ -73,6 +73,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("index")
     sp.add_argument("file")
     sp.add_argument("-o", "--out", required=True)
+    sp.add_argument(
+        "--format", default="offsets", choices=["offsets", "packed_seq"],
+        help="offsets: int64 tape artifact; packed_seq: 1-bit/byte "
+        "offsets-free bitmask (serves via PackedDeviceTape or load_tape)",
+    )
 
     sp = sub.add_parser("serve")
     sp.add_argument("file")
@@ -117,10 +122,22 @@ def main(argv=None) -> int:
             for v in tape.column(args.field)[: args.limit]:
                 print(v.decode("utf-8", "replace"))
         elif args.cmd == "index":
-            from .artifact import save_tape
+            if args.format == "packed_seq":
+                from .offsetfree import PackedDeviceTape
 
-            save_tape(tape, args.out)
-            print(f"wrote {args.out}: {len(tape.index)} index entries")
+                with open(args.file, "rb") as f:
+                    raw = f.read()
+                pt = PackedDeviceTape(raw)
+                pt.save(args.out)
+                print(
+                    f"wrote {args.out}: packed_seq bitmask, "
+                    f"{int(pt.record_cnt)} records"
+                )
+            else:
+                from .artifact import save_tape
+
+                save_tape(tape, args.out)
+                print(f"wrote {args.out}: {len(tape.index)} index entries")
     except StructureError as e:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return 1

@@ -123,6 +123,16 @@ def load_tape(path: str | os.PathLike, data: bytes) -> Tape:
     )
     if meta["encoding"] == "offsets":
         index = z["index"]
+    elif meta["encoding"] == "packed_seq":
+        # the offsets-free serving artifact (PackedDeviceTape.save) also
+        # reconstructs a host Tape: sequential bit order decodes with a
+        # single unpackbits + flatnonzero
+        bits = np.unpackbits(
+            np.ascontiguousarray(z["packed"]).view("<u4").view(np.uint8),
+            bitorder="little",
+        )[: len(data)]
+        offs = np.flatnonzero(bits).astype(np.int64)
+        index = np.concatenate([np.zeros(1, dtype=np.int64), offs])
     elif meta["encoding"] == "packed":
         packed = z["packed"]
         tile = meta["tile"]

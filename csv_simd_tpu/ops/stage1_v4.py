@@ -64,10 +64,18 @@ def _seq_pack_weights16() -> np.ndarray:
     return w
 
 
+def _seq_pack_weights32() -> np.ndarray:
+    """(128, 32) stacked [lo | hi] variant of _seq_pack_weights16: one
+    matmul emits both halves (lanes 0..15 = lo, 16..31 = hi), halving
+    MXU passes at the cost of a lane-slice combine."""
+    w16 = _seq_pack_weights16()
+    return np.concatenate([w16[0], w16[1]], axis=1)
+
+
 def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
     packed_ref, parity_ref, nonascii_ref, carry_sm,
-    *, dialect: Dialect, tile: int,
+    *, dialect: Dialect, tile: int, pack_mode: str,
 ):
     i = pl.program_id(0)
 
@@ -106,13 +114,19 @@ def _stage1_v4_kernel(
 
     v = ((masked_u * 0x01020408) >> 24) & 0xF  # 4 flag bits per word
     vb = v.astype(jnp.bfloat16)
-    lo = jax.lax.dot_general(
-        vb, wlo_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    hi = jax.lax.dot_general(
-        vb, whi_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    packed_ref[:] = lo | (hi << 16)
+    if pack_mode == "mm1":
+        out = jax.lax.dot_general(
+            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        packed_ref[:] = out[:, :WORDS] | (out[:, WORDS:] << 16)
+    else:
+        lo = jax.lax.dot_general(
+            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        hi = jax.lax.dot_general(
+            vb, whi_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        packed_ref[:] = lo | (hi << 16)
 
     tile_par = (row_excl[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
     new_carry = (carry_sm[0] + tile_par) & 1
@@ -121,7 +135,8 @@ def _stage1_v4_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dialect", "row_tile", "interpret", "vma")
+    jax.jit,
+    static_argnames=("dialect", "row_tile", "interpret", "vma", "pack_mode"),
 )
 def stage1_fused_v4(
     w2d: jnp.ndarray,
@@ -130,6 +145,7 @@ def stage1_fused_v4(
     row_tile: int = DEFAULT_ROW_TILE_V4,
     interpret: bool = False,
     vma: tuple = (),
+    pack_mode: str = "mm2",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count). Same
@@ -144,11 +160,17 @@ def stage1_fused_v4(
 
     triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
-    wboth = _seq_pack_weights16()
-    wlo = jnp.asarray(wboth[0], jnp.bfloat16)
-    whi = jnp.asarray(wboth[1], jnp.bfloat16)
+    if pack_mode == "mm1":
+        wlo = jnp.asarray(_seq_pack_weights32(), jnp.bfloat16)
+        whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread
+    else:
+        wboth = _seq_pack_weights16()
+        wlo = jnp.asarray(wboth[0], jnp.bfloat16)
+        whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
-    kernel = functools.partial(_stage1_v4_kernel, dialect=dialect, tile=tile)
+    kernel = functools.partial(
+        _stage1_v4_kernel, dialect=dialect, tile=tile, pack_mode=pack_mode
+    )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
         # align replicated constants with device-varying data inside
@@ -170,8 +192,8 @@ def stage1_fused_v4(
             pl.BlockSpec((tile, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, WORDS), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, WORDS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wlo.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(whi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -94,3 +94,18 @@ def test_device_tape_int32_guard():
     big_index = np.array([0, 2**31 + 5], dtype=np.int64)
     with pytest.raises(ValueError, match="int32 offsets"):
         DeviceTape(data, big_index, 3, 3, 1)
+
+
+def test_load_tape_accepts_packed_seq(tmp_path):
+    """One artifact family: the offsets-free packed_seq artifact also
+    reconstructs a host Tape (cross-decoding between serving stacks)."""
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.artifact import load_tape
+
+    pt = PackedDeviceTape(CSV)
+    p = tmp_path / "seq.npz"
+    pt.save(p)
+    tape = load_tape(p, CSV)
+    want = create_from_bytes(CSV, backend="golden")
+    np.testing.assert_array_equal(tape.index, want.index)
+    assert tape.seek_field(0, 1) == b'"x,y"'

@@ -94,3 +94,41 @@ def test_serving_roundtrip(rows):
         fields = [tape.seek_field(r, f) for f in range(tape.field_cnt)]
         assert b",".join(fields) == tape.seek_record(r)
         assert [f.decode() for f in fields] == rows[r + 1]
+
+
+# -- round 2: decode invariants --
+
+field_bytes = st.binary(min_size=0, max_size=40).map(
+    lambda b: bytes(
+        x if x >= 48 else (0x22, 0x20, 0x09, 0x61, 0x2E, 0x30)[x % 6]
+        for x in b
+    )
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(field_bytes, min_size=1, max_size=8), st.booleans())
+def test_device_decode_matches_host(fields, trim):
+    """For ANY raw field bytes (quotes/spaces/tabs included), the device
+    compaction-gather decode equals the host decoder byte-for-byte."""
+    import jax.numpy as jnp
+
+    from csv_simd_tpu.decode import decode_field
+    from csv_simd_tpu.device_tape import _decode_fields
+
+    max_len = max(len(f) for f in fields) + 1
+    out = np.zeros((len(fields), max_len), np.uint8)
+    lengths = np.zeros(len(fields), np.int32)
+    for i, f in enumerate(fields):
+        out[i, : len(f)] = np.frombuffer(f, np.uint8)
+        lengths[i] = len(f)
+    valid = np.ones(len(fields), bool)
+    spaces = (0x20, 0x09) if trim else ()
+    got, ln, _v = _decode_fields(
+        jnp.asarray(out), jnp.asarray(lengths), jnp.asarray(valid),
+        0x22, spaces,
+    )
+    got, ln = np.asarray(got), np.asarray(ln)
+    for i, f in enumerate(fields):
+        want = decode_field(f, trim=trim)
+        assert bytes(got[i, : ln[i]]) == want, (f, trim)

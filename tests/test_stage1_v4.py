@@ -1,0 +1,76 @@
+"""v4 sequential-layout kernel: interpret-mode bit-identity against the
+XLA oracle (stage1_seq_xla), carry chaining, the fused non-ASCII
+counter, and corpus coverage. Compiled-mode identity runs on hardware
+via tools/verify_chip.py and the bench.py gate."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from csv_simd_tpu import golden
+from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+from csv_simd_tpu.ops.stage1_v3 import stage1_seq_xla
+from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
+
+from corpus import basic_cases
+
+
+def _unpack_seq(packed, n):
+    return np.unpackbits(
+        np.ascontiguousarray(np.asarray(packed)).view("<u4").view(np.uint8),
+        bitorder="little",
+    )[:n]
+
+
+def _rand(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.choice(
+        np.frombuffer(b'ab"",\n\rx,z":; \t\xc3\xa9', dtype=np.uint8), size=n
+    )
+
+
+@pytest.mark.parametrize("carry", [0, 1])
+def test_v4_matches_seq_oracle(carry):
+    data = _rand(300_000)
+    w2d = jnp.asarray(pad_to_words(data))
+    ref, rpar = stage1_seq_xla(w2d, carry)
+    got, gpar, _na = stage1_fused_v4(w2d, carry, interpret=True)
+    assert bool(jnp.array_equal(ref, got))
+    assert int(rpar) == int(gpar)
+
+
+def test_v4_multi_tile_carry():
+    """Quote parity must chain across grid steps (tiles)."""
+    inner = b"x," * 200_000  # quoted span crossing several 256 KiB tiles
+    data = b'a,b\n"' + inner + b'end",2\nq,w\n'
+    arr = np.frombuffer(data, dtype=np.uint8)
+    w2d = jnp.asarray(pad_to_words(arr))
+    assert w2d.shape[0] > 512  # really multiple tiles
+    got, _p, _na = stage1_fused_v4(w2d, 0, interpret=True)
+    mask = _unpack_seq(got, arr.size)
+    np.testing.assert_array_equal(mask, golden.structural_mask(arr))
+
+
+def test_v4_nonascii_count():
+    data = _rand(100_000, seed=3)
+    w2d = jnp.asarray(pad_to_words(data))
+    _g, _p, na = stage1_fused_v4(w2d, 0, interpret=True)
+    assert int(na) == int((data >= 0x80).sum())
+    ascii_only = np.frombuffer(b"a,b\n1,2\n" * 100, dtype=np.uint8)
+    _g, _p, na0 = stage1_fused_v4(
+        jnp.asarray(pad_to_words(ascii_only)), 0, interpret=True
+    )
+    assert int(na0) == 0
+
+
+@pytest.mark.parametrize("case", basic_cases(), ids=lambda c: c.name)
+def test_v4_corpus(case):
+    arr = np.frombuffer(case.data, dtype=np.uint8)
+    if arr.size == 0:
+        return
+    w2d = jnp.asarray(pad_to_words(arr))
+    got, _p, _na = stage1_fused_v4(w2d, 0, interpret=True)
+    mask = _unpack_seq(got, arr.size)
+    np.testing.assert_array_equal(
+        mask, golden.structural_mask(arr), err_msg=case.name
+    )

@@ -183,6 +183,9 @@ def mk(mode, tile):
     elif mode == "v4":
         from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
         kw = {}
+    elif mode == "v4mm1":
+        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
+        kw = {"pack_mode": "mm1"}
     else:
         raise SystemExit(f"unknown mode {mode}")
 
