@@ -22,15 +22,18 @@ from .tape import Header, Tape
 
 
 def _build_index(data: bytes, dialect, backend: str):
-    if backend == "golden":
-        from . import golden
+    from .utils.metrics import GLOBAL
 
-        return golden.structural_index(data, dialect)
-    if backend in ("jnp", "pallas", "native", "auto"):
-        from .index import build_index
+    with GLOBAL.span(f"index_build[{backend}]", len(data)):
+        if backend == "golden":
+            from . import golden
 
-        return build_index(data, dialect=dialect, backend=backend)
-    raise ValueError(f"unknown backend: {backend!r}")
+            return golden.structural_index(data, dialect)
+        if backend in ("jnp", "pallas", "native", "auto"):
+            from .index import build_index
+
+            return build_index(data, dialect=dialect, backend=backend)
+        raise ValueError(f"unknown backend: {backend!r}")
 
 
 def _check_utf8(data) -> None:

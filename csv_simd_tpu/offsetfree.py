@@ -204,6 +204,28 @@ class PackedDeviceTape:
             max_len,
         )
 
+    # typed device columns — same parsers as DeviceTape
+    def column_int32(self, field: int, max_len: int = 20):
+        """See DeviceTape.column_int32 (same grammar/ok contract)."""
+        from .device_tape import _parse_int32
+
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_int32(out, lengths, valid)
+
+    def column_float32(self, field: int, max_len: int = 24):
+        """See DeviceTape.column_float32 (no exponent notation)."""
+        from .device_tape import _parse_float32
+
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_float32(out, lengths, valid)
+
+    def column_float32_exp(self, field: int, max_len: int = 32):
+        """See DeviceTape.column_float32_exp (exponent notation)."""
+        from .device_tape import _parse_float32_exp
+
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_float32_exp(out, lengths, valid)
+
     def gather_decoded(self, records, fields, max_len: int = 64,
                        dialect=None, trim: bool = True):
         """Gather + device stage-2 decode (see DeviceTape.gather_decoded)."""

@@ -71,8 +71,7 @@ class StreamingIndexBuilder:
         self._parts = [np.zeros(1, dtype=np.int64)]  # sentinel
 
     def feed(self, chunk: bytes | np.ndarray) -> None:
-        from .index import _have_tpu, _resolve_backend, stage1_words
-        from .ops.pack import unpack_words_host
+        from .utils.metrics import GLOBAL as _metrics
 
         arr = (
             np.frombuffer(chunk, dtype=np.uint8)
@@ -81,6 +80,13 @@ class StreamingIndexBuilder:
         )
         if arr.size == 0:
             return
+        with _metrics.span("streaming_chunk", arr.size):
+            self._feed_inner(arr)
+
+    def _feed_inner(self, arr: np.ndarray) -> None:
+        from .index import _have_tpu, _resolve_backend, stage1_words
+        from .ops.pack import unpack_words_host
+
         backend = _resolve_backend(self._backend)
         if backend == "golden":
             from . import golden

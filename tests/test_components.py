@@ -164,3 +164,20 @@ def test_mask_report():
     mask = golden.structural_mask(np.frombuffer(data, dtype=np.uint8))
     rep = mask_report(data, mask)
     assert "^" in rep
+
+
+def test_metrics_wired_into_pipeline():
+    """The hot paths actually record spans (round-2: the registry was
+    previously declared but never fed)."""
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.streaming import StreamingIndexBuilder
+    from csv_simd_tpu.utils.metrics import GLOBAL
+
+    GLOBAL.reset()
+    create_from_bytes(b"a,b\n1,2\n", backend="golden")
+    b = StreamingIndexBuilder(backend="golden")
+    b.feed(b"a,b\n1,2\n")
+    names = set(GLOBAL.stages)
+    assert "index_build[golden]" in names and "streaming_chunk" in names
+    assert GLOBAL.stages["streaming_chunk"].bytes == 8
+    GLOBAL.reset()

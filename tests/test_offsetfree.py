@@ -97,3 +97,17 @@ def test_packed_tape_save_load(tmp_path):
     assert vals[1] == host.seek_field(3, 2)
     with pytest.raises(InvalidCsvFormat):
         PackedDeviceTape.load(p, data[:-5])
+
+
+def test_packed_typed_columns():
+    data = b"id,score,exp\n1,2.5,1e2\n-7,0.25,2.5e-1\n2147483647,3.,4E0\n"
+    pt = PackedDeviceTape(data)
+    v, ok = pt.column_int32(0)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(v), [1, -7, 2147483647])
+    f, ok = pt.column_float32(1)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(f), [2.5, 0.25, 3.0])
+    e, ok = pt.column_float32_exp(2)
+    assert np.asarray(ok).all()
+    np.testing.assert_allclose(np.asarray(e), [100.0, 0.25, 4.0])

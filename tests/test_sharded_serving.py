@@ -104,3 +104,22 @@ def test_device_build_v3(setup):
     offsets, count = build_index_device(data)
     want = golden.structural_index(data)
     np.testing.assert_array_equal(np.asarray(offsets)[: count + 1], want)
+
+
+def test_sharded_packed_quotes_spanning_shards():
+    """A quoted region crossing shard boundaries must serve correctly:
+    the seq build's parity stitch feeds rank-select serving."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from csv_simd_tpu.parallel.serving import ShardedPackedTape
+
+    inner = "x," * 30000  # 60 KB quoted span, crosses several shards
+    data = f'a,b\n"{inner}end",2\nq,w\n'.encode()
+    tape = create_from_bytes(data, backend="golden")
+    st = ShardedPackedTape(data, make_mesh(8))
+    out, ln, v = st.gather_fields(
+        np.array([0, 0, 1, 1]), np.array([0, 1, 0, 1]), max_len=70000
+    )
+    vals = st.to_host_lists(out, ln, v)
+    want = [tape.seek_field(r, f) for r, f in ((0, 0), (0, 1), (1, 0), (1, 1))]
+    assert vals == want
