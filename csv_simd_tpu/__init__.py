@@ -28,7 +28,7 @@ from .errors import (
     InvalidCsvFormat,
 )
 from .tape import Header, Tape, NewLine, Boundary, Chunk, boundaries
-from .api import create, create_from_bytes
+from .api import create, create_from_bytes, create_packed
 from .decode import DecodedView, decode_field, decode_str
 from .device_tape import DeviceTape
 from .streaming import (
@@ -62,6 +62,7 @@ __all__ = [
     "boundaries",
     "create",
     "create_from_bytes",
+    "create_packed",
     "DecodedView",
     "decode_field",
     "decode_str",

@@ -80,6 +80,29 @@ def create_from_bytes(data: bytes, dialect=None, backend: str = "auto",
     return Tape(data, index, header)
 
 
+def create_packed(filename: str | os.PathLike, dialect=None,
+                  validate_utf8: bool = False):
+    """Build the offsets-free device serving tape (PackedDeviceTape)
+    straight from a file: mmap + fused scan on device; the index is the
+    packed bitmask + row popcount prefix (never an offsets array)."""
+    import numpy as np
+
+    from .config import DEFAULT_DIALECT
+    from .offsetfree import PackedDeviceTape
+
+    try:
+        with open(filename, "rb") as f:
+            mapped = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    except ValueError as e:
+        raise IoError(f"{filename}: {e}") from e
+    except OSError as e:
+        raise IoError(str(e)) from e
+    data = np.frombuffer(mapped, dtype=np.uint8)
+    return PackedDeviceTape(
+        data, dialect or DEFAULT_DIALECT, validate_utf8=validate_utf8
+    )
+
+
 def create(filename: str | os.PathLike, dialect=None, backend: str = "auto",
            validate_utf8: bool = False) -> Tape:
     """Build a Tape from a CSV file.

@@ -19,10 +19,13 @@ stage1_fused_seq), per tools/ablate2.py measurements:
   prefix-XOR + int8 MXU lane/row scans) — measured ablations showed
   scan/mask work on narrow (T,16) packed tensors lowers ~10x worse
   per element than full-width, so scanning BEFORE packing wins;
-- the pack is the 4-bit nibble compress (multiply-gather) + ONE
-  (128,32) bf16 matmul emitting both 16-bit halves, combined with a
-  prefix lane slice (`out[:, :16] | out[:, 16:] << 16`) — measured 11%
-  faster than two (128,16) matmuls (pack_mode='mm2' keeps the A/B).
+- the pack is the 4-bit nibble compress (multiply-gather) + two
+  (128,16) bf16 matmuls whose outputs combine as lo | hi << 16 with no
+  lane movement. A single (128,32) matmul + offset lane-slice combine
+  (pack_mode='mm1') measured 11% faster but MISCOMPILES on this Mosaic
+  toolchain (bench.py's on-chip gate caught it: interpret mode is
+  bit-exact, the compiled offset-16 lane slice is not) — kept only as
+  an A/B probe for future toolchains.
 
 Reference lineage: the same fused pass as avx/stage1.rs:193-430; SWAR
 equality replaces the vpshufb nibble LUTs, MXU matmuls replace both
@@ -146,7 +149,7 @@ def stage1_fused_v4(
     row_tile: int = DEFAULT_ROW_TILE_V4,
     interpret: bool = False,
     vma: tuple = (),
-    pack_mode: str = "mm1",
+    pack_mode: str = "mm2",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count). Same

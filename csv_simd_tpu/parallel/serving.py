@@ -76,6 +76,16 @@ class ShardedTape:
         return _to_host_lists(out, lengths, valid, allow_truncated)
 
 
+def _packed_seq_meta(header, n_bytes, fingerprint):
+    return dict(
+        magic="csv-simd-tpu-index", version=1, encoding="packed_seq",
+        names=header.names, new_line=header.new_line.value,
+        field_cnt=header.field_cnt, delimiter=header.delimiter,
+        record_offset=header.record_offset, n_bytes=n_bytes,
+        fingerprint=fingerprint,
+    )
+
+
 class ShardedPackedTape:
     """Offsets-free serving over a mesh: the packed seq bitmask AND the
     bytes stay sharded row-wise on the devices that own them; only the
@@ -161,6 +171,25 @@ class ShardedPackedTape:
             self.data, self.words, self.cum_incl,
             jnp.asarray(records, jnp.int32), jnp.asarray(fields, jnp.int32),
             self.jump, self.field_cnt, self.record_cnt, max_len,
+        )
+
+    def save(self, path) -> None:
+        """Write the SAME packed_seq artifact as PackedDeviceTape.save —
+        the sharded and single-device serving stacks share one artifact
+        format (rows beyond the data are all-zero pad and harmless to
+        either loader)."""
+        import json
+
+        from ..artifact import _fingerprint
+
+        data_host = np.asarray(self.data)[: self.n_bytes]
+        meta = _packed_seq_meta(
+            self.header, self.n_bytes, _fingerprint(data_host)
+        )
+        np.savez_compressed(
+            path,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            packed=np.asarray(self.words, dtype=np.int32),
         )
 
     def gather_column(self, field: int, max_len: int = 64):

@@ -123,3 +123,22 @@ def test_sharded_packed_quotes_spanning_shards():
     vals = st.to_host_lists(out, ln, v)
     want = [tape.seek_field(r, f) for r, f in ((0, 0), (0, 1), (1, 0), (1, 1))]
     assert vals == want
+
+
+def test_sharded_packed_save_crossloads(tmp_path, packed_setup):
+    """One artifact format across stacks: ShardedPackedTape.save loads
+    through PackedDeviceTape.load AND artifact.load_tape."""
+    tape, st = packed_setup
+    data = bytes(np.asarray(st.data)[: st.n_bytes])
+    p = tmp_path / "sharded_seq.npz"
+    st.save(p)
+    from csv_simd_tpu.artifact import load_tape
+    from csv_simd_tpu.offsetfree import PackedDeviceTape
+
+    pt = PackedDeviceTape.load(p, data)
+    assert int(pt.record_cnt) == int(st.record_cnt)
+    out, ln, v = pt.gather_fields(np.array([0, 5]), np.array([1, 2]), max_len=48)
+    vals = pt.to_host_lists(out, ln, v)
+    assert vals == [tape.seek_field(0, 1), tape.seek_field(5, 2)]
+    host = load_tape(p, data)
+    assert host.seek_field(0, 1) == tape.seek_field(0, 1)
