@@ -140,7 +140,7 @@ def main():
     @functools.partial(jax.jit, static_argnames=("k",))
     def build_chain(a, k):
         def body(i, acc):
-            packed, parity, _na = stage1_fused_v4(a, acc & 1, row_tile=512)
+            packed, parity, _na = stage1_fused_v4(a, acc & 1, row_tile=1024)
             cum = prefix_for_packed(packed)
             return acc + parity + cum[-1] + packed[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))

@@ -123,6 +123,14 @@ def _stage1_v4_kernel(
             vb, wlo_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
         packed_ref[:] = out[:, :WORDS] | (out[:, WORDS:] << 16)
+    elif pack_mode == "mm1r":
+        out = jax.lax.dot_general(
+            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        # lane ROTATE instead of the offset slice (which miscompiles):
+        # rolling 32 lanes by 16 brings the hi half onto lanes 0..15
+        comb = out | (pltpu.roll(out, WORDS, 1) << 16)
+        packed_ref[:] = comb[:, :WORDS]
     else:
         lo = jax.lax.dot_general(
             vb, wlo_ref[:], (((1,), (0,)), ((), ())),
@@ -164,7 +172,7 @@ def stage1_fused_v4(
 
     triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
-    if pack_mode == "mm1":
+    if pack_mode in ("mm1", "mm1r"):
         wlo = jnp.asarray(_seq_pack_weights32(), jnp.bfloat16)
         whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread
     else:
