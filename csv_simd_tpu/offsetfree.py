@@ -204,6 +204,18 @@ class PackedDeviceTape:
             max_len,
         )
 
+    def filter_equals(self, field: int, value: bytes, max_len: int = 64):
+        """Record ids whose `field` equals `value` exactly (device byte
+        compare; see DeviceTape.filter_equals)."""
+        from .device_tape import _filter_equals
+
+        out, lengths, valid = self.gather_column(field, max_len)
+        v = np.zeros(max_len, dtype=np.uint8)
+        raw = np.frombuffer(value, dtype=np.uint8)[:max_len]
+        v[: raw.size] = raw
+        hits = _filter_equals(out, lengths, valid, jnp.asarray(v), len(value))
+        return np.flatnonzero(np.asarray(hits)).astype(np.int32)
+
     # typed device columns — same parsers as DeviceTape
     def column_int32(self, field: int, max_len: int = 20):
         """See DeviceTape.column_int32 (same grammar/ok contract)."""

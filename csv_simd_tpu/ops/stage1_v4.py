@@ -21,11 +21,8 @@ stage1_fused_seq), per tools/ablate2.py measurements:
   per element than full-width, so scanning BEFORE packing wins;
 - the pack is the 4-bit nibble compress (multiply-gather) + two
   (128,16) bf16 matmuls whose outputs combine as lo | hi << 16 with no
-  lane movement. A single (128,32) matmul + offset lane-slice combine
-  (pack_mode='mm1') measured 11% faster but MISCOMPILES on this Mosaic
-  toolchain (bench.py's on-chip gate caught it: interpret mode is
-  bit-exact, the compiled offset-16 lane slice is not) — kept only as
-  an A/B probe for future toolchains.
+  lane movement (single-(128,32)-matmul variants measured 11% faster
+  but miscompile on this toolchain — see the in-kernel note).
 
 Reference lineage: the same fused pass as avx/stage1.rs:193-430; SWAR
 equality replaces the vpshufb nibble LUTs, MXU matmuls replace both
@@ -68,18 +65,10 @@ def _seq_pack_weights16() -> np.ndarray:
     return w
 
 
-def _seq_pack_weights32() -> np.ndarray:
-    """(128, 32) stacked [lo | hi] variant of _seq_pack_weights16: one
-    matmul emits both halves (lanes 0..15 = lo, 16..31 = hi), halving
-    MXU passes at the cost of a lane-slice combine."""
-    w16 = _seq_pack_weights16()
-    return np.concatenate([w16[0], w16[1]], axis=1)
-
-
 def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
     packed_ref, parity_ref, nonascii_ref, carry_sm,
-    *, dialect: Dialect, tile: int, pack_mode: str,
+    *, dialect: Dialect, tile: int,
 ):
     i = pl.program_id(0)
 
@@ -118,27 +107,19 @@ def _stage1_v4_kernel(
 
     v = ((masked_u * 0x01020408) >> 24) & 0xF  # 4 flag bits per word
     vb = v.astype(jnp.bfloat16)
-    if pack_mode == "mm1":
-        out = jax.lax.dot_general(
-            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        packed_ref[:] = out[:, :WORDS] | (out[:, WORDS:] << 16)
-    elif pack_mode == "mm1r":
-        out = jax.lax.dot_general(
-            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        # lane ROTATE instead of the offset slice (which miscompiles):
-        # rolling 32 lanes by 16 brings the hi half onto lanes 0..15
-        comb = out | (pltpu.roll(out, WORDS, 1) << 16)
-        packed_ref[:] = comb[:, :WORDS]
-    else:
-        lo = jax.lax.dot_general(
-            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        hi = jax.lax.dot_general(
-            vb, whi_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        packed_ref[:] = lo | (hi << 16)
+    # NOTE: do NOT "optimize" this into one (128,32) matmul with either
+    # an offset lane-slice combine or a pltpu.roll combine: both passed
+    # every interpret-mode test and both MISCOMPILED on the real chip
+    # (the (T,32) matmul-output path is broken in this Mosaic; caught
+    # twice by bench.py's on-chip gate, round 2). Two (128,16) matmuls
+    # whose outputs align in lanes 0..15 are the verified construction.
+    lo = jax.lax.dot_general(
+        vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    hi = jax.lax.dot_general(
+        vb, whi_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    packed_ref[:] = lo | (hi << 16)
 
     tile_par = (row_excl[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
     new_carry = (carry_sm[0] + tile_par) & 1
@@ -147,8 +128,7 @@ def _stage1_v4_kernel(
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("dialect", "row_tile", "interpret", "vma", "pack_mode"),
+    jax.jit, static_argnames=("dialect", "row_tile", "interpret", "vma")
 )
 def stage1_fused_v4(
     w2d: jnp.ndarray,
@@ -157,7 +137,6 @@ def stage1_fused_v4(
     row_tile: int = DEFAULT_ROW_TILE_V4,
     interpret: bool = False,
     vma: tuple = (),
-    pack_mode: str = "mm2",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count). Same
@@ -172,17 +151,11 @@ def stage1_fused_v4(
 
     triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
-    if pack_mode in ("mm1", "mm1r"):
-        wlo = jnp.asarray(_seq_pack_weights32(), jnp.bfloat16)
-        whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread
-    else:
-        wboth = _seq_pack_weights16()
-        wlo = jnp.asarray(wboth[0], jnp.bfloat16)
-        whi = jnp.asarray(wboth[1], jnp.bfloat16)
+    wboth = _seq_pack_weights16()
+    wlo = jnp.asarray(wboth[0], jnp.bfloat16)
+    whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
-    kernel = functools.partial(
-        _stage1_v4_kernel, dialect=dialect, tile=tile, pack_mode=pack_mode
-    )
+    kernel = functools.partial(_stage1_v4_kernel, dialect=dialect, tile=tile)
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
         # align replicated constants with device-varying data inside

@@ -111,3 +111,10 @@ def test_packed_typed_columns():
     e, ok = pt.column_float32_exp(2)
     assert np.asarray(ok).all()
     np.testing.assert_allclose(np.asarray(e), [100.0, 0.25, 4.0])
+
+
+def test_packed_filter_equals():
+    data = b"id,tag\n1,aa\n2,bb\n3,aa\n4,cc\n"
+    pt = PackedDeviceTape(data)
+    np.testing.assert_array_equal(pt.filter_equals(1, b"aa"), [0, 2])
+    np.testing.assert_array_equal(pt.filter_equals(1, b"zz"), [])

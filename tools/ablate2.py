@@ -183,12 +183,7 @@ def mk(mode, tile):
     elif mode == "v4":
         from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
         kw = {}
-    elif mode == "v4mm1":
-        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
-        kw = {"pack_mode": "mm1"}
-    elif mode == "v4mm1r":
-        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
-        kw = {"pack_mode": "mm1r"}
+
     else:
         raise SystemExit(f"unknown mode {mode}")
 
