@@ -106,7 +106,7 @@ class ShardedPackedTape:
         from ..errors import InvalidCsvFormat
         from ..offsetfree import prefix_for_packed
         from ..tape import Header, NewLine
-        from .sharded import pad_to_words, sharded_stage1
+        from .sharded import pad_words_for_mesh, sharded_stage1
 
         dialect = dialect or DEFAULT_DIALECT
         arr = (
@@ -123,14 +123,7 @@ class ShardedPackedTape:
         if interpret is None:
             interpret = use_pallas and not on_tpu
 
-        w2d = pad_to_words(arr, row_align=8 * n_shards)
-        rows = w2d.shape[0]
-        unit = 8 * n_shards if rows <= 512 * n_shards else 512 * n_shards
-        if rows % unit != 0:
-            pad_rows = -(-rows // unit) * unit - rows
-            w2d = np.concatenate(
-                [w2d, np.zeros((pad_rows, w2d.shape[1]), w2d.dtype)]
-            )
+        w2d = pad_words_for_mesh(arr, n_shards)
         rows = w2d.shape[0]
         w_dev = _jax.device_put(
             jnp.asarray(w2d), NamedSharding(mesh, P(AXIS, None))

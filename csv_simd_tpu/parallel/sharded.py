@@ -133,6 +133,22 @@ def sharded_stage1(
     return packed, counts, count_excl, total[0], parity[0]
 
 
+def pad_words_for_mesh(arr: np.ndarray, n_shards: int) -> np.ndarray:
+    """(n,) uint8 -> (rows, 128) byte-quad words with rows divisible by
+    the mesh AND each shard's rows compatible with the kernel tile:
+    shard_rows <= 512 only needs % 8; larger shards must be multiples
+    of 512 (the kernel's rows % tile == 0 assertion)."""
+    w2d = pad_to_words(arr, row_align=8 * n_shards)
+    rows = w2d.shape[0]
+    unit = 8 * n_shards if rows <= 512 * n_shards else 512 * n_shards
+    if rows % unit != 0:
+        pad_rows = -(-rows // unit) * unit - rows
+        w2d = np.concatenate(
+            [w2d, np.zeros((pad_rows, w2d.shape[1]), w2d.dtype)]
+        )
+    return w2d
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -160,19 +176,7 @@ def build_index_sharded(
         use_pallas = on_tpu
     if interpret is None:
         interpret = use_pallas and not on_tpu
-    w2d = pad_to_words(arr, row_align=8 * n_shards)
-    rows = w2d.shape[0]
-    # every shard must satisfy the kernel's rows % tile == 0 (tile =
-    # min(512, shard_rows)): shard_rows <= 512 only needs % 8, larger
-    # shards must be multiples of 512 — so pad rows to n_shards * 512
-    # granularity once any shard exceeds 512 rows (e.g. 3 shards on a
-    # large input would otherwise trip the in-kernel assert)
-    unit = 8 * n_shards if rows <= 512 * n_shards else 512 * n_shards
-    if rows % unit != 0:
-        pad_rows = -(-rows // unit) * unit - rows
-        w2d = np.concatenate(
-            [w2d, np.zeros((pad_rows, w2d.shape[1]), w2d.dtype)]
-        )
+    w2d = pad_words_for_mesh(arr, n_shards)
     sharding = NamedSharding(mesh, P(AXIS, None))
     w_dev = jax.device_put(jnp.asarray(w2d), sharding)
     packed, _c, _ce, _total, _par = sharded_stage1(

@@ -18,6 +18,12 @@ import numpy as np
 
 def main():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -33,26 +39,29 @@ def main():
     if not compiled:
         print("WARNING: no TPU visible; kernels will run interpreted")
 
-    rng = np.random.default_rng(11)
-    data = rng.choice(
-        np.frombuffer(b'ab"",\n\rx,z":; \t09', dtype=np.uint8), size=900_000
-    )
-    ref = golden.structural_mask(data)
-    w2d = pad_to_words(data)
+    # several random corpora at ONE padded shape (so the compiled
+    # executables are reused across seeds — fuzzing costs no recompiles)
+    for seed in (11, 202, 3033):
+        rng = np.random.default_rng(seed)
+        data = rng.choice(
+            np.frombuffer(b'ab"",\n\rx,z":; \t09', dtype=np.uint8),
+            size=900_000,
+        )
+        ref = golden.structural_mask(data)
+        w2d = pad_to_words(data)
 
-    p3, _ = stage1_fused(jnp.asarray(w2d), 0, interpret=not compiled)
-    m3 = unpack_packed_host(np.asarray(p3), data.size, tile=512)
-    assert (m3 == ref).all(), "v3 compiled kernel != golden"
-    print("v3 fold kernel: bit-identical to golden")
+        p3, _ = stage1_fused(jnp.asarray(w2d), 0, interpret=not compiled)
+        m3 = unpack_packed_host(np.asarray(p3), data.size, tile=512)
+        assert (m3 == ref).all(), f"v3 compiled kernel != golden (seed {seed})"
 
-    p4, _, na = stage1_fused_v4(jnp.asarray(w2d), 0, interpret=not compiled)
-    m4 = np.unpackbits(
-        np.ascontiguousarray(np.asarray(p4)).view("<u4").view(np.uint8),
-        bitorder="little",
-    )[: data.size]
-    assert (m4 == ref).all(), "v4 seq kernel != golden"
-    assert int(na) == int((data >= 0x80).sum()), "fused non-ASCII count wrong"
-    print("v4 seq kernel: bit-identical to golden (non-ASCII count OK)")
+        p4, _, na = stage1_fused_v4(jnp.asarray(w2d), 0, interpret=not compiled)
+        m4 = np.unpackbits(
+            np.ascontiguousarray(np.asarray(p4)).view("<u4").view(np.uint8),
+            bitorder="little",
+        )[: data.size]
+        assert (m4 == ref).all(), f"v4 seq kernel != golden (seed {seed})"
+        assert int(na) == int((data >= 0x80).sum()), "non-ASCII count wrong"
+        print(f"seed {seed}: v3 + v4 bit-identical to golden")
 
     # single-chip mesh: the compiled Pallas kernel INSIDE shard_map with
     # the vma checker enabled — the per-shard production path
