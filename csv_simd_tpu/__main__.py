@@ -51,6 +51,10 @@ def main(argv=None) -> int:
         "--validate-utf8", action="store_true",
         help="refuse files that are not valid UTF-8",
     )
+    p.add_argument(
+        "--metrics", action="store_true",
+        help="print per-stage timing/throughput spans to stderr on exit",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("info")
@@ -141,6 +145,11 @@ def main(argv=None) -> int:
     except StructureError as e:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return 1
+    finally:
+        if getattr(args, "metrics", False):
+            from .utils.metrics import GLOBAL
+
+            print(GLOBAL.report(), file=sys.stderr)
     return 0
 
 

@@ -179,6 +179,12 @@ class DeviceTape:
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_float32_exp(out, lengths, valid)
 
+    def column_date_days(self, field: int, max_len: int = 12):
+        """ISO `YYYY-MM-DD` column -> int32 days since 1970-01-01, on
+        device (see _parse_date_days for the ok contract)."""
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_date_days(out, lengths, valid)
+
     def filter_equals(self, field: int, value: bytes, max_len: int = 64):
         """Record ids whose `field` equals `value` exactly (byte compare
         on device). Returns a host int32 array of record indices."""
@@ -444,6 +450,49 @@ def _parse_float32_exp(out, lengths, valid):
     val = val * jnp.power(jnp.float32(10.0), (exp10 - exp10 // 2).astype(jnp.float32))
     val = jnp.where(neg, -val, val)
     return jnp.where(ok, val, jnp.float32(0)), ok
+
+
+@jax.jit
+def _parse_date_days(out, lengths, valid):
+    """`YYYY-MM-DD` -> days since 1970-01-01 (proleptic Gregorian,
+    Hinnant's civil_from_days inverse — exact integer arithmetic, no
+    per-row branching). ok is False for any other shape/length, month
+    outside 1..12, or day outside the month's true length (leap years
+    handled). Values for not-ok rows are 0."""
+    n, max_len = out.shape
+    b = out.astype(jnp.int32)
+    d = b - 0x30
+
+    def dig(i):
+        return d[:, i]
+
+    ok_shape = (
+        valid
+        & (lengths == 10)
+        & (b[:, 4] == 0x2D)
+        & (b[:, 7] == 0x2D)
+    )
+    digits_ok = jnp.ones(n, bool)
+    for i in (0, 1, 2, 3, 5, 6, 8, 9):
+        digits_ok = digits_ok & (dig(i) >= 0) & (dig(i) <= 9)
+    y = dig(0) * 1000 + dig(1) * 100 + dig(2) * 10 + dig(3)
+    m = dig(5) * 10 + dig(6)
+    day = dig(8) * 10 + dig(9)
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    mdays = jnp.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                      jnp.int32)
+    dim = mdays[jnp.clip(m, 0, 12)] + (leap & (m == 2)).astype(jnp.int32)
+    ok = ok_shape & digits_ok & (m >= 1) & (m <= 12) & (day >= 1) & (day <= dim)
+
+    # Hinnant civil_from_date: shift year so the leap day is last
+    yy = y - (m <= 2)
+    era = jnp.floor_divide(yy, 400)
+    yoe = yy - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = jnp.floor_divide(153 * mp + 2, 5) + day - 1
+    doe = yoe * 365 + jnp.floor_divide(yoe, 4) - jnp.floor_divide(yoe, 100) + doy
+    days = era * 146097 + doe - 719468
+    return jnp.where(ok, days, 0), ok
 
 
 @jax.jit

@@ -238,6 +238,13 @@ class PackedDeviceTape:
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_float32_exp(out, lengths, valid)
 
+    def column_date_days(self, field: int, max_len: int = 12):
+        """See DeviceTape.column_date_days (ISO dates -> epoch days)."""
+        from .device_tape import _parse_date_days
+
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _parse_date_days(out, lengths, valid)
+
     def gather_decoded(self, records, fields, max_len: int = 64,
                        dialect=None, trim: bool = True):
         """Gather + device stage-2 decode (see DeviceTape.gather_decoded)."""

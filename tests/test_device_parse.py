@@ -82,3 +82,26 @@ def test_int32_overflow_edges():
     )
     assert np.asarray(vals)[0] == -(2**31)
     assert np.asarray(vals)[4] == 2**31 - 1
+
+
+def test_column_date_days():
+    import datetime
+
+    rows = [
+        b"1970-01-01", b"2026-08-17", b"2000-02-29", b"1969-12-31",
+        b"0001-01-01", b"9999-12-31", b"2023-02-29", b"2024-13-01",
+        b"2024-00-10", b"24-01-01", b"2024/01/01", b"x024-01-01",
+    ]
+    data = b"d,x\n" + b"".join(r + b",1\n" for r in rows)
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.device_tape import DeviceTape
+
+    tape = create_from_bytes(data, backend="golden")
+    dt = DeviceTape.from_tape(tape)
+    days, ok = dt.column_date_days(0)
+    days, ok = np.asarray(days), np.asarray(ok)
+    assert ok[:6].all() and not ok[6:].any(), ok
+    epoch = datetime.date(1970, 1, 1)
+    for i in range(6):
+        want = (datetime.date.fromisoformat(rows[i].decode()) - epoch).days
+        assert days[i] == want, (rows[i], days[i], want)
