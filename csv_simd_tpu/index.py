@@ -23,7 +23,7 @@ import numpy as np
 
 from .config import DEFAULT_DIALECT, Dialect
 from .ops.classify import classify_masks
-from .ops.pack import pack_words, unpack_words_host
+from .ops.pack import pack_words
 from .ops.scan import in_quote_parity, parity_out
 
 LANES = 128

@@ -22,7 +22,6 @@ k-1 because slot 0 is the synthetic 0 sentinel, reader.rs:216).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

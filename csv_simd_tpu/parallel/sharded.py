@@ -24,7 +24,7 @@ the price of a split point inside quoted text, paid without speculation.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
