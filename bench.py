@@ -145,6 +145,17 @@ def main():
             return acc + parity + cum[-1] + packed[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
+    # context baseline: Python's csv module parsing the same buffer on
+    # this host (the reference's own unmet todo was benchmarking against
+    # a real CPU parser, README.md:16)
+    import csv as _pycsv
+    import io as _io
+
+    t0 = time.time()
+    for _row in _pycsv.reader(_io.StringIO(data[: 1 << 24].decode("utf-8", "replace"))):
+        pass
+    pycsv_gbps = (1 << 24) / (time.time() - t0) / 1e9
+
     per_s1 = _marginal(stage1_chain, w2d, 32, 96)
     per_build = _marginal(build_chain, w2d, 16, 48)
     per_sol = _marginal(sol_chain, w2d, 128, 384)
@@ -155,6 +166,7 @@ def main():
     print(
         f"# stage1 {stage1_gbps:.1f} GB/s; full index build {build_gbps:.1f} "
         f"GB/s; streaming SoL {sol_gbps:.1f} GB/s; "
+        f"python-csv parse {pycsv_gbps:.3f} GB/s (host context); "
         f"buffer {n_mb} MiB (padded {n_padded/2**20:.0f} MiB)",
         file=sys.stderr,
     )

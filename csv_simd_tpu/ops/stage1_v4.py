@@ -67,9 +67,11 @@ def _seq_pack_weights16() -> np.ndarray:
 
 def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
-    packed_ref, parity_ref, nonascii_ref, carry_sm,
-    *, dialect: Dialect, tile: int,
+    packed_ref, parity_ref, nonascii_ref, *rest,
+    dialect: Dialect, tile: int, emit_counts: bool,
 ):
+    counts_ref = rest[0] if emit_counts else None
+    carry_sm = rest[-1]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -120,6 +122,16 @@ def _stage1_v4_kernel(
         vb, whi_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
     packed_ref[:] = lo | (hi << 16)
+    if emit_counts:
+        # per-row structural popcounts, fused: the offsets-free index
+        # needs cumsum(row_counts); emitting them here saves the prefix
+        # pass's full re-read of the packed words. Counted from the
+        # masked 0x01 flags (4 adds of shifted nibbles = popcount of
+        # the row's 512 flag bits without touching the packed output).
+        t = masked_u
+        t = t + (t >> 8)
+        t = (t + (t >> 16)) & 0xFF  # per-word flag count (0..4)
+        counts_ref[:] = jnp.sum(t, axis=1, keepdims=True, dtype=jnp.int32)
 
     tile_par = (row_excl[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
     new_carry = (carry_sm[0] + tile_par) & 1
@@ -128,7 +140,8 @@ def _stage1_v4_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dialect", "row_tile", "interpret", "vma")
+    jax.jit,
+    static_argnames=("dialect", "row_tile", "interpret", "vma", "emit_counts"),
 )
 def stage1_fused_v4(
     w2d: jnp.ndarray,
@@ -137,12 +150,16 @@ def stage1_fused_v4(
     row_tile: int = DEFAULT_ROW_TILE_V4,
     interpret: bool = False,
     vma: tuple = (),
+    emit_counts: bool = False,
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
-    (packed_seq (rows, 16) int32, parity_out, nonascii_count). Same
-    packed layout as stage1_fused_seq / stage1_seq_xla; nonascii_count
-    is the number of bytes with the high bit set (the fused is_ascii —
-    0 means the buffer needs no further UTF-8 validation)."""
+    (packed_seq (rows, 16) int32, parity_out, nonascii_count[,
+    row_counts (rows, 1)]). Same packed layout as stage1_fused_seq /
+    stage1_seq_xla; nonascii_count is the number of bytes with the high
+    bit set (the fused is_ascii — 0 means no further UTF-8 validation
+    needed); with emit_counts=True the per-512-byte-row structural
+    popcounts come out of the same pass (feeding the offsets-free
+    prefix without re-reading the packed words)."""
     rows, lanes = w2d.shape
     assert lanes == LANES and rows % 8 == 0, (rows, lanes)
     tile = min(row_tile, rows)
@@ -155,7 +172,9 @@ def stage1_fused_v4(
     wlo = jnp.asarray(wboth[0], jnp.bfloat16)
     whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
-    kernel = functools.partial(_stage1_v4_kernel, dialect=dialect, tile=tile)
+    kernel = functools.partial(
+        _stage1_v4_kernel, dialect=dialect, tile=tile, emit_counts=emit_counts
+    )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
         # align replicated constants with device-varying data inside
@@ -169,7 +188,7 @@ def stage1_fused_v4(
             _align(carry_arr),
         )
 
-    packed, parity, nonascii = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -184,13 +203,19 @@ def stage1_fused_v4(
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        ] + ([pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+             if emit_counts else []),
         out_shape=[
             jax.ShapeDtypeStruct((rows, WORDS), jnp.int32, vma=frozenset(vma)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
-        ],
+        ] + ([jax.ShapeDtypeStruct((rows, 1), jnp.int32, vma=frozenset(vma))]
+             if emit_counts else []),
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
     )(carry_arr, w2d, triu, tril, wlo, whi)
+    if emit_counts:
+        packed, parity, nonascii, counts = outs
+        return packed, parity[0, 0], nonascii[0, 0], counts
+    packed, parity, nonascii = outs
     return packed, parity[0, 0], nonascii[0, 0]

@@ -68,6 +68,11 @@ def main():
     total = int(total)
     want = len(golden.structural_index(data)) - 1
     assert total == want, (total, want)
+    # the sequential (serving) layout across hosts too
+    packed_seq, _c2, _ce2, total2, _p2 = sharded_stage1(
+        w_dev, 0, mesh, use_pallas=False, layout="seq"
+    )
+    assert int(total2) == want, (int(total2), want)
     if pid == 0:
         print(f"MULTIHOST_OK {total}", flush=True)
     jax.distributed.shutdown()
