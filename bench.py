@@ -39,7 +39,7 @@ def _gen_csv(n_bytes: int) -> bytes:
     return data[:n_bytes]
 
 
-def _marginal(chain, arr, k_lo, k_hi, trials=4, reps=3):
+def _marginal(chain, arr, k_lo, k_hi, trials=6, reps=3):
     mins = {k: float("inf") for k in (k_lo, k_hi)}
     for k in (k_lo, k_hi):
         float(chain(arr, k))  # compile + warm

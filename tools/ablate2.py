@@ -1,13 +1,14 @@
 """Round-2 ablation: v4 candidates vs v3/seq on the real chip.
 
 Modes:
-  v3    - stage1_fused (fold layout, round-1 production)
-  seq   - stage1_fused_seq (round-1 sequential layout)
-  v4    - stage1_fused_v4 row_scan=tril
-  v4r   - stage1_fused_v4 row_scan=roll
+  v3    - stage1_fused (fold layout, production scan)
+  seq   - stage1_fused_seq (round-1 sequential kernel, kept as A/B)
+  v4    - stage1_fused_v4 (production sequential kernel)
   cls22 - round-1 classify only (4x swar_eq) -> VPU calibration
   cls18 - shared-subexpression classify only -> VPU calibration
-  prep  - cls18 + nibble compress + bf16 convert (v4's full-width work)
+  prep  - cls18 + nibble compress (v4's full-width prep)
+  mm1/pack1/pack1slice/pack2/px/lane/v4full - pack/scan stage cuts of
+          the abandoned packed-domain design (kept for the record)
   sol   - streaming reduce speed-of-light
 
 Usage: python tools/ablate2.py v3:512 v4:512 v4r:512 ...
