@@ -63,12 +63,21 @@ class StreamingIndexBuilder:
         self,
         dialect: Dialect = DEFAULT_DIALECT,
         backend: str = "auto",
+        pipeline_depth: int = 2,
     ):
         self._dialect = dialect
         self._backend = backend
-        self._parity = 0
+        self._parity = 0  # int, or a device scalar while pipelining
         self._offset = 0
         self._parts = [np.zeros(1, dtype=np.int64)]  # sentinel
+        # device-path pipeline: scans are LAUNCHED per feed() with the
+        # quote-parity carry chained ON DEVICE (no host sync per chunk);
+        # host-side offset extraction lags `pipeline_depth` chunks behind
+        # so the next chunk's transfer+scan overlaps this chunk's extract
+        # (the IO/compute overlap the reference planned but never built,
+        # README.md:17)
+        self._depth = max(pipeline_depth, 1)
+        self._pending = []  # [(packed_device, n_bytes, base_offset, tile)]
 
     def feed(self, chunk: bytes | np.ndarray) -> None:
         from .utils.metrics import GLOBAL as _metrics
@@ -116,11 +125,7 @@ class StreamingIndexBuilder:
             import jax.numpy as jnp
 
             from .ops.stage1_v2 import pad_to_words
-            from .ops.stage1_v3 import (
-                stage1_fused,
-                stage1_swar_xla,
-                unpack_packed_host,
-            )
+            from .ops.stage1_v3 import stage1_fused, stage1_swar_xla
 
             w2d = jnp.asarray(pad_to_words(arr))
             tile = min(512, w2d.shape[0])
@@ -131,32 +136,48 @@ class StreamingIndexBuilder:
                 )
             else:
                 packed, par = stage1_swar_xla(w2d, self._parity, self._dialect)
-            packed_np = np.asarray(packed)
-            self._parity = int(par)
-            try:
-                from . import native
-
-                if native.available():
-                    local = native.extract_offsets_v3(
-                        packed_np, tile, arr.size, base=self._offset
-                    )
-                    if local.size:
-                        self._parts.append(local)
-                    self._offset += arr.size
-                    return
-            except Exception:
-                pass
-            mask = unpack_packed_host(packed_np, arr.size, tile=tile)
-        else:
-            words, n, par = stage1_words(
-                arr, self._dialect, backend, carry_in=self._parity
-            )
-            mask = unpack_words_host(words, n)
+            # chain the parity carry as a DEVICE scalar (async dispatch:
+            # the next chunk's scan launches without waiting), queue the
+            # packed words and extract a lagging chunk on the host
             self._parity = par
+            self._pending.append((packed, arr.size, self._offset, tile))
+            self._offset += arr.size
+            while len(self._pending) > self._depth:
+                self._drain_one()
+            return
+        words, n, par = stage1_words(
+            arr, self._dialect, backend, carry_in=self._parity
+        )
+        mask = unpack_words_host(words, n)
+        self._parity = par
         local = np.flatnonzero(mask).astype(np.int64)
         if local.size:
             self._parts.append(local + self._offset)
         self._offset += arr.size
+
+    def _drain_one(self) -> None:
+        from .ops.stage1_v3 import unpack_packed_host
+
+        packed, n, base, tile = self._pending.pop(0)
+        packed_np = np.asarray(packed)
+        try:
+            from . import native
+
+            if native.available():
+                local = native.extract_offsets_v3(packed_np, tile, n, base=base)
+                if local.size:
+                    self._parts.append(local)
+                return
+        except Exception:
+            pass
+        mask = unpack_packed_host(packed_np, n, tile=tile)
+        local = np.flatnonzero(mask).astype(np.int64)
+        if local.size:
+            self._parts.append(local + base)
+
+    def _drain_all(self) -> None:
+        while self._pending:
+            self._drain_one()
 
     @property
     def bytes_consumed(self) -> int:
@@ -164,9 +185,10 @@ class StreamingIndexBuilder:
 
     @property
     def quote_parity(self) -> int:
-        return self._parity
+        return int(self._parity)
 
     def finish(self) -> np.ndarray:
+        self._drain_all()
         return np.concatenate(self._parts)
 
     # -- checkpoint/resume: an interrupted ingest restarts from the last
@@ -174,8 +196,9 @@ class StreamingIndexBuilder:
     #    (SURVEY.md §5.4 — the reference had nothing here) --
 
     def state_dict(self) -> dict:
+        self._drain_all()
         return {
-            "parity": self._parity,
+            "parity": int(self._parity),
             "offset": self._offset,
             "index_parts": np.concatenate(self._parts),
         }

@@ -99,3 +99,20 @@ def test_build_index_over_2gib():
     want = np.flatnonzero(mask).astype(np.int64) + lo
     np.testing.assert_array_equal(inwin, want)
     assert idx[-1] > 2**31
+
+
+def test_pipelined_device_path_lag_and_state():
+    """The device path keeps the parity carry on device and drains
+    extraction lazily: results and checkpoints must be identical to the
+    synchronous semantics, quote spans crossing chunks included."""
+    inner = "x," * 5000
+    data = f'a,b\n"{inner}end",2\nq,w\n'.encode()
+    b = StreamingIndexBuilder(backend="jnp", pipeline_depth=4)
+    for lo in range(0, len(data), 997):
+        b.feed(data[lo : lo + 997])
+    # mid-stream checkpoint must drain pending device work
+    state = b.state_dict()
+    b2 = StreamingIndexBuilder.from_state(state, backend="jnp")
+    np.testing.assert_array_equal(b2.finish(), golden.structural_index(data))
+    np.testing.assert_array_equal(b.finish(), golden.structural_index(data))
+    assert b.quote_parity == 0
