@@ -1,4 +1,5 @@
-"""Stage-1 v2: the SWAR Pallas kernel (production hot path).
+"""Stage-1 v2: the SWAR Pallas kernel (superseded by v3/v4; kept
+as the documented evolution step and as a differential twin).
 
 v1 (stage1_pallas.py) upcasts every byte to an int32 lane — correct but
 4x the VPU traffic. v2 keeps bytes packed 4-per-lane and classifies with
