@@ -181,3 +181,38 @@ def test_metrics_wired_into_pipeline():
     assert "index_build[golden]" in names and "streaming_chunk" in names
     assert GLOBAL.stages["streaming_chunk"].bytes == 8
     GLOBAL.reset()
+
+
+def test_zero_record_serving():
+    """Header-only files (zero data records) serve cleanly through every
+    device path: empty gathers, empty typed parses, empty decode."""
+    from csv_simd_tpu.offsetfree import PackedDeviceTape
+
+    data = b"a,b,c\n"
+    t = create_from_bytes(data, backend="golden")
+    dt = DeviceTape.from_tape(t)
+    out, ln, v = dt.gather_column(0)
+    assert out.shape[0] == 0 and dt.to_host_lists(out, ln, v) == []
+    vals, ok = dt.column_int32(0)
+    assert vals.shape == (0,)
+    assert dt.column_decoded(0) == []
+    pt = PackedDeviceTape(data)
+    assert pt.num_data_records == 0
+    o2, l2, v2 = pt.gather_column(1)
+    assert o2.shape[0] == 0
+
+
+def test_cli_decode_and_packed_format(csv_file, tmp_path):
+    from csv_simd_tpu.__main__ import main
+
+    out = tmp_path / "seq.npz"
+    assert main([
+        "--backend", "golden", "index", str(csv_file),
+        "-o", str(out), "--format", "packed_seq",
+    ]) == 0
+    assert main([
+        "serve", str(csv_file), "--from-index", str(out), "0", "0",
+    ]) == 0
+    assert main([
+        "--backend", "golden", "--decode", "field", str(csv_file), "0", "0",
+    ]) == 0
