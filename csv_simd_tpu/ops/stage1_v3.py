@@ -158,7 +158,7 @@ def stage1_fused(
         # data is device-varying; align them so the vma checker passes
         def _align(x):
             missing = tuple(a for a in vma if a not in jax.typeof(x).vma)
-            return jax.lax.pvary(x, missing) if missing else x
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
 
         triu, tril, carry_arr = _align(triu), _align(tril), _align(carry_arr)
 

@@ -181,7 +181,7 @@ def stage1_fused_v4(
         # shard_map (see stage1_fused)
         def _align(x):
             missing = tuple(a for a in vma if a not in jax.typeof(x).vma)
-            return jax.lax.pvary(x, missing) if missing else x
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
 
         triu, tril, wlo, whi, carry_arr = (
             _align(triu), _align(tril), _align(wlo), _align(whi),
