@@ -97,7 +97,9 @@ def _stage1_v3_kernel(
     x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
     sf, qf = _classify(x, dialect)
     p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
-    wp = swar_word_parity(p_in)               # (T, 128) 0/1 word parity
+    # word parity kept in 0/-1 sign form (saves the &1): parities are
+    # only ever consumed mod 2 and (-k) & 1 == k & 1
+    wp = p_in >> 31                           # (T, 128) 0/-1
 
     wp8 = wp.astype(jnp.int8)
     lane_excl = jax.lax.dot_general(          # words before, same row

@@ -92,7 +92,8 @@ def _stage1_v4_kernel(
     carry_sm[1] = na
     nonascii_ref[0, 0] = na
     p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
-    wp = (p_in >> 31) & 1                     # (T, 128) word parity
+    # 0/-1 sign form: parities are only consumed mod 2, (-k)&1 == k&1
+    wp = p_in >> 31                           # (T, 128) 0/-1
     lane_excl = jax.lax.dot_general(          # words before, same row
         wp.astype(jnp.int8), triu_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
