@@ -89,12 +89,41 @@ def main(argv=None) -> int:
     sp.add_argument("record", type=int)
     sp.add_argument("field", type=int)
 
+    sp = sub.add_parser(
+        "json-index",
+        help="JSON structural offsets + nesting depths (escape-aware)",
+    )
+    sp.add_argument("file")
+    sp.add_argument("--limit", type=int, default=30)
+
     args = p.parse_args(argv)
 
     from . import create
     from .errors import StructureError
 
     try:
+        if args.cmd == "json-index":
+            import numpy as np
+
+            from .experiments.json_device import (
+                json_depths_device,
+                json_structural_index_device,
+            )
+
+            with open(args.file, "rb") as f:
+                raw = f.read()
+            offs = json_structural_index_device(raw)
+            import jax.numpy as jnp
+
+            _m, depth = json_depths_device(
+                jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
+            )
+            depth = np.asarray(depth)
+            print(f"{len(offs)} structural chars")
+            for o in offs[: args.limit]:
+                ch = chr(raw[o])
+                print(f"  @{int(o):>8d} {ch!r} depth={int(depth[o])}")
+            return 0
         if args.cmd == "serve":
             from .artifact import load_tape
 

@@ -216,3 +216,13 @@ def test_cli_decode_and_packed_format(csv_file, tmp_path):
     assert main([
         "--backend", "golden", "--decode", "field", str(csv_file), "0", "0",
     ]) == 0
+
+
+def test_cli_json_index(tmp_path, capsys):
+    from csv_simd_tpu.__main__ import main
+
+    p = tmp_path / "t.json"
+    p.write_bytes(b'{"a": [1, {"b": "x,]"}], "c": 2}')
+    assert main(["json-index", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "structural chars" in out and "depth=" in out
