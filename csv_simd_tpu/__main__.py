@@ -29,6 +29,9 @@ class _DecodedCli:
     def __getattr__(self, name):
         return getattr(self._tape, name)
 
+    def __repr__(self):
+        return repr(self._tape)
+
     def seek_field(self, r, f):
         return self._view.seek_field(r, f)
 
@@ -134,6 +137,19 @@ def main(argv=None) -> int:
             print(val.decode("utf-8", "replace") if val is not None else "<out of range>")
             return 0
 
+        if args.cmd == "index" and args.format == "packed_seq":
+            # build the packed artifact directly — no offsets tape needed
+            from .offsetfree import PackedDeviceTape
+
+            with open(args.file, "rb") as f:
+                raw = f.read()
+            pt = PackedDeviceTape(raw)
+            pt.save(args.out)
+            print(
+                f"wrote {args.out}: packed_seq bitmask, "
+                f"{int(pt.record_cnt)} records"
+            )
+            return 0
         tape = create(
             args.file, backend=args.backend, validate_utf8=args.validate_utf8
         )
@@ -155,22 +171,10 @@ def main(argv=None) -> int:
             for v in tape.column(args.field)[: args.limit]:
                 print(v.decode("utf-8", "replace"))
         elif args.cmd == "index":
-            if args.format == "packed_seq":
-                from .offsetfree import PackedDeviceTape
+            from .artifact import save_tape
 
-                with open(args.file, "rb") as f:
-                    raw = f.read()
-                pt = PackedDeviceTape(raw)
-                pt.save(args.out)
-                print(
-                    f"wrote {args.out}: packed_seq bitmask, "
-                    f"{int(pt.record_cnt)} records"
-                )
-            else:
-                from .artifact import save_tape
-
-                save_tape(tape, args.out)
-                print(f"wrote {args.out}: {len(tape.index)} index entries")
+            save_tape(tape, args.out)
+            print(f"wrote {args.out}: {len(tape.index)} index entries")
     except StructureError as e:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return 1

@@ -104,7 +104,9 @@ def load_tape(path: str | os.PathLike, data: bytes) -> Tape:
     """Reconstruct a serving Tape from an artifact + the original bytes.
 
     Raises InvalidState if the bytes don't match the artifact fingerprint
-    (size + head/tail hash) — a stale index must not silently mis-serve.
+    (full-content sha256 since round 2 — artifacts written by older
+    head/tail-hash builds are refused and must be re-indexed) — a stale
+    index must not silently mis-serve.
     """
     try:
         z = np.load(path, allow_pickle=False)
@@ -112,7 +114,10 @@ def load_tape(path: str | os.PathLike, data: bytes) -> Tape:
         raise IoError(str(e)) from e
     meta = _load_meta(z)
     if meta["n_bytes"] != len(data) or meta["fingerprint"] != _fingerprint(data):
-        raise InvalidState("index artifact does not match these bytes")
+        raise InvalidState(
+            "index artifact does not match these bytes (stale data, or an "
+            "artifact from a pre-full-hash build — re-index to refresh)"
+        )
     header = Header(
         names=list(meta["names"]),
         new_line=NewLine(meta["new_line"]),

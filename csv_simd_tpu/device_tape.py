@@ -153,11 +153,17 @@ class DeviceTape:
                        dialect=None, trim: bool = True):
         """Batched gather + device stage-2 decode (trim/unquote/`""`
         unescape as a compaction gather — decode.decode_field semantics,
-        all on device). Returns (bytes, lengths, valid)."""
+        all on device). Returns (bytes, lengths, valid).
+
+        Raises if any requested field is longer than max_len: decoding a
+        truncated window would silently return wrong bytes (the closing
+        quote may fall outside it), so unlike raw gathers there is no
+        opt-in prefix mode — re-gather with a larger max_len."""
         from .config import DEFAULT_DIALECT
 
         d = dialect or DEFAULT_DIALECT
         out, lengths, valid = self.gather_fields(records, fields, max_len)
+        _check_not_truncated(lengths, valid, max_len)
         spaces = (d.space, 0x09) if trim else ()
         return _decode_fields(out, lengths, valid, d.quote, spaces)
 
@@ -194,6 +200,21 @@ class DeviceTape:
         v[: raw.size] = raw
         hits = _filter_equals(out, lengths, valid, jnp.asarray(v), len(value))
         return np.flatnonzero(np.asarray(hits)).astype(np.int32)
+
+
+def _check_not_truncated(lengths, valid, max_len: int) -> None:
+    """Host-side guard: raise if any valid field's true length exceeds
+    the gathered window (used by decode paths where a truncated window
+    would produce silently-wrong output rather than a clean prefix)."""
+    ln = np.asarray(lengths)
+    v = np.asarray(valid)
+    cut = np.flatnonzero(v & (ln > max_len))
+    if cut.size:
+        raise ValueError(
+            f"gather window truncates {cut.size} field(s) (first at row "
+            f"{int(cut[0])}: length {int(ln[cut[0]])} > max_len {max_len}); "
+            "decode needs the whole field — re-gather with a larger max_len"
+        )
 
 
 def _to_host_lists(out, lengths, valid, allow_truncated=False) -> list:
@@ -236,7 +257,7 @@ def _parse_int32(out, lengths, valid):
     digit = b - 0x30
     good_digit = (digit >= 0) & (digit <= 9)
     # every position from dstart to length must be a digit
-    ok = valid & (lengths > dstart) & jnp.all(
+    ok = valid & (lengths > dstart) & (lengths <= max_len) & jnp.all(
         ~is_digit_pos | good_digit, axis=1
     )
 
@@ -293,7 +314,7 @@ def _parse_float32(out, lengths, valid):
         jnp.where(is_dot & in_field, pos, max_len), axis=1
     )
     body = (pos >= dstart[:, None]) & in_field
-    ok = valid & (lengths > dstart) & (dot_count <= 1) & jnp.all(
+    ok = valid & (lengths > dstart) & (lengths <= max_len) & (dot_count <= 1) & jnp.all(
         ~body | good_digit | (is_dot & (dot_count[:, None] == 1)), axis=1
     )
 
@@ -422,7 +443,9 @@ def _parse_float32_exp(out, lengths, valid):
         & (lengths > eds)
         & jnp.all(~e_body | good_digit, axis=1)
     )
-    ok = valid & mant_ok & e_ok
+    # a field longer than the gather window would parse its PREFIX
+    # cleanly (e.g. the exponent cut off) — never report ok on it
+    ok = valid & mant_ok & e_ok & (lengths <= max_len)
 
     def step(carry, j):
         v, scale, ev = carry

@@ -248,10 +248,11 @@ class PackedDeviceTape:
                        dialect=None, trim: bool = True):
         """Gather + device stage-2 decode (see DeviceTape.gather_decoded)."""
         from .config import DEFAULT_DIALECT
-        from .device_tape import _decode_fields
+        from .device_tape import _check_not_truncated, _decode_fields
 
         d = dialect or DEFAULT_DIALECT
         out, lengths, valid = self.gather_fields(records, fields, max_len)
+        _check_not_truncated(lengths, valid, max_len)
         spaces = (d.space, 0x09) if trim else ()
         return _decode_fields(out, lengths, valid, d.quote, spaces)
 

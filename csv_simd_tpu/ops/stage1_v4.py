@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_DIALECT, Dialect
 from .swar import (
-    _classify_parts,
+    swar_classify_su_q80,
     swar_prefix_xor_bytes,
 )
 
@@ -80,15 +80,13 @@ def _stage1_v4_kernel(
         carry_sm[1] = 0
 
     x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
-    ts, tq, xh = _classify_parts(
+    us, qf = swar_classify_su_q80(
         x, dialect.newlines + (dialect.delimiter,), dialect.quote
     )
-    us = (~(ts | xh) >> 7) & _ONES
-    qf = ~(tq | xh) & _HI1
-    # fused non-ASCII detection: xh is already computed by classify, so
-    # UTF-8's fast path (is_ascii, reader.rs:36) costs one popcount
-    # reduce — validation is free at scan time for ASCII data
-    na = carry_sm[1] + jnp.sum(jax.lax.population_count(xh))
+    # fused non-ASCII detection: the high-bit mask is a classify
+    # intermediate for ASCII dialects, so UTF-8's fast path (is_ascii,
+    # reader.rs:36) costs one popcount reduce at scan time
+    na = carry_sm[1] + jnp.sum(jax.lax.population_count(x & _HI1))
     carry_sm[1] = na
     nonascii_ref[0, 0] = na
     p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity

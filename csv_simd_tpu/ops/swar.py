@@ -81,9 +81,17 @@ def swar_classify_su_q80(
 ) -> tuple:
     """Classify for the seq-pack kernel: structural flags in 0x01 form
     (feeding the nibble compress) and quote flags in 0x80 form (feeding
-    the prefix-XOR scan)."""
-    ts, tq, xh = _classify_parts(x, structural, quote)
-    return (~(ts | xh) >> 7) & _ONES, ~(tq | xh) & _HI1
+    the prefix-XOR scan). Falls back to the independent exact detectors
+    when any target byte is >= 0x80 (the shared low-7 trick assumes
+    ASCII targets)."""
+    if quote < 0x80 and all(c < 0x80 for c in structural):
+        ts, tq, xh = _classify_parts(x, structural, quote)
+        return (~(ts | xh) >> 7) & _ONES, ~(tq | xh) & _HI1
+    sf = None
+    for c in structural:
+        e = swar_eq(x, c)
+        sf = e if sf is None else sf | e
+    return (sf >> 7) & _ONES, swar_eq(x, quote)
 
 
 def swar_classify_u(

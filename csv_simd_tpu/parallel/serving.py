@@ -10,11 +10,12 @@ live on another device is fetched over ICI without any manual routing
 
 from __future__ import annotations
 
-from typing import Tuple
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..device_tape import _gather_fields
@@ -76,6 +77,100 @@ class ShardedTape:
         return _to_host_lists(out, lengths, valid, allow_truncated)
 
 
+def _sharded_serve_fn(data_loc, words_loc, cum, records, fields, jump,
+                      field_cnt, record_cnt, *, shard_rows: int,
+                      max_len: int):
+    """Per-shard body of the offsets-free sharded serve (runs inside
+    shard_map). All byte addressing is (global row int32, in-row offset
+    0..511) pairs — shard-LOCAL flat positions stay < 2 GiB regardless
+    of total corpus size, which is what lets this path serve beyond the
+    int32 byte-position ceiling of the single-device tape. Word rows and
+    byte windows are fetched from the owning shard and combined with a
+    psum (zeros elsewhere) — the collective-gather serving of SURVEY
+    §5.8 (iii), explicit."""
+    from ..offsetfree import _select_bit
+
+    my = jax.lax.axis_index(AXIS)
+    valid = (
+        (records >= 0) & (records + 1 < record_cnt)
+        & (fields >= 0) & (fields < field_cnt)
+    )
+    r = jnp.where(valid, records, 0)
+    f = jnp.where(valid, fields, 0)
+    slots = (r + 1) * jump + f
+    ks = jnp.concatenate([slots - 1, slots])  # start bit, end bit
+
+    # replicated math: global row + rank within row
+    row = jnp.searchsorted(cum, ks, side="right").astype(jnp.int32)
+    excl_row = jnp.where(row > 0, cum[jnp.maximum(row - 1, 0)], 0)
+    j = (ks - excl_row).astype(jnp.int32)
+
+    # the 16 words of each hit row come from the owning shard
+    owner = row // shard_rows
+    lrow = row - owner * shard_rows
+    mine = owner == my
+    wrow_local = words_loc[jnp.where(mine, lrow, 0)]  # (2N, 16)
+    wrow = jax.lax.psum(
+        jnp.where(mine[:, None], wrow_local, 0), AXIS
+    )
+
+    pc = jax.lax.population_count(wrow)
+    wcum = jnp.cumsum(pc, axis=1)
+    g = jnp.sum((wcum <= j[:, None]).astype(jnp.int32), axis=1)
+    excl_word = jnp.where(
+        g > 0,
+        jnp.take_along_axis(wcum, jnp.maximum(g - 1, 0)[:, None], axis=1)[:, 0],
+        0,
+    )
+    w = jnp.take_along_axis(wrow, g[:, None], axis=1)[:, 0]
+    inrow = g * 32 + _select_bit(w, j - excl_word)  # 0..511 within row
+
+    n = slots.shape[0]
+    # field byte range: start = pos(slot-1)+1, end = pos(slot), as
+    # (row, offset) pairs — never a flat global position
+    srow, soff = row[:n], inrow[:n] + 1
+    carry = soff >> 9
+    srow, soff = srow + carry, soff & 511
+    erow, eoff = row[n:], inrow[n:]
+    lengths = jnp.where(valid, (erow - srow) * 512 + (eoff - soff), 0)
+
+    k = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    off = soff[:, None] + k
+    brow = srow[:, None] + (off >> 9)
+    boff = off & 511
+    in_range = (brow < erow[:, None]) | (
+        (brow == erow[:, None]) & (boff < eoff[:, None])
+    )
+    in_mine = (brow >= my * shard_rows) & (brow < (my + 1) * shard_rows)
+    lpos = (brow - my * shard_rows) * 512 + boff
+    lpos = jnp.clip(lpos, 0, data_loc.shape[0] - 1)
+    got = jnp.where(
+        in_mine & in_range & valid[:, None],
+        data_loc[lpos],
+        jnp.uint8(0),
+    )
+    out = jax.lax.psum(got.astype(jnp.int32), AXIS).astype(jnp.uint8)
+    return out, lengths, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "shard_rows", "max_len"),
+)
+def _serve_packed_sharded(data, words, cum, records, fields, jump,
+                          field_cnt, record_cnt, mesh: Mesh,
+                          shard_rows: int, max_len: int):
+    fn = shard_map(
+        functools.partial(
+            _sharded_serve_fn, shard_rows=shard_rows, max_len=max_len
+        ),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS, None), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    return fn(data, words, cum, records, fields, jump, field_cnt, record_cnt)
+
+
 def _packed_seq_meta(header, n_bytes, fingerprint):
     return dict(
         magic="csv-simd-tpu-index", version=1, encoding="packed_seq",
@@ -125,6 +220,12 @@ class ShardedPackedTape:
 
         w2d = pad_words_for_mesh(arr, n_shards)
         rows = w2d.shape[0]
+        if (rows // n_shards) * 512 >= 2**31:
+            raise ValueError(
+                "each SHARD must stay under 2 GiB for int32-local byte "
+                f"addressing: {rows * 512 / 2**30:.1f} GiB over {n_shards} "
+                "shard(s) — use a larger mesh"
+            )
         w_dev = _jax.device_put(
             jnp.asarray(w2d), NamedSharding(mesh, P(AXIS, None))
         )
@@ -143,6 +244,11 @@ class ShardedPackedTape:
             jnp.asarray(datap), NamedSharding(mesh, P(AXIS))
         )
         count = int(total)
+        if count < 0:
+            raise ValueError(
+                "structural count overflows int32 (> ~2.1e9 entries); "
+                "split the corpus across files (corpus_api.CsvCorpus)"
+            )
         jump = self.header.field_cnt + (
             1 if self.header.new_line is NewLine.CRLF else 0
         )
@@ -156,14 +262,15 @@ class ShardedPackedTape:
         self.field_cnt = jnp.int32(self.header.field_cnt)
         self.record_cnt = jnp.int32(record_cnt)
         self.num_data_records = max(record_cnt - 1, 0)
+        self.mesh = mesh
+        self.shard_rows = rows // n_shards
 
     def gather_fields(self, records, fields, max_len: int = 64):
-        from ..offsetfree import _serve
-
-        return _serve(
+        return _serve_packed_sharded(
             self.data, self.words, self.cum_incl,
             jnp.asarray(records, jnp.int32), jnp.asarray(fields, jnp.int32),
-            self.jump, self.field_cnt, self.record_cnt, max_len,
+            self.jump, self.field_cnt, self.record_cnt,
+            self.mesh, self.shard_rows, max_len,
         )
 
     def save(self, path) -> None:

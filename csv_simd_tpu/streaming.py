@@ -93,8 +93,7 @@ class StreamingIndexBuilder:
             self._feed_inner(arr)
 
     def _feed_inner(self, arr: np.ndarray) -> None:
-        from .index import _have_tpu, _resolve_backend, stage1_words
-        from .ops.pack import unpack_words_host
+        from .index import _have_tpu, _resolve_backend
 
         backend = _resolve_backend(self._backend)
         if backend == "golden":
@@ -121,39 +120,30 @@ class StreamingIndexBuilder:
                 self._parts.append(local + self._offset)
             self._offset += arr.size
             return
-        if backend in ("pallas", "jnp"):
-            import jax.numpy as jnp
+        # backend is pallas or jnp from here (resolve_backend rejects
+        # anything else; golden/native returned above)
+        import jax.numpy as jnp
 
-            from .ops.stage1_v2 import pad_to_words
-            from .ops.stage1_v3 import stage1_fused, stage1_swar_xla
+        from .ops.stage1_v2 import pad_to_words
+        from .ops.stage1_v3 import stage1_fused, stage1_swar_xla
 
-            w2d = jnp.asarray(pad_to_words(arr))
-            tile = min(512, w2d.shape[0])
-            if backend == "pallas":
-                packed, par = stage1_fused(
-                    w2d, self._parity, self._dialect,
-                    interpret=not _have_tpu(),
-                )
-            else:
-                packed, par = stage1_swar_xla(w2d, self._parity, self._dialect)
-            # chain the parity carry as a DEVICE scalar (async dispatch:
-            # the next chunk's scan launches without waiting), queue the
-            # packed words and extract a lagging chunk on the host
-            self._parity = par
-            self._pending.append((packed, arr.size, self._offset, tile))
-            self._offset += arr.size
-            while len(self._pending) > self._depth:
-                self._drain_one()
-            return
-        words, n, par = stage1_words(
-            arr, self._dialect, backend, carry_in=self._parity
-        )
-        mask = unpack_words_host(words, n)
+        w2d = jnp.asarray(pad_to_words(arr))
+        tile = min(512, w2d.shape[0])
+        if backend == "pallas":
+            packed, par = stage1_fused(
+                w2d, self._parity, self._dialect,
+                interpret=not _have_tpu(),
+            )
+        else:
+            packed, par = stage1_swar_xla(w2d, self._parity, self._dialect)
+        # chain the parity carry as a DEVICE scalar (async dispatch:
+        # the next chunk's scan launches without waiting), queue the
+        # packed words and extract a lagging chunk on the host
         self._parity = par
-        local = np.flatnonzero(mask).astype(np.int64)
-        if local.size:
-            self._parts.append(local + self._offset)
+        self._pending.append((packed, arr.size, self._offset, tile))
         self._offset += arr.size
+        while len(self._pending) > self._depth:
+            self._drain_one()
 
     def _drain_one(self) -> None:
         from .ops.stage1_v3 import unpack_packed_host

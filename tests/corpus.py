@@ -110,6 +110,20 @@ def basic_cases() -> List[Case]:
             _table([["a", "b", "c"], ["", "", ""], ["1", "", "3"]]),
         )
     )
+    cases.append(
+        Case(
+            # round 2: pins the kernels' word-parity carry arithmetic
+            # (sign-form parities, carry folded into the row column) —
+            # dense quote pairs make per-word/row parity counts large
+            # and odd across word, row and tile boundaries
+            "dense_quote_parity_carry",
+            b"a,b\n"
+            + b"".join(
+                b'"%s",%d\n' % (b'x"' b'"y' * (3 + i % 5), i)
+                for i in range(700)
+            ),
+        )
+    )
     return cases
 
 

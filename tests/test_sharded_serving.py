@@ -142,3 +142,36 @@ def test_sharded_packed_save_crossloads(tmp_path, packed_setup):
     assert vals == [tape.seek_field(0, 1), tape.seek_field(5, 2)]
     host = load_tape(p, data)
     assert host.seek_field(0, 1) == tape.seek_field(0, 1)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("CSV_SIMD_BIG_TESTS"),
+    reason="2.5 GiB sharded serving is slow; set CSV_SIMD_BIG_TESTS=1",
+)
+def test_sharded_packed_serves_past_2gib():
+    """The flagship claim, proven: ShardedPackedTape serves fields whose
+    bytes live beyond the 2^31 byte line (shard-local int32 addressing —
+    a flat int32 position would have wrapped negative)."""
+    from csv_simd_tpu.parallel.serving import ShardedPackedTape
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    # uniform 64-byte records -> easy oracle arithmetic
+    header = b"a,b\n"
+    payload = b"x" * 57
+    n_rows = (2**31 + (1 << 26)) // 64
+    one = payload + b",00042\n"
+    assert len(one) == 64
+    data = header + one * n_rows
+    assert len(data) > 2**31
+    st = ShardedPackedTape(data, make_mesh(8), use_pallas=False)
+    assert int(st.record_cnt) == n_rows + 1
+    # a record whose bytes start beyond 2^31
+    far = (2**31 - len(header)) // 64 + 10
+    start = len(header) + far * 64
+    assert start + 64 > 2**31
+    out, ln, v = st.gather_fields(
+        np.array([far - 1, far - 1]), np.array([0, 1]), max_len=64
+    )
+    vals = st.to_host_lists(out, ln, v)
+    assert vals[0] == payload and vals[1] == b"00042", vals

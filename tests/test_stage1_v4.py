@@ -74,3 +74,19 @@ def test_v4_corpus(case):
     np.testing.assert_array_equal(
         mask, golden.structural_mask(arr), err_msg=case.name
     )
+
+
+def test_v4_emit_counts():
+    """Fused per-row popcounts match a popcount over the packed words
+    and the packed output is unchanged by the extra output."""
+    import jax
+
+    data = _rand(200_000, seed=9)
+    w2d = jnp.asarray(pad_to_words(data))
+    ref, _p = stage1_seq_xla(w2d, 0)
+    got, _p2, _na, cnt = stage1_fused_v4(
+        w2d, 0, interpret=True, emit_counts=True
+    )
+    assert bool(jnp.array_equal(ref, got))
+    want = np.asarray(jax.lax.population_count(ref)).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(cnt)[:, 0], want)
