@@ -1,12 +1,17 @@
 """Cross-shard serving: batched field gathers over sharded bytes.
 
-The bytes stay sharded across the mesh exactly as the index build left
-them (P("data")); the structural index — ~1/6 the size of the data, and
-needed in full for slot arithmetic — is replicated. Lookups are the same
-fixed-shape gather as device_tape._gather_fields; XLA's sharding
-propagation inserts the cross-shard collectives so a query whose bytes
-live on another device is fetched over ICI without any manual routing
-(SURVEY.md §5.8 (iii))."""
+Two tapes, one contract (SURVEY.md §5.8 (iii)):
+
+- ShardedTape: bytes sharded, int32 OFFSETS index replicated (~4 B per
+  structural char per device). Lookups reuse device_tape's gather; XLA
+  sharding propagation inserts the cross-shard collectives. Capped at
+  2 GiB by the replicated int32 index.
+- ShardedPackedTape: the offsets-free production path — packed seq
+  bitmask AND bytes sharded, only the row popcount prefix replicated.
+  Serving is an explicit shard_map kernel addressing bytes as (global
+  row, in-row offset) pairs with shard-local int32 positions, so it
+  serves corpora far past the 2 GiB flat-int32 line (each SHARD must
+  stay under 2 GiB; structural count < 2^31)."""
 
 from __future__ import annotations
 

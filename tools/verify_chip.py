@@ -86,6 +86,25 @@ def main():
     )[: data.size]
     assert (m_seq == ref).all(), "sharded seq path != golden"
     print("sharded_stage1(layout='seq') on 1-chip mesh: OK")
+
+    # compiled offsets-free sharded SERVING (build + shard_map gather)
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.parallel.serving import ShardedPackedTape
+
+    csv = b"a,b,c\n" + b"".join(
+        b'%d,"v,%d",w%d\n' % (i, i * 7, i) for i in range(500)
+    )
+    tape = create_from_bytes(csv, backend="golden")
+    st = ShardedPackedTape(
+        csv, mesh, use_pallas=compiled, interpret=not compiled
+    )
+    recs = np.array([0, 123, 499 - 1, 7])
+    flds = np.array([1, 2, 0, 1])
+    out, ln, v = st.gather_fields(recs, flds, max_len=24)
+    vals = st.to_host_lists(out, ln, v)
+    want = [tape.seek_field(int(r), int(f)) for r, f in zip(recs, flds)]
+    assert vals == want, (vals, want)
+    print("ShardedPackedTape compiled serve on 1-chip mesh: OK")
     print("ALL ON-HARDWARE CHECKS PASSED")
 
 
