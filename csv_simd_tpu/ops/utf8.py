@@ -96,18 +96,36 @@ def validate_utf8_device(arr) -> bool:
 
     @jax.jit
     def _check(a):
+        # direct range logic instead of the 3 nibble LUTs: per-element
+        # table gathers lower catastrophically on TPU (the same trap as
+        # `nonzero`), while these ~20 vectorised compares run at memory
+        # speed. Conditions are RFC 3629 verbatim; equivalence with the
+        # LUT construction is pinned by the differential tests.
         cur = a.astype(jnp.int32)
 
         def shift(k):
             return jnp.pad(cur, (k, 0))[:n]
 
-        prev1, prev2, prev3 = shift(1), shift(2), shift(3)
-        t1h = jnp.asarray(_T1H.astype(np.int32))
-        t1l = jnp.asarray(_T1L.astype(np.int32))
-        t2h = jnp.asarray(_T2H.astype(np.int32))
-        sc = t1h[prev1 >> 4] & t1l[prev1 & 0xF] & t2h[cur >> 4]
-        must23 = ((prev2 >= 0xE0) | (prev3 >= 0xF0)).astype(jnp.int32) * TWO_CONTS
-        errs = jnp.sum((sc ^ must23) != 0)
+        p1, p2, p3 = shift(1), shift(2), shift(3)
+        is_cont = (cur & 0xC0) == 0x80
+        lead2 = (p1 & 0xE0) == 0xC0
+        lead3 = (p1 & 0xF0) == 0xE0
+        lead4 = (p1 & 0xF8) == 0xF0
+        lead3_2 = (p2 & 0xF0) == 0xE0
+        lead4_2 = (p2 & 0xF8) == 0xF0
+        lead4_3 = (p3 & 0xF8) == 0xF0
+        must_cont = lead2 | lead3 | lead4 | lead3_2 | lead4_2 | lead4_3
+        bad_cont = is_cont != must_cont
+        # overlong / surrogate / out-of-range at the first continuation
+        bad_first = (
+            ((p1 == 0xC0) | (p1 == 0xC1))                      # overlong 2B
+            | ((p1 == 0xE0) & (cur < 0xA0) & is_cont)          # overlong 3B
+            | ((p1 == 0xED) & (cur >= 0xA0) & is_cont)         # surrogate
+            | ((p1 == 0xF0) & (cur < 0x90) & is_cont)          # overlong 4B
+            | ((p1 == 0xF4) & (cur >= 0x90) & is_cont)         # > U+10FFFF
+            | (p1 >= 0xF5)                                     # invalid lead
+        )
+        errs = jnp.sum(bad_cont | bad_first)
         # truncated multi-byte sequence at the buffer end
         tail = (
             (a[n - 1] >= 0xC0).astype(jnp.int32)

@@ -305,6 +305,19 @@ class ShardedPackedTape:
             max_len,
         )
 
+    def gather_decoded(self, records, fields, max_len: int = 64,
+                       dialect=None, trim: bool = True):
+        """Sharded gather + device stage-2 decode (the decode runs on
+        the replicated gather result; see DeviceTape.gather_decoded)."""
+        from ..config import DEFAULT_DIALECT
+        from ..device_tape import _check_not_truncated, _decode_fields
+
+        d = dialect or DEFAULT_DIALECT
+        out, lengths, valid = self.gather_fields(records, fields, max_len)
+        _check_not_truncated(lengths, valid, max_len)
+        spaces = (d.space, 0x09) if trim else ()
+        return _decode_fields(out, lengths, valid, d.quote, spaces)
+
     def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
         from ..device_tape import _to_host_lists
 

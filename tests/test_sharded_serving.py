@@ -175,3 +175,15 @@ def test_sharded_packed_serves_past_2gib():
     )
     vals = st.to_host_lists(out, ln, v)
     assert vals[0] == payload and vals[1] == b"00042", vals
+
+
+def test_sharded_packed_gather_decoded(packed_setup):
+    from csv_simd_tpu.decode import DecodedView
+
+    tape, st = packed_setup
+    view = DecodedView(tape)
+    recs = np.array([0, 3, 10])
+    flds = np.array([1, 1, 2])
+    out, ln, v = st.gather_decoded(recs, flds, max_len=48)
+    vals = st.to_host_lists(out, ln, v)
+    assert vals == [view.seek_field(int(r), int(f)) for r, f in zip(recs, flds)]
