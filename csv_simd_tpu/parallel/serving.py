@@ -199,7 +199,8 @@ class ShardedPackedTape:
     owning shard with XLA-inserted collectives (SURVEY.md §5.8 (iii))."""
 
     def __init__(self, data: bytes | np.ndarray, mesh: Mesh,
-                 dialect=None, use_pallas=None, interpret=None):
+                 dialect=None, use_pallas=None, interpret=None,
+                 validate_utf8: bool = False):
         import jax as _jax
 
         from ..config import DEFAULT_DIALECT
@@ -269,6 +270,11 @@ class ShardedPackedTape:
         self.num_data_records = max(record_cnt - 1, 0)
         self.mesh = mesh
         self.shard_rows = rows // n_shards
+        if validate_utf8:
+            from ..ops.utf8 import validate_utf8_device
+
+            if not validate_utf8_device(arr):
+                raise InvalidCsvFormat("input is not valid UTF-8")
 
     def gather_fields(self, records, fields, max_len: int = 64):
         return _serve_packed_sharded(
