@@ -28,6 +28,29 @@ from ..offsetfree import fast_cumsum_i32
 _STRUCTURAL = tuple(b"{}[]:,")
 
 
+def fast_cummax_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix-MAX of a 1-D int32 array (values >= -1) via the
+    same hierarchical (rows, 512) log-step construction as
+    fast_cumsum_i32 — `lax.associative_scan` over tens of millions of
+    elements unrolls into an XLA graph that takes minutes to compile on
+    TPU; this compiles in seconds and runs at memory speed."""
+    n = x.shape[0]
+    if n <= 2048:
+        return jax.lax.associative_scan(jnp.maximum, x)
+    w = 512
+    rows = -(-n // w)
+    padded = jnp.pad(x, (0, rows * w - n), constant_values=-1).reshape(rows, w)
+    s = 1
+    while s < w:
+        shifted = jnp.pad(padded, ((0, 0), (s, 0)), constant_values=-1)[:, :w]
+        padded = jnp.maximum(padded, shifted)
+        s *= 2
+    tot = padded[:, w - 1]
+    incl = fast_cummax_i32(tot)
+    excl = jnp.pad(incl, (1, 0), constant_values=-1)[:rows]
+    return jnp.maximum(padded, excl[:, None]).reshape(-1)[:n]
+
+
 @jax.jit
 def json_structural_mask_device(arr: jnp.ndarray) -> jnp.ndarray:
     """(n,) uint8 -> (n,) int32 0/1 mask of JSON structural characters
@@ -39,9 +62,7 @@ def json_structural_mask_device(arr: jnp.ndarray) -> jnp.ndarray:
 
     is_bs = b == 0x5C
     prev_bs = jnp.pad(is_bs, (1, 0))[:n]
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_bs & ~prev_bs, pos, -1)
-    )
+    run_start = fast_cummax_i32(jnp.where(is_bs & ~prev_bs, pos, -1))
     rs_prev = jnp.pad(run_start, (1, 0), constant_values=-1)[:n]
     # escaped iff the previous byte ends a backslash run of odd length:
     # length = (i-1) - run_start + 1 odd  <=>  (i-1 - run_start) even
