@@ -74,7 +74,7 @@ def _correctness_gate():
     if not (m3 == ref).all():
         print("FATAL: compiled v3 kernel output != golden", file=sys.stderr)
         sys.exit(1)
-    p4, _, _na = stage1_fused_v4(w2d, 0, row_tile=512)
+    p4, _, _na = stage1_fused_v4(w2d, 0, row_tile=512, count_nonascii=False)
     m4 = np.unpackbits(
         np.ascontiguousarray(np.asarray(p4)).view("<u4").view(np.uint8),
         bitorder="little",
@@ -140,7 +140,11 @@ def main():
     @functools.partial(jax.jit, static_argnames=("k",))
     def build_chain(a, k):
         def body(i, acc):
-            packed, parity, _na = stage1_fused_v4(a, acc & 1, row_tile=1024)
+            # the production PackedDeviceTape config: tile 512, no fused
+            # non-ASCII reduce (validate_utf8 defaults to off)
+            packed, parity, _na = stage1_fused_v4(
+                a, acc & 1, row_tile=512, count_nonascii=False
+            )
             cum = prefix_for_packed(packed)
             return acc + parity + cum[-1] + packed[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))

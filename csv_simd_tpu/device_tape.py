@@ -337,6 +337,85 @@ def _parse_float32(out, lengths, valid):
     return jnp.where(ok, val, jnp.float32(0)), ok
 
 
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _parse_decimal_limbs(out, lengths, valid, scale: int):
+    """Exact fixed-point decimal parse, on device, in three base-1e8
+    int32 limbs (TPU has no native int64; three limbs keep every
+    intermediate < 2^31 while covering the full int64 range).
+
+    Grammar: `[spaces][+|-]digits[.digits]` (also `.5`, `5.`) — no
+    exponent. The parsed number times 10^scale must be an INTEGER with
+    |value| <= ~9.2e18 (int64): `ok` is False for more than `scale`
+    fractional digits (no silent rounding — exactness is the contract),
+    magnitude overflow, and any grammar violation. Returns
+    (hi, mid, lo, neg, ok): value = sign * (hi*1e16 + mid*1e8 + lo).
+    """
+    n, max_len = out.shape
+    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    b = out.astype(jnp.int32)
+    in_field = pos < lengths[:, None]
+    is_space = (b == 0x20) & in_field
+    lead_sp = jnp.cumprod(is_space, axis=1)
+    start = jnp.sum(lead_sp, axis=1)
+    first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
+    has_sign = (first == 0x2D) | (first == 0x2B)
+    neg = first == 0x2D
+    dstart = start + has_sign.astype(jnp.int32)
+    digit = b - 0x30
+    good_digit = (digit >= 0) & (digit <= 9)
+    is_dot = b == 0x2E
+    dot_count = jnp.sum(is_dot & in_field, axis=1)
+    dot_pos = jnp.min(jnp.where(is_dot & in_field, pos, max_len), axis=1)
+    body = (pos >= dstart[:, None]) & in_field
+    digit_at = body & good_digit
+    n_digits = jnp.sum(digit_at, axis=1)
+    frac_cnt = jnp.where(dot_count == 1, lengths - dot_pos - 1, 0)
+    ok = (
+        valid
+        & (lengths > dstart)
+        & (lengths <= max_len)
+        & (dot_count <= 1)
+        & (n_digits >= 1)
+        & (frac_cnt <= scale)
+        & (dot_pos >= dstart)
+        & jnp.all(~body | good_digit | (is_dot & (dot_count[:, None] == 1)),
+                  axis=1)
+    )
+
+    BASE = 10**8
+
+    def mul10_add(carry, d, use):
+        h, m, l, of = carry
+        l2 = l * 10 + d
+        m2 = m * 10 + l2 // BASE
+        h2 = h * 10 + m2 // BASE
+        # h is clamped at 1000 so h*10 stays far below 2^31; anything
+        # past 18 integer digits flags overflow
+        of2 = of | (use & (h2 > 999))
+        h2 = jnp.minimum(h2, 1000)
+        return (
+            jnp.where(use, h2, h),
+            jnp.where(use, m2 % BASE, m),
+            jnp.where(use, l2 % BASE, l),
+            of2,
+        )
+
+    def step(carry, j):
+        return mul10_add(carry, digit[:, j], digit_at[:, j]), None
+
+    zero = jnp.zeros(n, jnp.int32)
+    (h, m, l, of), _ = jax.lax.scan(
+        step, (zero, zero, zero, jnp.zeros(n, bool)), jnp.arange(max_len)
+    )
+    # scale up by 10^(scale - frac_cnt): `scale` masked x10 steps
+    pad = scale - frac_cnt
+    for k in range(scale):
+        h, m, l, of = mul10_add((h, m, l, of), zero, k < pad)
+    # int64 fit: h <= 92 keeps |value| <= 9.21e18 < 2^63-1 either sign
+    ok = ok & ~of & (h <= 92)
+    return h, m, l, neg, ok
+
+
 @functools.partial(jax.jit, static_argnames=("quote", "spaces"))
 def _decode_fields(out, lengths, valid, quote: int, spaces: tuple):
     """Device stage-2: trim -> unquote -> `""`-unescape as a fixed-shape

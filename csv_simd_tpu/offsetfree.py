@@ -153,8 +153,10 @@ class PackedDeviceTape:
         if use_pallas:
             from .ops.stage1_v4 import stage1_fused_v4
 
-            packed, _par, na = stage1_fused_v4(w2d, 0, dialect)
-            self.nonascii_count = na
+            packed, _par, na = stage1_fused_v4(
+                w2d, 0, dialect, count_nonascii=validate_utf8
+            )
+            self.nonascii_count = na if validate_utf8 else None
         else:
             packed, _par = stage1_seq_xla(w2d, 0, dialect)
             self.nonascii_count = None

@@ -233,7 +233,7 @@ def _stage1_seq_kernel(
     masked = sf & ~inq
 
     u = (masked >> 7) & 0x01010101
-    v = (((u * 0x01020408) >> 24) & 0xF).astype(jnp.bfloat16)
+    v = ((u * 0x01020408) >> 24).astype(jnp.bfloat16)
     lo = jax.lax.dot_general(
         v, wlo_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -342,7 +342,7 @@ def stage1_seq_xla(
     rows, lanes = w2d.shape
     masked, parity = _scan_masked(w2d, carry_in, dialect)
     u = (masked >> 7) & 0x01010101
-    v = ((u * 0x01020408) >> 24) & 0xF  # bits b=0..3 -> 0..3
+    v = (u * 0x01020408) >> 24  # bit b of v = byte b's flag (swar proof)
     w3 = v.reshape(rows, 16, 8)
     shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None, :]
     packed = jnp.sum(w3 << shifts, axis=-1, dtype=jnp.int32)

@@ -68,7 +68,7 @@ def _seq_pack_weights16() -> np.ndarray:
 def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
     packed_ref, parity_ref, nonascii_ref, *rest,
-    dialect: Dialect, tile: int, emit_counts: bool,
+    dialect: Dialect, tile: int, emit_counts: bool, count_nonascii: bool,
 ):
     counts_ref = rest[0] if emit_counts else None
     carry_sm = rest[-1]
@@ -83,12 +83,17 @@ def _stage1_v4_kernel(
     us, qf = swar_classify_su_q80(
         x, dialect.newlines + (dialect.delimiter,), dialect.quote
     )
-    # fused non-ASCII detection: the high-bit mask is a classify
-    # intermediate for ASCII dialects, so UTF-8's fast path (is_ascii,
-    # reader.rs:36) costs one popcount reduce at scan time
-    na = carry_sm[1] + jnp.sum(jax.lax.population_count(x & _HI1))
-    carry_sm[1] = na
-    nonascii_ref[0, 0] = na
+    if count_nonascii:
+        # fused non-ASCII detection: the high-bit mask is a classify
+        # intermediate for ASCII dialects, so UTF-8's fast path
+        # (is_ascii, reader.rs:36) costs one popcount reduce at scan
+        # time. Opt out (count_nonascii=False) when the caller won't
+        # validate UTF-8 — the reduce is ~2 full-width ops of ~30.
+        na = carry_sm[1] + jnp.sum(jax.lax.population_count(x & _HI1))
+        carry_sm[1] = na
+        nonascii_ref[0, 0] = na
+    else:
+        nonascii_ref[0, 0] = -1
     p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
     # 0/-1 sign form: parities are only consumed mod 2, (-k)&1 == k&1
     wp = p_in >> 31                           # (T, 128) 0/-1
@@ -106,7 +111,9 @@ def _stage1_v4_kernel(
     inq = p_in ^ (base * _HI1)                # 0x80 in-quote per byte
     masked_u = us & ((~inq >> 7) & _ONES)     # kept structurals, 0x01
 
-    v = ((masked_u * 0x01020408) >> 24) & 0xF  # 4 flag bits per word
+    # 4 flag bits per word; bits 28..31 are provably zero so no & 0xF
+    # (see swar.swar_nibble_compress's proof)
+    v = (masked_u * 0x01020408) >> 24
     vb = v.astype(jnp.bfloat16)
     # NOTE: do NOT "optimize" this into one (128,32) matmul with either
     # an offset lane-slice combine or a pltpu.roll combine: both passed
@@ -140,7 +147,10 @@ def _stage1_v4_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dialect", "row_tile", "interpret", "vma", "emit_counts"),
+    static_argnames=(
+        "dialect", "row_tile", "interpret", "vma", "emit_counts",
+        "count_nonascii",
+    ),
 )
 def stage1_fused_v4(
     w2d: jnp.ndarray,
@@ -150,6 +160,7 @@ def stage1_fused_v4(
     interpret: bool = False,
     vma: tuple = (),
     emit_counts: bool = False,
+    count_nonascii: bool = True,
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count[,
@@ -158,7 +169,9 @@ def stage1_fused_v4(
     bit set (the fused is_ascii — 0 means no further UTF-8 validation
     needed); with emit_counts=True the per-512-byte-row structural
     popcounts come out of the same pass (feeding the offsets-free
-    prefix without re-reading the packed words)."""
+    prefix without re-reading the packed words); with
+    count_nonascii=False the fused high-bit reduce is skipped entirely
+    and nonascii_count comes back as -1 (meaning "not counted")."""
     rows, lanes = w2d.shape
     assert lanes == LANES and rows % 8 == 0, (rows, lanes)
     tile = min(row_tile, rows)
@@ -172,7 +185,8 @@ def stage1_fused_v4(
     whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
     kernel = functools.partial(
-        _stage1_v4_kernel, dialect=dialect, tile=tile, emit_counts=emit_counts
+        _stage1_v4_kernel, dialect=dialect, tile=tile,
+        emit_counts=emit_counts, count_nonascii=count_nonascii,
     )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:

@@ -109,8 +109,12 @@ def swar_classify_u(
 def swar_nibble_compress(u: jnp.ndarray) -> jnp.ndarray:
     """0x01-per-byte flags -> 4-bit value per word (bit b = byte b's
     flag): multiply-gather (u * 0x01020408) places u0..u3 at bits
-    24..27; overflow wraps harmlessly above."""
-    return ((u * 0x01020408) >> 24) & 0xF
+    24..27. No mask needed: the multiplier's shifts are {3,10,17,24}
+    and the flag bytes sit at bits {0,8,16,24}, so the only pairs that
+    land in bits 24..31 are 0+24, 8+17, 16+10, 24+3 (= bits 24..27) —
+    every other pair is >= 32 and wraps away, leaving bits 28..31 zero
+    and the arithmetic >>24 exact. Input bytes MUST be 0/1."""
+    return (u * 0x01020408) >> 24
 
 
 def swar_prefix_xor_bytes(flags: jnp.ndarray) -> jnp.ndarray:

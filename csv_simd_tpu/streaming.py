@@ -80,20 +80,44 @@ class StreamingIndexBuilder:
         self._pending = []  # [(packed_device, n_bytes, base_offset, tile)]
 
     def feed(self, chunk: bytes | np.ndarray) -> None:
-        from .utils.metrics import GLOBAL as _metrics
+        self.feed_prepared(self.prepare(chunk))
+
+    def prepare(self, chunk: bytes | np.ndarray):
+        """Backend-specific chunk staging, safe to call from a worker
+        thread: for device backends this pads to the (rows, 128)
+        byte-quad layout and ENQUEUES the host->device transfer, so by
+        the time feed_prepared launches the scan the copy is already in
+        flight (double-buffered ingestion; jax.device_put is async and
+        thread-safe). Host backends pass the bytes through."""
+        from .index import _resolve_backend
 
         arr = (
             np.frombuffer(chunk, dtype=np.uint8)
             if isinstance(chunk, (bytes, bytearray, memoryview))
             else np.asarray(chunk, dtype=np.uint8)
         )
-        if arr.size == 0:
+        if arr.size and _resolve_backend(self._backend) in ("pallas", "jnp"):
+            import jax.numpy as jnp
+
+            from .ops.stage1_v2 import pad_to_words
+
+            return ("dev", jnp.asarray(pad_to_words(arr)), arr.size)
+        return ("host", arr, arr.size)
+
+    def feed_prepared(self, prepared) -> None:
+        from .utils.metrics import GLOBAL as _metrics
+
+        kind, payload, n_bytes = prepared
+        if n_bytes == 0:
             return
-        with _metrics.span("streaming_chunk", arr.size):
-            self._feed_inner(arr)
+        with _metrics.span("streaming_chunk", n_bytes):
+            if kind == "dev":
+                self._feed_device(payload, n_bytes)
+            else:
+                self._feed_inner(payload)
 
     def _feed_inner(self, arr: np.ndarray) -> None:
-        from .index import _have_tpu, _resolve_backend
+        from .index import _resolve_backend
 
         backend = _resolve_backend(self._backend)
         if backend == "golden":
@@ -125,9 +149,14 @@ class StreamingIndexBuilder:
         import jax.numpy as jnp
 
         from .ops.stage1_v2 import pad_to_words
+
+        self._feed_device(jnp.asarray(pad_to_words(arr)), arr.size)
+
+    def _feed_device(self, w2d, n_bytes: int) -> None:
+        from .index import _have_tpu, _resolve_backend
         from .ops.stage1_v3 import stage1_fused, stage1_swar_xla
 
-        w2d = jnp.asarray(pad_to_words(arr))
+        backend = _resolve_backend(self._backend)
         tile = min(512, w2d.shape[0])
         if backend == "pallas":
             packed, par = stage1_fused(
@@ -140,8 +169,8 @@ class StreamingIndexBuilder:
         # the next chunk's scan launches without waiting), queue the
         # packed words and extract a lagging chunk on the host
         self._parity = par
-        self._pending.append((packed, arr.size, self._offset, tile))
-        self._offset += arr.size
+        self._pending.append((packed, n_bytes, self._offset, tile))
+        self._offset += n_bytes
         while len(self._pending) > self._depth:
             self._drain_one()
 
@@ -226,22 +255,32 @@ def build_index_streaming(
     """Build the full structural index from a path / file object / chunk
     iterable without materialising the input.
 
-    With prefetch=True (default) a background thread reads the next chunk
-    while the current one is being scanned — the IO/compute overlap the
-    reference's design notes discuss but never built (README.md:17)."""
+    With prefetch=True (default) the ingest is a three-stage pipeline:
+    an IO thread reads chunk k+2, a transfer thread stages chunk k+1
+    (padding + async device_put for device backends), while the main
+    thread launches chunk k's scan and extracts lagging results — the
+    IO/compute overlap the reference's design notes discuss but never
+    built (README.md:17), double-buffered so the device never waits on
+    the host copy."""
     builder = StreamingIndexBuilder(dialect, backend)
     chunks = _iter_chunks(source, chunk_bytes)
     if prefetch:
         import concurrent.futures
 
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
             nxt = pool.submit(lambda: next(chunks, None))
+            staged = None  # future of the next prepared chunk
             while True:
                 chunk = nxt.result()
                 if chunk is None:
                     break
                 nxt = pool.submit(lambda: next(chunks, None))
-                builder.feed(chunk)
+                prep = pool.submit(builder.prepare, chunk)
+                if staged is not None:
+                    builder.feed_prepared(staged.result())
+                staged = prep
+            if staged is not None:
+                builder.feed_prepared(staged.result())
     else:
         for chunk in chunks:
             builder.feed(chunk)

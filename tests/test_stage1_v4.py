@@ -63,6 +63,20 @@ def test_v4_nonascii_count():
     assert int(na0) == 0
 
 
+def test_v4_count_nonascii_opt_out():
+    """count_nonascii=False skips the fused reduce: packed output is
+    unchanged and the sentinel -1 ("not counted") comes back."""
+    data = _rand(100_000, seed=5)
+    w2d = jnp.asarray(pad_to_words(data))
+    ref, rpar, _na = stage1_fused_v4(w2d, 0, interpret=True)
+    got, gpar, na = stage1_fused_v4(
+        w2d, 0, interpret=True, count_nonascii=False
+    )
+    assert bool(jnp.array_equal(ref, got))
+    assert int(rpar) == int(gpar)
+    assert int(na) == -1
+
+
 @pytest.mark.parametrize("case", basic_cases(), ids=lambda c: c.name)
 def test_v4_corpus(case):
     arr = np.frombuffer(case.data, dtype=np.uint8)

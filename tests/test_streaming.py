@@ -116,3 +116,31 @@ def test_pipelined_device_path_lag_and_state():
     np.testing.assert_array_equal(b2.finish(), golden.structural_index(data))
     np.testing.assert_array_equal(b.finish(), golden.structural_index(data))
     assert b.quote_parity == 0
+
+
+def test_prepare_feed_prepared_pipeline():
+    """The explicit two-phase ingest (prepare on a worker thread,
+    feed_prepared in order) is bit-identical to plain feed, for both a
+    device backend and a host backend."""
+    import concurrent.futures
+
+    data = synthetic_wide_table(120_000)
+    want = golden.structural_index(data)
+    chunks = [data[i : i + 7001] for i in range(0, len(data), 7001)]
+    for backend in ("jnp", "golden"):
+        b = StreamingIndexBuilder(backend=backend)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as pool:
+            preps = [pool.submit(b.prepare, c) for c in chunks]
+            for f in preps:
+                b.feed_prepared(f.result())
+        np.testing.assert_array_equal(b.finish(), want)
+
+
+def test_streaming_prefetch_double_buffered():
+    """build_index_streaming's pipelined path (prefetch=True) stays
+    bit-identical with the staged-transfer pipeline."""
+    data = synthetic_wide_table(200_000)
+    got = build_index_streaming(
+        io.BytesIO(data), backend="jnp", chunk_bytes=9999, prefetch=True
+    )
+    np.testing.assert_array_equal(got, golden.structural_index(data))

@@ -184,6 +184,9 @@ def mk(mode, tile):
     elif mode == "v4":
         from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
         kw = {}
+    elif mode == "v4nc":  # v4 without the fused non-ASCII reduce
+        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
+        kw = {"count_nonascii": False}
 
     else:
         raise SystemExit(f"unknown mode {mode}")
