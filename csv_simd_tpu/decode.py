@@ -93,3 +93,44 @@ class DecodedView:
             [float(v) if v else np.nan for v in self.column(f)],
             dtype=np.float64,
         )
+
+    def column_decimal(self, f: int, scale: int = 2):
+        """Host oracle for DeviceTape.column_decimal64: exact scaled
+        int64 via Python big ints, same ok contract (refuses >scale
+        fractional digits, overflow, exponents). Returns (values, ok)."""
+        vals = np.zeros(self._tape.num_data_records, np.int64)
+        ok = np.zeros(vals.size, bool)
+        for i, raw in enumerate(self.column(f)):
+            v = _parse_decimal_host(raw, scale)
+            if v is not None:
+                vals[i], ok[i] = v, True
+        return vals, ok
+
+
+def _parse_decimal_host(raw, scale: int):
+    """`[spaces][+|-]digits[.digits]` -> exact int scaled by 10^scale,
+    or None. Twin of device_tape._parse_decimal_limbs."""
+    if not raw:
+        return None
+    s = raw.decode("ascii", "replace").lstrip(" ")
+    if not s:
+        return None
+    neg = s[0] == "-"
+    if s[0] in "+-":
+        s = s[1:]
+    if s.count(".") > 1:
+        return None
+    intp, _, frac = s.partition(".")
+    if not (intp + frac).isdigit() or (intp + frac) == "":
+        return None
+    if len(frac) > scale:
+        return None
+    v = int((intp or "0") + frac.ljust(scale, "0")) if (intp + frac) else None
+    if v is None:
+        return None
+    if neg:
+        v = -v
+    # device limb contract: 18 significant digits (|v| <= 1e18-1)
+    if abs(v) > 10**18 - 1:
+        return None
+    return v

@@ -191,6 +191,19 @@ class DeviceTape:
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_date_days(out, lengths, valid)
 
+    def column_decimal64(self, field: int, scale: int = 2,
+                         max_len: int = 32):
+        """EXACT fixed-point decimal column -> host int64 scaled by
+        10^scale (e.g. scale=2: b\"12.34\" -> 1234). The digit math runs
+        on device in three base-1e8 int32 limbs (TPU has no native
+        int64); the limbs combine on host. Returns (values (N,) int64,
+        ok (N,) bool) — ok is False for >scale fractional digits (NO
+        silent rounding), >18 significant digits, exponents, or bad
+        grammar; values for not-ok rows are 0. See _parse_decimal_limbs."""
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _combine_decimal(_parse_decimal_limbs(out, lengths, valid,
+                                                     scale))
+
     def filter_equals(self, field: int, value: bytes, max_len: int = 64):
         """Record ids whose `field` equals `value` exactly (byte compare
         on device). Returns a host int32 array of record indices."""
@@ -337,6 +350,16 @@ def _parse_float32(out, lengths, valid):
     return jnp.where(ok, val, jnp.float32(0)), ok
 
 
+def _combine_decimal(limbs):
+    """(hi, mid, lo, neg, ok) device limbs -> (int64 values, ok) on
+    host. Kept out of jit: int64 only exists host-side."""
+    h, m, l, neg, ok = (np.asarray(x) for x in limbs)
+    v = h.astype(np.int64) * 10**16 + m.astype(np.int64) * 10**8 + l
+    v = np.where(neg, -v, v)
+    ok = np.asarray(ok, bool)
+    return np.where(ok, v, 0), ok
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _parse_decimal_limbs(out, lengths, valid, scale: int):
     """Exact fixed-point decimal parse, on device, in three base-1e8
@@ -344,11 +367,11 @@ def _parse_decimal_limbs(out, lengths, valid, scale: int):
     intermediate < 2^31 while covering the full int64 range).
 
     Grammar: `[spaces][+|-]digits[.digits]` (also `.5`, `5.`) — no
-    exponent. The parsed number times 10^scale must be an INTEGER with
-    |value| <= ~9.2e18 (int64): `ok` is False for more than `scale`
-    fractional digits (no silent rounding — exactness is the contract),
-    magnitude overflow, and any grammar violation. Returns
-    (hi, mid, lo, neg, ok): value = sign * (hi*1e16 + mid*1e8 + lo).
+    exponent. The parsed number times 10^scale must be an INTEGER of at
+    most 18 significant digits (|value| <= 1e18-1): `ok` is False for
+    more than `scale` fractional digits (no silent rounding — exactness
+    is the contract), magnitude overflow, and any grammar violation.
+    Returns (hi, mid, lo, neg, ok): value = sign*(hi*1e16 + mid*1e8 + lo).
     """
     n, max_len = out.shape
     pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
@@ -411,8 +434,9 @@ def _parse_decimal_limbs(out, lengths, valid, scale: int):
     pad = scale - frac_cnt
     for k in range(scale):
         h, m, l, of = mul10_add((h, m, l, of), zero, k < pad)
-    # int64 fit: h <= 92 keeps |value| <= 9.21e18 < 2^63-1 either sign
-    ok = ok & ~of & (h <= 92)
+    # 18 significant digits max: h <= 99 means |value| <= 1e18-1, well
+    # inside int64 either sign
+    ok = ok & ~of & (h <= 99)
     return h, m, l, neg, ok
 
 

@@ -239,6 +239,16 @@ class PackedDeviceTape:
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_float32_exp(out, lengths, valid)
 
+    def column_decimal64(self, field: int, scale: int = 2,
+                         max_len: int = 32):
+        """See DeviceTape.column_decimal64 (exact scaled int64)."""
+        from .device_tape import _combine_decimal, _parse_decimal_limbs
+
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _combine_decimal(
+            _parse_decimal_limbs(out, lengths, valid, scale)
+        )
+
     def column_date_days(self, field: int, max_len: int = 12):
         """See DeviceTape.column_date_days (ISO dates -> epoch days)."""
         from .device_tape import _parse_date_days

@@ -105,3 +105,73 @@ def test_column_date_days():
     for i in range(6):
         want = (datetime.date.fromisoformat(rows[i].decode()) - epoch).days
         assert days[i] == want, (rows[i], days[i], want)
+
+
+def test_column_decimal64_basic():
+    rows = ["id,price", "1,12.34", "2,-0.05", "3,100", "4,7.5",
+            "5,.25", "6,3.", "7, 9.99", "8,+1.01"]
+    dt = _tape(rows)
+    vals, ok = dt.column_decimal64(1, scale=2)
+    np.testing.assert_array_equal(ok, [True] * 8)
+    np.testing.assert_array_equal(
+        vals, [1234, -5, 10000, 750, 25, 300, 999, 101]
+    )
+
+
+def test_column_decimal64_rejects():
+    # exactness contract: too many frac digits, exponent, garbage,
+    # >18 significant digits
+    rows = ["id,v", "1,1.234", "2,1e3", "3,abc", "4,12..3",
+            "5,9999999999999999999", "6,1.23"]
+    dt = _tape(rows)
+    vals, ok = dt.column_decimal64(1, scale=2)
+    np.testing.assert_array_equal(ok, [False, False, False, False, False, True])
+    assert vals[5] == 123
+
+
+def test_column_decimal64_18_digits_exact():
+    big = 10**18 - 1  # 18 nines: the documented ceiling
+    rows = ["id,v", f"1,{big}", f"2,-{big}", f"3,{10**18}"]
+    dt = _tape(rows)
+    vals, ok = dt.column_decimal64(1, scale=0)
+    np.testing.assert_array_equal(ok, [True, True, False])
+    np.testing.assert_array_equal(vals[:2], [big, -big])
+
+
+def test_column_decimal64_differential_host_oracle():
+    from csv_simd_tpu.decode import DecodedView
+
+    rng = np.random.default_rng(12)
+    cells = []
+    for _ in range(400):
+        kind = rng.integers(0, 6)
+        if kind == 0:
+            cells.append(str(rng.integers(-10**9, 10**9)))
+        elif kind == 1:
+            cells.append(f"{rng.integers(-10**6, 10**6)}.{rng.integers(0, 100):02d}")
+        elif kind == 2:
+            cells.append(f"{rng.integers(0, 10)}.{rng.integers(0, 10**4)}")  # maybe >2 frac
+        elif kind == 3:
+            cells.append(str(rng.integers(0, 10**17)))
+        elif kind == 4:
+            cells.append(" " + str(rng.integers(-99, 99)) + ".5")
+        else:
+            cells.append(rng.choice(["", "x", "1e2", ".", "-", "1.2.3"]))
+    rows = ["a,b"] + [f"{i},{c}" for i, c in enumerate(cells)]
+    dt = _tape(rows)
+    vals, ok = dt.column_decimal64(1, scale=2)
+    tape = create_from_bytes(("\n".join(rows) + "\n").encode(), backend="golden")
+    want_vals, want_ok = DecodedView(tape).column_decimal(1, scale=2)
+    np.testing.assert_array_equal(ok, want_ok)
+    np.testing.assert_array_equal(vals, want_vals)
+
+
+def test_column_decimal64_packed_tape():
+    from csv_simd_tpu.offsetfree import PackedDeviceTape
+
+    rows = ["id,amt", "1,5.25", "2,-12.00", "3,bad.x"]
+    data = ("\n".join(rows) + "\n").encode()
+    pt = PackedDeviceTape(data)
+    vals, ok = pt.column_decimal64(1, scale=2)
+    np.testing.assert_array_equal(ok, [True, True, False])
+    np.testing.assert_array_equal(vals, [525, -1200, 0])
