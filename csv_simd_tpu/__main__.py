@@ -6,7 +6,9 @@ The reference's binary is a stub that prints "not required"
   python -m csv_simd_tpu info FILE [--backend B]
   python -m csv_simd_tpu field FILE RECORD FIELD [--backend B]
   python -m csv_simd_tpu record FILE RECORD [--backend B]
-  python -m csv_simd_tpu column FILE FIELD [--limit N]
+  python -m csv_simd_tpu column FILE FIELD [--limit N] [--type T]
+      # --type int32|float32|float32exp|date|decimal parses on device
+      # (decimal: exact scaled int64, --scale digits)
   python -m csv_simd_tpu index FILE -o OUT.npz     # build + save artifact
   python -m csv_simd_tpu serve FILE --from-index OUT.npz RECORD FIELD
 
@@ -58,6 +60,11 @@ def main(argv=None) -> int:
         "--metrics", action="store_true",
         help="print per-stage timing/throughput spans to stderr on exit",
     )
+    p.add_argument(
+        "--platform", default="auto", choices=["auto", "cpu", "tpu"],
+        help="force the jax platform (the JAX_PLATFORMS env var may be "
+        "overridden by site configuration; this flag always wins)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("info")
@@ -76,6 +83,17 @@ def main(argv=None) -> int:
     sp.add_argument("file")
     sp.add_argument("field", type=int)
     sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument(
+        "--type", default="bytes",
+        choices=["bytes", "int32", "float32", "float32exp", "date",
+                 "decimal"],
+        help="parse the column on device (typed jnp arrays; 'decimal' "
+        "is exact scaled int64, see --scale)",
+    )
+    sp.add_argument(
+        "--scale", type=int, default=2,
+        help="decimal scale: values are int64 * 10^-scale (default 2)",
+    )
 
     sp = sub.add_parser("index")
     sp.add_argument("file")
@@ -100,6 +118,11 @@ def main(argv=None) -> int:
     sp.add_argument("--limit", type=int, default=30)
 
     args = p.parse_args(argv)
+
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from . import create
     from .errors import StructureError
@@ -168,8 +191,40 @@ def main(argv=None) -> int:
             val = tape.seek_record(args.record)
             print(val.decode("utf-8", "replace") if val is not None else "<out of range>")
         elif args.cmd == "column":
-            for v in tape.column(args.field)[: args.limit]:
-                print(v.decode("utf-8", "replace"))
+            if args.type != "bytes":
+                from .device_tape import DeviceTape
+
+                dt = DeviceTape.from_tape(
+                    tape._tape if isinstance(tape, _DecodedCli) else tape
+                )
+                parse = {
+                    "int32": dt.column_int32,
+                    "float32": dt.column_float32,
+                    "float32exp": dt.column_float32_exp,
+                    "date": dt.column_date_days,
+                }.get(args.type)
+                if parse is None:
+                    vals, ok = dt.column_decimal64(args.field, args.scale)
+                else:
+                    vals, ok = parse(args.field)
+                import numpy as np
+
+                for v, o in list(zip(np.asarray(vals), np.asarray(ok)))[
+                    : args.limit
+                ]:
+                    if not o:
+                        print("<not ok>")
+                    elif args.type == "decimal" and args.scale > 0:
+                        q, r = divmod(abs(int(v)), 10**args.scale)
+                        sign = "-" if int(v) < 0 else ""
+                        print(f"{sign}{q}.{r:0{args.scale}d}")
+                    elif args.type.startswith("float"):
+                        print(float(v))
+                    else:
+                        print(int(v))
+            else:
+                for v in tape.column(args.field)[: args.limit]:
+                    print(v.decode("utf-8", "replace"))
         elif args.cmd == "index":
             from .artifact import save_tape
 

@@ -226,3 +226,16 @@ def test_cli_json_index(tmp_path, capsys):
     assert main(["json-index", str(p)]) == 0
     out = capsys.readouterr().out
     assert "structural chars" in out and "depth=" in out
+
+
+def test_cli_typed_columns(tmp_path):
+    p = tmp_path / "prices.csv"
+    p.write_bytes(b"sku,price,n\nA,12.34,3\nB,-0.05,4\nC,oops,x\n")
+    r = _cli("--platform", "cpu", "--backend", "golden", "column", str(p),
+             "1", "--type", "decimal", "--scale", "2")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.split() == ["12.34", "-0.05", "<not", "ok>"]
+    r = _cli("--platform", "cpu", "--backend", "golden", "column", str(p),
+             "2", "--type", "int32")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.split() == ["3", "4", "<not", "ok>"]
