@@ -38,6 +38,7 @@ from .streaming import (
 )
 from .artifact import load_tape, save_tape
 from .offsetfree import PackedDeviceTape
+from .frame import Col, Frame, infer_schema, read_typed
 
 __all__ = [
     "PackedDeviceTape",
@@ -72,6 +73,10 @@ __all__ = [
     "create_streaming",
     "load_tape",
     "save_tape",
+    "Col",
+    "Frame",
+    "infer_schema",
+    "read_typed",
 ]
 
 __version__ = "0.1.0"

@@ -9,6 +9,8 @@ The reference's binary is a stub that prints "not required"
   python -m csv_simd_tpu column FILE FIELD [--limit N] [--type T]
       # --type int32|float32|float32exp|date|decimal parses on device
       # (decimal: exact scaled int64, --scale digits)
+  python -m csv_simd_tpu frame FILE [--schema col=type,...] [--columns ...]
+      # typed batch export (read_typed): schema inferred when omitted
   python -m csv_simd_tpu index FILE -o OUT.npz     # build + save artifact
   python -m csv_simd_tpu serve FILE --from-index OUT.npz RECORD FIELD
 
@@ -111,6 +113,27 @@ def main(argv=None) -> int:
     sp.add_argument("field", type=int)
 
     sp = sub.add_parser(
+        "frame",
+        help="typed batch export: infer (or take) a schema and print "
+        "columns parsed on device (read_typed endpoint)",
+    )
+    sp.add_argument("file")
+    sp.add_argument(
+        "--schema", default=None,
+        help="comma list col=type (type: int32|float32|float|date|"
+        "decimal[:scale]|str|bytes); default: infer from a row sample",
+    )
+    sp.add_argument(
+        "--columns", default=None,
+        help="comma list of column names to include (inference mode)",
+    )
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument(
+        "--engine", default="offsets", choices=["offsets", "packed"],
+        help="serving tape kind: offsets index or offsets-free packed",
+    )
+
+    sp = sub.add_parser(
         "json-index",
         help="JSON structural offsets + nesting depths (escape-aware)",
     )
@@ -128,6 +151,41 @@ def main(argv=None) -> int:
     from .errors import StructureError
 
     try:
+        if args.cmd == "frame":
+            from .frame import read_typed
+
+            schema = None
+            if args.schema:
+                schema = dict(
+                    kv.split("=", 1) for kv in args.schema.split(",")
+                )
+            cols = args.columns.split(",") if args.columns else None
+            fr = read_typed(
+                args.file, schema, columns=cols, backend=args.backend,
+                engine=args.engine, validate_utf8=args.validate_utf8,
+            )
+            print(fr)
+            for name in fr.names:
+                c = fr.schema[name]
+                t = f"{c.type}:{c.scale}" if c.type == "decimal" else c.type
+                vals = fr[name][: args.limit]
+                okm = fr.ok(name)
+
+                def _show(v):
+                    if isinstance(v, bytes):
+                        return v.decode("utf-8", "replace")
+                    if c.type == "decimal" and c.scale > 0:
+                        q, r = divmod(abs(int(v)), 10**c.scale)
+                        return f"{'-' if int(v) < 0 else ''}{q}.{r:0{c.scale}d}"
+                    return str(v)
+
+                shown = [
+                    "<not ok>" if okm is not None and not okm[i]
+                    else _show(v)
+                    for i, v in enumerate(vals)
+                ]
+                print(f"  {name} [{t}]: {', '.join(shown)}")
+            return 0
         if args.cmd == "json-index":
             import numpy as np
 

@@ -65,8 +65,9 @@ class DeviceTape:
     """
 
     def __init__(self, data: jnp.ndarray, index, jump: int,
-                 field_cnt: int, record_cnt: int):
+                 field_cnt: int, record_cnt: int, header=None):
         self.data = data
+        self.header = header  # optional Header (column names for frame.py)
         # guard BEFORE any int32 conversion (jnp.asarray would already
         # wrap an int64 host index when x64 is disabled): native/golden
         # backends emit int64 indexes for >= 2 GiB inputs, and a wrapped
@@ -95,6 +96,7 @@ class DeviceTape:
         return cls(
             data, np.asarray(tape.index),
             tape.record_jump_size, tape.field_cnt, tape.record_cnt,
+            header=tape.header,
         )
 
     def gather_fields(

@@ -228,6 +228,20 @@ def test_cli_json_index(tmp_path, capsys):
     assert "structural chars" in out and "depth=" in out
 
 
+def test_cli_frame(tmp_path):
+    p = tmp_path / "prices.csv"
+    p.write_bytes(b"sku,price,n\nA,12.34,3\nB,-0.05,4\nC,1.00,5\n")
+    r = _cli("--platform", "cpu", "--backend", "golden", "frame", str(p))
+    assert r.returncode == 0, r.stderr
+    assert "sku [str]" in r.stdout
+    assert "price [decimal:2]: 12.34, -0.05, 1.00" in r.stdout
+    assert "n [int32]: 3, 4, 5" in r.stdout
+    r = _cli("--platform", "cpu", "--backend", "golden", "frame", str(p),
+             "--schema", "price=float,n=int32", "--engine", "packed")
+    assert r.returncode == 0, r.stderr
+    assert "price [float]" in r.stdout and "sku" not in r.stdout
+
+
 def test_cli_typed_columns(tmp_path):
     p = tmp_path / "prices.csv"
     p.write_bytes(b"sku,price,n\nA,12.34,3\nB,-0.05,4\nC,oops,x\n")
