@@ -88,13 +88,17 @@ def main(argv=None) -> int:
     sp.add_argument(
         "--type", default="bytes",
         choices=["bytes", "int32", "float32", "float32exp", "date",
-                 "decimal"],
+                 "datetime", "decimal"],
         help="parse the column on device (typed jnp arrays; 'decimal' "
         "is exact scaled int64, see --scale)",
     )
     sp.add_argument(
         "--scale", type=int, default=2,
         help="decimal scale: values are int64 * 10^-scale (default 2)",
+    )
+    sp.add_argument(
+        "--unit", default="s", choices=["s", "ms", "us"],
+        help="datetime epoch unit (default s)",
     )
 
     sp = sub.add_parser("index")
@@ -261,17 +265,25 @@ def main(argv=None) -> int:
                     "float32exp": dt.column_float32_exp,
                     "date": dt.column_date_days,
                 }.get(args.type)
-                if parse is None:
+                if args.type == "decimal":
                     vals, ok = dt.column_decimal64(args.field, args.scale)
+                elif args.type == "datetime":
+                    vals, ok = dt.column_datetime64(args.field, args.unit)
                 else:
                     vals, ok = parse(args.field)
                 import numpy as np
 
+                if args.type == "datetime":
+                    vals = np.asarray(vals).astype(
+                        f"datetime64[{args.unit}]"
+                    )
                 for v, o in list(zip(np.asarray(vals), np.asarray(ok)))[
                     : args.limit
                 ]:
                     if not o:
                         print("<not ok>")
+                    elif args.type == "datetime":
+                        print(str(v))
                     elif args.type == "decimal" and args.scale > 0:
                         q, r = divmod(abs(int(v)), 10**args.scale)
                         sign = "-" if int(v) < 0 else ""

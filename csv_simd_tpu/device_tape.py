@@ -193,6 +193,23 @@ class DeviceTape:
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_date_days(out, lengths, valid)
 
+    def column_datetime64(self, field: int, unit: str = "s",
+                          max_len: int = 32):
+        """ISO timestamp column -> int64 epoch values in `unit`
+        ("s" | "ms" | "us"), parsed on device.
+
+        Grammar: `YYYY-MM-DD[ T]HH:MM:SS[.frac][Z]` — date validity as
+        column_date_days, hours<24/minutes<60/seconds<60 (no leap
+        seconds), fraction digits must FIT the unit exactly (ok=False
+        for `.123` at unit="s" — no silent truncation; shorter fractions
+        scale up exactly). Timezone offsets other than `Z` are not
+        accepted. Returns (values (N,) int64, ok (N,) bool); values for
+        not-ok rows are 0."""
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _combine_datetime(
+            _parse_datetime_parts(out, lengths, valid, unit), unit
+        )
+
     def column_decimal64(self, field: int, scale: int = 2,
                          max_len: int = 32):
         """EXACT fixed-point decimal column -> host int64 scaled by
@@ -580,6 +597,105 @@ def _parse_float32_exp(out, lengths, valid):
     return jnp.where(ok, val, jnp.float32(0)), ok
 
 
+def _ymd_to_days(y, m, day):
+    """Hinnant civil_from_date: (year, month, day) -> days since
+    1970-01-01, proleptic Gregorian, exact integer arithmetic."""
+    yy = y - (m <= 2)
+    era = jnp.floor_divide(yy, 400)
+    yoe = yy - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = jnp.floor_divide(153 * mp + 2, 5) + day - 1
+    doe = (yoe * 365 + jnp.floor_divide(yoe, 4)
+           - jnp.floor_divide(yoe, 100) + doy)
+    return era * 146097 + doe - 719468
+
+
+_UNIT_DIGITS = {"s": 0, "ms": 3, "us": 6}
+
+
+@functools.partial(jax.jit, static_argnames=("unit",))
+def _parse_datetime_parts(out, lengths, valid, unit: str):
+    """ISO `YYYY-MM-DD[ T]HH:MM:SS[.frac][Z]` -> (days, seconds-of-day,
+    fraction scaled to `unit`, ok) — all int32, combined to int64 on
+    host (_combine_datetime). Positions are fixed by the format, so the
+    parse is pure fixed-index arithmetic: no scan needed. ok is False
+    for bad digits/separators, invalid civil dates, hh>23/mm>59/ss>59,
+    timezone suffixes other than Z, and fraction digits that exceed the
+    unit's precision (exactness: `.123` at unit="s" refuses rather than
+    truncates)."""
+    n, max_len = out.shape
+    assert max_len >= 21, "datetime parse needs a gather window >= 21"
+    udig = _UNIT_DIGITS[unit]
+    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    b = out.astype(jnp.int32)
+    d = b - 0x30
+
+    def dig(i):
+        return d[:, i]
+
+    ok = (
+        valid
+        & (lengths >= 19)
+        & (lengths <= max_len)
+        & (b[:, 4] == 0x2D)
+        & (b[:, 7] == 0x2D)
+        & ((b[:, 10] == 0x20) | (b[:, 10] == 0x54))
+        & (b[:, 13] == 0x3A)
+        & (b[:, 16] == 0x3A)
+    )
+    for i in (0, 1, 2, 3, 5, 6, 8, 9, 11, 12, 14, 15, 17, 18):
+        ok = ok & (dig(i) >= 0) & (dig(i) <= 9)
+    y = dig(0) * 1000 + dig(1) * 100 + dig(2) * 10 + dig(3)
+    m = dig(5) * 10 + dig(6)
+    day = dig(8) * 10 + dig(9)
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    mdays = jnp.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                      jnp.int32)
+    dim = mdays[jnp.clip(m, 0, 12)] + (leap & (m == 2)).astype(jnp.int32)
+    ok = ok & (m >= 1) & (m <= 12) & (day >= 1) & (day <= dim)
+
+    hh = dig(11) * 10 + dig(12)
+    mm = dig(14) * 10 + dig(15)
+    ss = dig(17) * 10 + dig(18)
+    ok = ok & (hh <= 23) & (mm <= 59) & (ss <= 59)
+
+    last = jnp.take_along_axis(
+        b, jnp.clip(lengths - 1, 0, max_len - 1)[:, None], axis=1
+    )[:, 0]
+    has_z = (last == 0x5A) & (lengths >= 20)
+    end = lengths - has_z.astype(jnp.int32)  # fraction ends here
+    has_frac = end > 19
+    ok = ok & (~has_frac | ((b[:, 19] == 0x2E) & (end >= 21)))
+    n_frac = jnp.where(has_frac, end - 20, 0)
+    ok = ok & (n_frac <= udig)
+    good_digit = (d >= 0) & (d <= 9)
+    frac_pos = (pos >= 20) & (pos < end[:, None])
+    ok = ok & jnp.all(~frac_pos | good_digit, axis=1)
+
+    frac = jnp.zeros(n, jnp.int32)
+    for k in range(udig):
+        p = 20 + k
+        use = (p < end) if p < max_len else jnp.zeros(n, bool)
+        dk = jnp.where(use, d[:, min(p, max_len - 1)], 0)
+        frac = frac * 10 + dk  # digits then zero-pad to unit precision
+
+    days = _ymd_to_days(y, m, day)
+    sod = hh * 3600 + mm * 60 + ss
+    z = jnp.zeros(n, jnp.int32)
+    return (jnp.where(ok, days, z), jnp.where(ok, sod, z),
+            jnp.where(ok, frac, z), ok)
+
+
+def _combine_datetime(parts, unit: str):
+    """(days, sod, frac, ok) int32 device parts -> (int64 epoch in
+    `unit`, ok) on host (int64 only exists host-side)."""
+    days, sod, frac, ok = (np.asarray(x) for x in parts)
+    mult = 10 ** _UNIT_DIGITS[unit]
+    v = (days.astype(np.int64) * 86400 + sod) * mult + frac
+    ok = np.asarray(ok, bool)
+    return np.where(ok, v, 0), ok
+
+
 @jax.jit
 def _parse_date_days(out, lengths, valid):
     """`YYYY-MM-DD` -> days since 1970-01-01 (proleptic Gregorian,
@@ -611,15 +727,7 @@ def _parse_date_days(out, lengths, valid):
                       jnp.int32)
     dim = mdays[jnp.clip(m, 0, 12)] + (leap & (m == 2)).astype(jnp.int32)
     ok = ok_shape & digits_ok & (m >= 1) & (m <= 12) & (day >= 1) & (day <= dim)
-
-    # Hinnant civil_from_date: shift year so the leap day is last
-    yy = y - (m <= 2)
-    era = jnp.floor_divide(yy, 400)
-    yoe = yy - era * 400
-    mp = jnp.where(m > 2, m - 3, m + 9)
-    doy = jnp.floor_divide(153 * mp + 2, 5) + day - 1
-    doe = yoe * 365 + jnp.floor_divide(yoe, 4) - jnp.floor_divide(yoe, 100) + doy
-    days = era * 146097 + doe - 719468
+    days = _ymd_to_days(y, m, day)
     return jnp.where(ok, days, 0), ok
 
 

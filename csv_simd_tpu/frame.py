@@ -14,9 +14,11 @@ until they are numbers. `read_typed` is that productized endpoint:
     frame.ok("qty")  # (N,) bool parse-validity mask
 
 Column types: int32, float32 (no exponent), float (float32 + exponent
-notation), date (ISO -> numpy datetime64[D]), decimal[:scale] (EXACT
-scaled int64), str (stage-2 decoded text: trim/unquote/unescape), bytes
-(raw field bytes). A schema of None infers types from a row sample
+notation), date (ISO -> numpy datetime64[D]), datetime[:unit] (ISO
+timestamp -> datetime64[s|ms|us], exact epoch integers), decimal[:scale]
+(EXACT scaled int64), str (stage-2 decoded text: trim/unquote/
+unescape), bytes (raw field bytes). A schema of None infers types from
+a row sample
 (`infer_schema`). Gather windows are auto-sized from the true column
 lengths (bucketed to limit recompiles), so no manual max_len tuning.
 """
@@ -38,6 +40,7 @@ _TYPE_MIN_LEN = {
     "float32": 24,
     "float": 32,
     "date": 16,
+    "datetime": 32,
     "decimal": 32,
     "str": 16,
     "bytes": 16,
@@ -56,11 +59,16 @@ class Col:
     max_len: Optional[int] = None  # gather window; None = auto-size
     scale: int = 2                 # decimal only: fixed-point digits
     trim: bool = True              # str only: strip outer spaces
+    unit: str = "s"                # datetime only: "s" | "ms" | "us"
 
     def __post_init__(self):
         if self.type not in _TYPES:
             raise ValueError(
                 f"unknown column type {self.type!r}; one of {_TYPES}"
+            )
+        if self.type == "datetime" and self.unit not in ("s", "ms", "us"):
+            raise ValueError(
+                f"datetime unit must be s/ms/us, got {self.unit!r}"
             )
 
 
@@ -73,6 +81,8 @@ def parse_spec(spec: Union[str, Col]) -> Col:
     name = name.strip().lower()
     if name == "decimal":
         return Col("decimal", scale=int(arg) if arg else 2)
+    if name == "datetime":
+        return Col("datetime", unit=arg or "s")
     if arg:
         return Col(name, max_len=int(arg))
     return Col(name)
@@ -203,6 +213,9 @@ _INT_RE = re.compile(rb"^[+-]?\d+$")
 _DEC_RE = re.compile(rb"^[+-]?(\d+\.\d*|\.\d+|\d+)$")
 _FLOAT_RE = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 _DATE_RE = re.compile(rb"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_RE = re.compile(
+    rb"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.(\d+))?Z?$"
+)
 
 
 def _classify_values(vals: List[bytes]) -> Col:
@@ -214,6 +227,13 @@ def _classify_values(vals: List[bytes]) -> Col:
         return Col("str")
     if all(_DATE_RE.match(v) for v in vals):
         return Col("date")
+    dt = [_DATETIME_RE.match(v) for v in vals]
+    if all(dt):
+        frac = max(len(m.group(2) or b"") for m in dt)
+        if frac <= 6:
+            unit = "s" if frac == 0 else ("ms" if frac <= 3 else "us")
+            return Col("datetime", unit=unit)
+        return Col("str")  # sub-microsecond text: keep it exact as text
     if all(_INT_RE.match(v) for v in vals):
         in_i32 = True
         for v in vals:
@@ -293,6 +313,10 @@ def _materialize(tape, field: int, col: Col, dialect, strict: bool,
     elif col.type == "date":
         days, okm = tape.column_date_days(field, max_len=window)
         vals = np.asarray(days).astype("datetime64[D]")
+    elif col.type == "datetime":
+        epoch, okm = tape.column_datetime64(field, unit=col.unit,
+                                            max_len=window)
+        vals = np.asarray(epoch).astype(f"datetime64[{col.unit}]")
     elif col.type in ("str", "bytes"):
         if col.type == "str":
             n = _num_records(tape)
@@ -348,7 +372,40 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
     Typed values for not-ok rows are 0 (epoch for dates); check
     `frame.ok(name)`. Gather windows auto-size to the true column
     lengths, so oversized fields never silently truncate.
+
+    A CsvCorpus source exports the whole corpus as one table: the
+    schema is inferred from the FIRST file (or given), then applied to
+    every file and the columns concatenated in corpus order — dtype-
+    stable across files, with per-row ok masks flagging any file whose
+    values don't fit the schema (e.g. more decimal digits).
     """
+    from .corpus_api import CsvCorpus
+
+    if isinstance(source, CsvCorpus):
+        sub = [
+            read_typed(t, schema, columns=columns, dialect=dialect,
+                       strict=strict, sample=sample)
+            for t in source.tapes
+        ]
+        # lock the first file's resolved schema so later files can't
+        # drift (e.g. infer float where file 0 inferred int32)
+        first = sub[0]
+        sub = [sub[0]] + [
+            read_typed(t, first.schema, dialect=dialect, strict=strict)
+            if f.schema != first.schema else f
+            for t, f in zip(source.tapes[1:], sub[1:])
+        ]
+        cols = {
+            n: np.concatenate([f[n] for f in sub]) for n in first.names
+        }
+        oks = {
+            n: (np.concatenate([f.ok(n) for f in sub])
+                if first.ok(n) is not None else None)
+            for n in first.names
+        }
+        total = sum(len(f) for f in sub)
+        return Frame(first.names, cols, oks, first.schema, total)
+
     tape, names = _resolve_tape(source, dialect, backend, engine,
                                 validate_utf8)
 

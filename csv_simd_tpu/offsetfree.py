@@ -256,6 +256,17 @@ class PackedDeviceTape:
         out, lengths, valid = self.gather_column(field, max_len)
         return _parse_date_days(out, lengths, valid)
 
+    def column_datetime64(self, field: int, unit: str = "s",
+                          max_len: int = 32):
+        """See DeviceTape.column_datetime64 (ISO timestamps -> int64
+        epoch in `unit`)."""
+        from .device_tape import _combine_datetime, _parse_datetime_parts
+
+        out, lengths, valid = self.gather_column(field, max_len)
+        return _combine_datetime(
+            _parse_datetime_parts(out, lengths, valid, unit), unit
+        )
+
     def gather_decoded(self, records, fields, max_len: int = 64,
                        dialect=None, trim: bool = True):
         """Gather + device stage-2 decode (see DeviceTape.gather_decoded)."""

@@ -107,6 +107,81 @@ def test_column_date_days():
         assert days[i] == want, (rows[i], days[i], want)
 
 
+def test_column_datetime64_differential():
+    import datetime
+
+    good = [
+        b"1970-01-01 00:00:00", b"2026-08-17T13:45:09",
+        b"2000-02-29 23:59:59", b"1969-12-31T23:59:59",
+        b"2024-06-01 12:00:00Z", b"0001-01-01T00:00:00",
+    ]
+    data = b"t,x\n" + b"".join(r + b",1\n" for r in good)
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.device_tape import DeviceTape
+
+    dt = DeviceTape.from_tape(create_from_bytes(data, backend="golden"))
+    vals, ok = dt.column_datetime64(0, unit="s")
+    assert ok.all(), ok
+    for i, r in enumerate(good):
+        txt = r.decode().replace("T", " ").rstrip("Z")
+        want = datetime.datetime.fromisoformat(txt).replace(
+            tzinfo=datetime.timezone.utc
+        ).timestamp()
+        assert vals[i] == int(want), (r, vals[i], want)
+
+
+def test_column_datetime64_fractions_and_rejects():
+    rows = [
+        b"2024-01-02 03:04:05.123",   # ms
+        b"2024-01-02 03:04:05.5",     # 500 ms
+        b"2024-01-02 03:04:05.123456",  # us precision
+        b"2024-01-02 03:04:05",
+        b"2024-01-02 03:04:05.1234",  # > ms at unit=ms
+        b"2024-02-30 03:04:05",       # bad civil date
+        b"2024-01-02 24:00:00",       # bad hour
+        b"2024-01-02 03:60:00",       # bad minute
+        b"2024-01-0203:04:05",        # missing separator
+        b"2024-01-02 03:04:05+01:00", # tz offset unsupported
+        b"2024-01-02 03:04:05.",      # dot with no digits
+    ]
+    data = b"t,x\n" + b"".join(r + b",1\n" for r in rows)
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.device_tape import DeviceTape
+
+    dt = DeviceTape.from_tape(create_from_bytes(data, backend="golden"))
+    base = 1704164645000  # 2024-01-02 03:04:05 UTC in ms
+    vals, ok = dt.column_datetime64(0, unit="ms")
+    np.testing.assert_array_equal(
+        ok, [True, True, False, True] + [False] * 7
+    )
+    assert vals[0] == base + 123 and vals[1] == base + 500
+    assert vals[3] == base
+    # at unit=s any fraction refuses; at unit=us all three parse
+    _, ok_s = dt.column_datetime64(0, unit="s")
+    np.testing.assert_array_equal(ok_s[:4], [False, False, False, True])
+    vals_us, ok_us = dt.column_datetime64(0, unit="us")
+    np.testing.assert_array_equal(ok_us[:5], [True] * 5)
+    assert vals_us[2] == base * 1000 + 123456
+    assert vals_us[4] == base * 1000 + 123400
+
+
+def test_column_datetime64_packed_and_frame():
+    from csv_simd_tpu import PackedDeviceTape, read_typed
+
+    data = (b"t,n\n2024-01-02 03:04:05,1\n2024-01-02T03:04:06.250,2\n")
+    pt = PackedDeviceTape(data)
+    vals, ok = pt.column_datetime64(0, unit="ms")
+    assert ok.all() and vals[1] - vals[0] == 1250
+
+    f = read_typed(data)
+    assert f.schema["t"].type == "datetime"
+    assert f.schema["t"].unit == "ms"
+    assert f["t"].dtype == np.dtype("datetime64[ms]")
+    assert str(f["t"][0]) == "2024-01-02T03:04:05.000"
+    f2 = read_typed(data, {"t": "datetime:us"})
+    assert f2["t"].dtype == np.dtype("datetime64[us]")
+
+
 def test_column_decimal64_basic():
     rows = ["id,price", "1,12.34", "2,-0.05", "3,100", "4,7.5",
             "5,.25", "6,3.", "7, 9.99", "8,+1.01"]

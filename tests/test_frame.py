@@ -159,6 +159,45 @@ def test_infer_schema_direct(tmp_path):
     assert sch["day"].type == "date"
 
 
+def test_read_typed_corpus(tmp_path):
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    paths = []
+    for k in range(3):
+        rows = b"".join(
+            f"{k * 10 + i},{(k * 10 + i) * 1.5:.2f}\n".encode()
+            for i in range(4)
+        )
+        p = tmp_path / f"part{k}.csv"
+        p.write_bytes(b"id,price\n" + rows)
+        paths.append(str(p))
+    c = CsvCorpus(paths, backend="golden")
+    f = read_typed(c)
+    assert len(f) == 12
+    want_ids = np.concatenate([np.arange(k * 10, k * 10 + 4)
+                               for k in range(3)])
+    np.testing.assert_array_equal(f["id"], want_ids)
+    np.testing.assert_array_equal(
+        f["price"], (want_ids * 150).astype(np.int64)
+    )
+    assert f.ok("id").all() and f.schema["price"].scale == 2
+
+
+def test_read_typed_corpus_schema_locked(tmp_path):
+    # file 1 alone would infer int32 for column v; file 0's inference
+    # (decimal) must win so dtypes are stable across the corpus
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    a = tmp_path / "a.csv"
+    a.write_bytes(b"v\n1.25\n2.50\n")
+    b = tmp_path / "b.csv"
+    b.write_bytes(b"v\n3\n4\n")
+    f = read_typed(CsvCorpus([str(a), str(b)], backend="golden"))
+    assert f.schema["v"].type == "decimal"
+    np.testing.assert_array_equal(f["v"], [125, 250, 300, 400])
+    assert f.ok("v").all()
+
+
 def test_frame_dunder_surface(tmp_path):
     f = read_typed(_csv(tmp_path, MIXED), {"id": "int32"})
     assert "id" in f and "qty" not in f
