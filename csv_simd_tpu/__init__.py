@@ -39,6 +39,13 @@ from .streaming import (
 from .artifact import load_tape, save_tape
 from .offsetfree import PackedDeviceTape
 from .frame import Col, Frame, infer_schema, read_typed
+from .query import (
+    Stats,
+    column_stats,
+    group_aggregate,
+    groupby_typed,
+    select_records,
+)
 
 __all__ = [
     "PackedDeviceTape",
@@ -77,6 +84,11 @@ __all__ = [
     "Frame",
     "infer_schema",
     "read_typed",
+    "Stats",
+    "column_stats",
+    "group_aggregate",
+    "groupby_typed",
+    "select_records",
 ]
 
 __version__ = "0.1.0"

@@ -24,6 +24,45 @@ import argparse
 import sys
 
 
+def _col_key(text: str):
+    """Column reference from the command line: an integer is a column
+    index, anything else a header name."""
+    try:
+        return int(text)
+    except ValueError:
+        return text
+
+
+def _parse_where(exprs):
+    """['qty > 100', 'sym in AAPL|MSFT', 'day between A B'] ->
+    query predicates. Returns None when exprs is falsy."""
+    import re
+
+    if not exprs:
+        return None
+    preds = []
+    for e in exprs:
+        m = re.match(r"^\s*(\S+)\s+between\s+(\S+)\s+(\S+)\s*$", e)
+        if m:
+            preds.append(
+                (_col_key(m.group(1)), "between",
+                 (m.group(2), m.group(3)))
+            )
+            continue
+        m = re.match(r"^\s*(\S+)\s+in\s+(\S+)\s*$", e)
+        if m:
+            preds.append(
+                (_col_key(m.group(1)), "in", m.group(2).split("|"))
+            )
+            continue
+        m = re.match(r"^\s*(\S+?)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$", e)
+        if m:
+            preds.append((_col_key(m.group(1)), m.group(2), m.group(3)))
+            continue
+        raise SystemExit(f"cannot parse --where expression: {e!r}")
+    return preds
+
+
 class _DecodedCli:
     """Tape facade routing value reads through the stage-2 decoder."""
 
@@ -136,6 +175,45 @@ def main(argv=None) -> int:
         "--engine", default="offsets", choices=["offsets", "packed"],
         help="serving tape kind: offsets index or offsets-free packed",
     )
+    sp.add_argument(
+        "--where", action="append", default=None, metavar="EXPR",
+        help="row filter, repeatable (AND): 'col OP value' with OP in "
+        "== != < <= > >=, or 'col between LO HI', or 'col in A|B|C'; "
+        "evaluated on device before materialization",
+    )
+
+    sp = sub.add_parser(
+        "stats",
+        help="aggregate a column on device (count/sum/min/max/mean "
+        "without materializing values on host)",
+    )
+    sp.add_argument("file")
+    sp.add_argument("column", help="column name or index")
+    sp.add_argument(
+        "--type", dest="spec", default=None,
+        help="column type spec (int32|float32|float|date|datetime[:u]|"
+        "decimal[:scale]); default: infer",
+    )
+    sp.add_argument("--where", action="append", default=None,
+                    metavar="EXPR", help="row filter (see frame --where)")
+    sp.add_argument(
+        "--engine", default="offsets", choices=["offsets", "packed"],
+    )
+
+    sp = sub.add_parser(
+        "groupby",
+        help="device group-by: sort + segment-reduce a value column by "
+        "a key column; only per-group results leave the device",
+    )
+    sp.add_argument("file")
+    sp.add_argument("key", help="key column name or index")
+    sp.add_argument("value", help="value column name or index")
+    sp.add_argument("--where", action="append", default=None,
+                    metavar="EXPR", help="row filter (see frame --where)")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument(
+        "--engine", default="offsets", choices=["offsets", "packed"],
+    )
 
     sp = sub.add_parser(
         "json-index",
@@ -155,6 +233,40 @@ def main(argv=None) -> int:
     from .errors import StructureError
 
     try:
+        if args.cmd == "stats":
+            from .query import column_stats
+
+            key = _col_key(args.column)
+            st = column_stats(
+                args.file, key, args.spec, backend=args.backend,
+                engine=args.engine,
+                where=_parse_where(args.where),
+            )
+            import json
+
+            print(json.dumps({
+                "column": args.column, "count": st.count,
+                "ok_count": st.ok_count, "sum": st.sum,
+                "min": st.min, "max": st.max, "mean": st.mean,
+            }))
+            return 0
+        if args.cmd == "groupby":
+            from .query import groupby_typed
+
+            g = groupby_typed(
+                args.file, _col_key(args.key), _col_key(args.value),
+                backend=args.backend, engine=args.engine,
+                where=_parse_where(args.where),
+            )
+            n = len(g["keys"])
+            print(f"{n} groups (key ascending)")
+            for i in range(min(n, args.limit)):
+                print(
+                    f"  {g['keys'][i]}: sum={g['sum'][i]} "
+                    f"min={g['min'][i]} max={g['max'][i]} "
+                    f"count={g['count'][i]}"
+                )
+            return 0
         if args.cmd == "frame":
             from .frame import read_typed
 
@@ -167,6 +279,7 @@ def main(argv=None) -> int:
             fr = read_typed(
                 args.file, schema, columns=cols, backend=args.backend,
                 engine=args.engine, validate_utf8=args.validate_utf8,
+                where=_parse_where(args.where),
             )
             print(fr)
             for name in fr.names:

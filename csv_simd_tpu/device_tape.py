@@ -116,6 +116,17 @@ class DeviceTape:
         flds = jnp.full((n,), field, jnp.int32)
         return self.gather_fields(recs, flds, max_len)
 
+    def _column_gather(self, field: int, max_len: int, records=None):
+        """gather_column, optionally restricted to `records` (int32 ids —
+        the typed column_* methods route through this so predicate
+        pushdown can parse only selected rows)."""
+        if records is None:
+            return self.gather_column(field, max_len)
+        recs = jnp.asarray(records, jnp.int32)
+        return self.gather_fields(
+            recs, jnp.full(recs.shape, field, jnp.int32), max_len
+        )
+
     def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
         """Decode a gather result into a list of bytes (None if invalid).
 
@@ -127,7 +138,7 @@ class DeviceTape:
     # -- device-side typed columns: CSV text -> numeric jnp arrays
     #    without the bytes ever leaving HBM --
 
-    def column_int32(self, field: int, max_len: int = 20):
+    def column_int32(self, field: int, max_len: int = 20, records=None):
         """Parse a whole column as int32 ON DEVICE (vectorised atoi).
 
         Accepted grammar: `[spaces][+|-]digits` — leading ASCII spaces,
@@ -137,10 +148,10 @@ class DeviceTape:
         (including trailing spaces, quotes, underscores, hex), values
         outside int32 (INT32_MIN itself is accepted), and invalid rows.
         Values for not-ok rows are 0."""
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_int32(out, lengths, valid)
 
-    def column_float32(self, field: int, max_len: int = 24):
+    def column_float32(self, field: int, max_len: int = 24, records=None):
         """Parse a column as float32 on device.
 
         Accepted grammar: `[spaces][+|-]digits[.digits]` and
@@ -148,7 +159,7 @@ class DeviceTape:
         inf/nan words, no trailing spaces; `ok` is False for those (use
         column_float32_exp for scientific notation). Values for not-ok
         rows are 0.0."""
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_float32(out, lengths, valid)
 
     def gather_decoded(self, records, fields, max_len: int = 64,
@@ -181,20 +192,21 @@ class DeviceTape:
         )
         return self.to_host_lists(out, ln, v)
 
-    def column_float32_exp(self, field: int, max_len: int = 32):
+    def column_float32_exp(self, field: int, max_len: int = 32,
+                           records=None):
         """Float column parse accepting exponent notation (`1.5e-3`).
         See _parse_float32_exp for the precision contract."""
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_float32_exp(out, lengths, valid)
 
-    def column_date_days(self, field: int, max_len: int = 12):
+    def column_date_days(self, field: int, max_len: int = 12, records=None):
         """ISO `YYYY-MM-DD` column -> int32 days since 1970-01-01, on
         device (see _parse_date_days for the ok contract)."""
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_date_days(out, lengths, valid)
 
     def column_datetime64(self, field: int, unit: str = "s",
-                          max_len: int = 32):
+                          max_len: int = 32, records=None):
         """ISO timestamp column -> int64 epoch values in `unit`
         ("s" | "ms" | "us"), parsed on device.
 
@@ -205,13 +217,13 @@ class DeviceTape:
         scale up exactly). Timezone offsets other than `Z` are not
         accepted. Returns (values (N,) int64, ok (N,) bool); values for
         not-ok rows are 0."""
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _combine_datetime(
             _parse_datetime_parts(out, lengths, valid, unit), unit
         )
 
     def column_decimal64(self, field: int, scale: int = 2,
-                         max_len: int = 32):
+                         max_len: int = 32, records=None):
         """EXACT fixed-point decimal column -> host int64 scaled by
         10^scale (e.g. scale=2: b\"12.34\" -> 1234). The digit math runs
         on device in three base-1e8 int32 limbs (TPU has no native
@@ -219,19 +231,26 @@ class DeviceTape:
         ok (N,) bool) — ok is False for >scale fractional digits (NO
         silent rounding), >18 significant digits, exponents, or bad
         grammar; values for not-ok rows are 0. See _parse_decimal_limbs."""
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _combine_decimal(_parse_decimal_limbs(out, lengths, valid,
                                                      scale))
 
-    def filter_equals(self, field: int, value: bytes, max_len: int = 64):
+    def filter_equals(self, field: int, value: bytes, max_len: int = 64,
+                      records=None):
         """Record ids whose `field` equals `value` exactly (byte compare
-        on device). Returns a host int32 array of record indices."""
-        out, lengths, valid = self.gather_column(field, max_len)
+        on device). Returns a host int32 array of record indices (ids
+        from `records` when given, else global)."""
+        out, lengths, valid = self._column_gather(field, max_len, records)
         v = np.zeros(max_len, dtype=np.uint8)
         raw = np.frombuffer(value, dtype=np.uint8)[:max_len]
         v[: raw.size] = raw
-        hits = _filter_equals(out, lengths, valid, jnp.asarray(v), len(value))
-        return np.flatnonzero(np.asarray(hits)).astype(np.int32)
+        hits = np.flatnonzero(
+            np.asarray(_filter_equals(out, lengths, valid,
+                                      jnp.asarray(v), len(value)))
+        ).astype(np.int32)
+        if records is None:
+            return hits
+        return np.asarray(records, np.int32)[hits]
 
 
 def _check_not_truncated(lengths, valid, max_len: int) -> None:

@@ -100,6 +100,9 @@ class Frame:
         self._ok = ok
         self.schema = schema
         self.num_records = num_records
+        #: record ids behind each row (set by read_typed; None for
+        #: corpus concatenations, where per-file ids would be ambiguous)
+        self.records: Optional[np.ndarray] = None
 
     def __getitem__(self, name: str):
         return self._columns[name]
@@ -298,31 +301,36 @@ def infer_schema(tape, names: List[str], columns=None,
 # -- the endpoint -------------------------------------------------------
 
 def _materialize(tape, field: int, col: Col, dialect, strict: bool,
-                 name: str):
+                 name: str, records=None):
     window = col.max_len or _true_window(tape, field,
                                          _TYPE_MIN_LEN[col.type])
     if col.type == "int32":
-        vals, okm = tape.column_int32(field, max_len=window)
+        vals, okm = tape.column_int32(field, max_len=window,
+                                      records=records)
     elif col.type == "float32":
-        vals, okm = tape.column_float32(field, max_len=window)
+        vals, okm = tape.column_float32(field, max_len=window,
+                                        records=records)
     elif col.type == "float":
-        vals, okm = tape.column_float32_exp(field, max_len=window)
+        vals, okm = tape.column_float32_exp(field, max_len=window,
+                                            records=records)
     elif col.type == "decimal":
         vals, okm = tape.column_decimal64(field, scale=col.scale,
-                                          max_len=window)
+                                          max_len=window, records=records)
     elif col.type == "date":
-        days, okm = tape.column_date_days(field, max_len=window)
+        days, okm = tape.column_date_days(field, max_len=window,
+                                          records=records)
         vals = np.asarray(days).astype("datetime64[D]")
     elif col.type == "datetime":
         epoch, okm = tape.column_datetime64(field, unit=col.unit,
-                                            max_len=window)
+                                            max_len=window,
+                                            records=records)
         vals = np.asarray(epoch).astype(f"datetime64[{col.unit}]")
     elif col.type in ("str", "bytes"):
+        recs = (np.arange(_num_records(tape), dtype=np.int32)
+                if records is None else np.asarray(records, np.int32))
         if col.type == "str":
-            n = _num_records(tape)
             out, ln, v = tape.gather_decoded(
-                np.arange(n, dtype=np.int32),
-                np.full(n, field, np.int32),
+                recs, np.full(recs.shape, field, np.int32),
                 max_len=window, dialect=dialect, trim=col.trim,
             )
             raw = tape.to_host_lists(out, ln, v)
@@ -335,7 +343,9 @@ def _materialize(tape, field: int, col: Col, dialect, strict: bool,
                 ),
                 None,
             )
-        out, ln, v = tape.gather_column(field, max_len=window)
+        out, ln, v = tape.gather_fields(
+            recs, np.full(recs.shape, field, np.int32), max_len=window
+        )
         raw = tape.to_host_lists(out, ln, v)
         return np.array([b"" if b is None else b for b in raw],
                         dtype=object), None
@@ -353,7 +363,7 @@ def _materialize(tape, field: int, col: Col, dialect, strict: bool,
 
 def read_typed(source, schema: Optional[Mapping] = None, *,
                columns: Optional[List[Union[str, int]]] = None,
-               dialect=None, backend: str = "auto",
+               where=None, dialect=None, backend: str = "auto",
                engine: str = "offsets", validate_utf8: bool = False,
                strict: bool = False, sample: int = 256) -> Frame:
     """CSV -> Frame of typed NumPy arrays via the device parsers.
@@ -366,6 +376,12 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
     engine  — "offsets" (DeviceTape over the offsets index) or "packed"
               (offsets-free PackedDeviceTape); only used when `source`
               is a path or bytes.
+    where   — predicate or list of predicates (AND), e.g.
+              [("qty", ">", 100), ("sym", "==", "AAPL")] — evaluated on
+              device BEFORE materialization (predicate pushdown): only
+              matching rows are gathered/parsed/shipped. See
+              query.select_records for the grammar. The selected record
+              ids are returned as `frame.records`.
     strict  — raise InvalidCsvFormat on the first row that fails a
               typed parse instead of returning ok masks.
 
@@ -383,15 +399,16 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
 
     if isinstance(source, CsvCorpus):
         sub = [
-            read_typed(t, schema, columns=columns, dialect=dialect,
-                       strict=strict, sample=sample)
+            read_typed(t, schema, columns=columns, where=where,
+                       dialect=dialect, strict=strict, sample=sample)
             for t in source.tapes
         ]
         # lock the first file's resolved schema so later files can't
         # drift (e.g. infer float where file 0 inferred int32)
         first = sub[0]
         sub = [sub[0]] + [
-            read_typed(t, first.schema, dialect=dialect, strict=strict)
+            read_typed(t, first.schema, where=where, dialect=dialect,
+                       strict=strict)
             if f.schema != first.schema else f
             for t, f in zip(source.tapes[1:], sub[1:])
         ]
@@ -440,12 +457,20 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
             resolved[name] = parse_spec(spec)
             order.append(name)
 
-    num = _num_records(tape)
+    sel = None
+    if where is not None:
+        from .query import select_records
+
+        sel = select_records(tape, where, names=names, schema=resolved,
+                             dialect=dialect, sample=sample)
+    num = _num_records(tape) if sel is None else int(sel.size)
     cols: Dict[str, np.ndarray] = {}
     oks: Dict[str, Optional[np.ndarray]] = {}
     for name in order:
         vals, okm = _materialize(tape, _idx(name), resolved[name],
-                                 dialect, strict, name)
+                                 dialect, strict, name, records=sel)
         cols[name] = vals
         oks[name] = okm
-    return Frame(order, cols, oks, resolved, num)
+    f = Frame(order, cols, oks, resolved, num)
+    f.records = (np.arange(num, dtype=np.int32) if sel is None else sel)
+    return f

@@ -205,64 +205,81 @@ class PackedDeviceTape:
             max_len,
         )
 
-    def filter_equals(self, field: int, value: bytes, max_len: int = 64):
+    def _column_gather(self, field: int, max_len: int, records=None):
+        """gather_column restricted to `records` when given (mirrors
+        DeviceTape._column_gather for predicate pushdown)."""
+        if records is None:
+            return self.gather_column(field, max_len)
+        recs = jnp.asarray(records, jnp.int32)
+        return self.gather_fields(
+            recs, jnp.full(recs.shape, field, jnp.int32), max_len
+        )
+
+    def filter_equals(self, field: int, value: bytes, max_len: int = 64,
+                      records=None):
         """Record ids whose `field` equals `value` exactly (device byte
         compare; see DeviceTape.filter_equals)."""
         from .device_tape import _filter_equals
 
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         v = np.zeros(max_len, dtype=np.uint8)
         raw = np.frombuffer(value, dtype=np.uint8)[:max_len]
         v[: raw.size] = raw
-        hits = _filter_equals(out, lengths, valid, jnp.asarray(v), len(value))
-        return np.flatnonzero(np.asarray(hits)).astype(np.int32)
+        hits = np.flatnonzero(
+            np.asarray(_filter_equals(out, lengths, valid,
+                                      jnp.asarray(v), len(value)))
+        ).astype(np.int32)
+        if records is None:
+            return hits
+        return np.asarray(records, np.int32)[hits]
 
     # typed device columns — same parsers as DeviceTape
-    def column_int32(self, field: int, max_len: int = 20):
+    def column_int32(self, field: int, max_len: int = 20, records=None):
         """See DeviceTape.column_int32 (same grammar/ok contract)."""
         from .device_tape import _parse_int32
 
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_int32(out, lengths, valid)
 
-    def column_float32(self, field: int, max_len: int = 24):
+    def column_float32(self, field: int, max_len: int = 24, records=None):
         """See DeviceTape.column_float32 (no exponent notation)."""
         from .device_tape import _parse_float32
 
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_float32(out, lengths, valid)
 
-    def column_float32_exp(self, field: int, max_len: int = 32):
+    def column_float32_exp(self, field: int, max_len: int = 32,
+                           records=None):
         """See DeviceTape.column_float32_exp (exponent notation)."""
         from .device_tape import _parse_float32_exp
 
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_float32_exp(out, lengths, valid)
 
     def column_decimal64(self, field: int, scale: int = 2,
-                         max_len: int = 32):
+                         max_len: int = 32, records=None):
         """See DeviceTape.column_decimal64 (exact scaled int64)."""
         from .device_tape import _combine_decimal, _parse_decimal_limbs
 
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _combine_decimal(
             _parse_decimal_limbs(out, lengths, valid, scale)
         )
 
-    def column_date_days(self, field: int, max_len: int = 12):
+    def column_date_days(self, field: int, max_len: int = 12, records=None):
         """See DeviceTape.column_date_days (ISO dates -> epoch days)."""
         from .device_tape import _parse_date_days
 
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _parse_date_days(out, lengths, valid)
 
     def column_datetime64(self, field: int, unit: str = "s",
-                          max_len: int = 32):
+                          max_len: int = 32, records=None):
         """See DeviceTape.column_datetime64 (ISO timestamps -> int64
         epoch in `unit`)."""
         from .device_tape import _combine_datetime, _parse_datetime_parts
 
-        out, lengths, valid = self.gather_column(field, max_len)
+        out, lengths, valid = self._column_gather(field, max_len, records)
         return _combine_datetime(
             _parse_datetime_parts(out, lengths, valid, unit), unit
         )

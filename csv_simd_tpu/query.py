@@ -1,0 +1,601 @@
+"""Device-side relational ops over typed CSV columns.
+
+The reference stops at serving field text (record_source.rs:104-140);
+anything relational — filters, aggregates, group-bys — happens in
+whatever the caller writes on the host. Here those ops run where the
+parsed values already live: in HBM, as jnp arrays produced by the
+device parsers (device_tape.py). Three layers:
+
+- predicates: `select_records(tape, where, ...)` evaluates comparisons
+  against typed columns on device and returns matching record ids;
+  `frame.read_typed(..., where=...)` uses it as predicate pushdown, so
+  non-matching rows are never gathered, parsed, or shipped to host.
+- aggregates: `column_stats` computes count/sum/min/max/mean over a
+  column without materializing the values on host. Integer sums are
+  EXACT int64: the int32 values are split into 16-bit halves whose
+  per-chunk partial sums provably fit int32, and the handful of chunk
+  partials combine on host as Python ints. Float sums reduce per-chunk
+  in float32 and combine on host in float64.
+- group-by: `group_aggregate` sorts the key column on device (stable
+  argsort), derives segment ids from key-change flags, and reduces
+  values with XLA segment ops; only the per-group results leave the
+  device. Integer group sums use a 3-component digit split (exact for
+  groups up to ~2M rows, asserted).
+
+Predicate grammar (the `where` argument): a single predicate or a list
+(AND semantics). Each predicate is `(column, op, value)` with op one of
+`== != < <= > >= between in`; `between` takes `(lo, hi)` inclusive,
+`in` a list of values. String predicates compare against the stage-2
+DECODED field (trim/unquote/unescape), so `("sym", "==", "AAPL")`
+matches `"AAPL"`-quoted fields too. Rows whose predicate column fails
+its typed parse are excluded (they cannot satisfy a typed comparison).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import operator as _op
+from typing import Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frame import Col, parse_spec
+
+_CHUNK = 8192  # 16-bit half sums: 8192 * 65535 < 2**31 — int32-exact
+
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in")
+
+_PY_OPS = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le,
+           ">": _op.gt, ">=": _op.ge}
+
+
+# ----------------------------------------------------------------- stats
+
+@dataclasses.dataclass(frozen=True)
+class Stats:
+    """Column aggregate result. `count` is the number of rows examined,
+    `ok_count` how many passed the typed parse (aggregates cover only
+    those). sum/min/max/mean are None when the type has no numeric
+    aggregate (str/bytes) or ok_count == 0. Integer sums are exact."""
+
+    count: int
+    ok_count: int
+    sum: Optional[Union[int, float]]
+    min: Optional[Union[int, float]]
+    max: Optional[Union[int, float]]
+
+    @property
+    def mean(self) -> Optional[float]:
+        if self.sum is None or self.ok_count == 0:
+            return None
+        return self.sum / self.ok_count
+
+
+def _pad_chunks(x: jnp.ndarray, fill) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % _CHUNK
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+    return x.reshape(-1, _CHUNK)
+
+
+@jax.jit
+def _stats_int_device(vals: jnp.ndarray, ok: jnp.ndarray):
+    """(N,) int32 + ok -> per-chunk partial sums of the 16-bit halves
+    (both int32-exact by construction), masked min/max, ok count."""
+    v = jnp.where(ok, vals, 0)
+    lo = _pad_chunks(v & 0xFFFF, 0).sum(axis=1, dtype=jnp.int32)
+    hi = _pad_chunks(v >> 16, 0).sum(axis=1, dtype=jnp.int32)
+    mn = jnp.min(jnp.where(ok, vals, jnp.int32(2**31 - 1)))
+    mx = jnp.max(jnp.where(ok, vals, jnp.int32(-(2**31))))
+    cnt = jnp.sum(ok, dtype=jnp.int32)
+    return lo, hi, mn, mx, cnt
+
+
+@jax.jit
+def _stats_float_device(vals: jnp.ndarray, ok: jnp.ndarray):
+    v = jnp.where(ok, vals, jnp.float32(0))
+    part = _pad_chunks(v, 0.0).sum(axis=1, dtype=jnp.float32)
+    mn = jnp.min(jnp.where(ok, vals, jnp.float32(jnp.inf)))
+    mx = jnp.max(jnp.where(ok, vals, jnp.float32(-jnp.inf)))
+    cnt = jnp.sum(ok, dtype=jnp.int32)
+    return part, mn, mx, cnt
+
+
+def stats_int(vals: jnp.ndarray, ok: jnp.ndarray) -> Stats:
+    """Exact Stats over an int32 device column + ok mask."""
+    if vals.shape[0] == 0:
+        return Stats(0, 0, None, None, None)
+    lo, hi, mn, mx, cnt = _stats_int_device(vals, jnp.asarray(ok, bool))
+    n_ok = int(cnt)
+    if n_ok == 0:
+        return Stats(int(vals.shape[0]), 0, None, None, None)
+    total = sum(int(x) for x in np.asarray(hi)) * 65536 + sum(
+        int(x) for x in np.asarray(lo)
+    )
+    return Stats(int(vals.shape[0]), n_ok, total, int(mn), int(mx))
+
+
+def stats_float(vals: jnp.ndarray, ok: jnp.ndarray) -> Stats:
+    """Stats over a float32 device column (chunked f32 partial sums,
+    combined on host in f64)."""
+    if vals.shape[0] == 0:
+        return Stats(0, 0, None, None, None)
+    part, mn, mx, cnt = _stats_float_device(vals, jnp.asarray(ok, bool))
+    n_ok = int(cnt)
+    if n_ok == 0:
+        return Stats(int(vals.shape[0]), 0, None, None, None)
+    total = float(np.sum(np.asarray(part), dtype=np.float64))
+    return Stats(int(vals.shape[0]), n_ok, total, float(mn), float(mx))
+
+
+def _stats_host_i64(vals: np.ndarray, ok: np.ndarray) -> Stats:
+    """Host fallback for columns whose values only exist as int64 on
+    host (decimal limbs / datetime epochs combine host-side)."""
+    sel = np.asarray(vals)[np.asarray(ok, bool)]
+    if sel.size == 0:
+        return Stats(int(len(vals)), 0, None, None, None)
+    total = int(np.sum(sel.astype(object)))  # Python ints: no overflow
+    return Stats(int(len(vals)), int(sel.size), total,
+                 int(sel.min()), int(sel.max()))
+
+
+def _parse_column(tape, field: int, col: Col, dialect, records=None):
+    """-> (vals, ok, kind) with kind in {int, float, i64host}. Gather
+    windows auto-size like frame._materialize."""
+    from .frame import _TYPE_MIN_LEN, _true_window
+
+    window = col.max_len or _true_window(tape, field,
+                                         _TYPE_MIN_LEN[col.type])
+    if col.type == "int32":
+        v, ok = tape.column_int32(field, max_len=window, records=records)
+        return v, ok, "int"
+    if col.type == "float32":
+        v, ok = tape.column_float32(field, max_len=window, records=records)
+        return v, ok, "float"
+    if col.type == "float":
+        v, ok = tape.column_float32_exp(field, max_len=window,
+                                        records=records)
+        return v, ok, "float"
+    if col.type == "date":
+        v, ok = tape.column_date_days(field, max_len=window,
+                                      records=records)
+        return v, ok, "int"
+    if col.type == "datetime":
+        v, ok = tape.column_datetime64(field, unit=col.unit,
+                                       max_len=window, records=records)
+        return v, ok, "i64host"
+    if col.type == "decimal":
+        v, ok = tape.column_decimal64(field, scale=col.scale,
+                                      max_len=window, records=records)
+        return v, ok, "i64host"
+    raise ValueError(
+        f"column type {col.type!r} has no typed comparison/aggregate"
+    )
+
+
+def column_stats(source, column, spec=None, *, where=None, dialect=None,
+                 backend: str = "auto", engine: str = "offsets",
+                 sample: int = 256) -> Stats:
+    """Aggregate one column of a CSV without materializing it on host.
+
+    source — path, bytes, Tape, DeviceTape, or PackedDeviceTape (same
+    resolution as frame.read_typed). `spec` is the column type (string
+    spec or Col); None infers it from a row sample. `where` filters
+    rows first (see module docstring). str/bytes columns return
+    count/ok_count only.
+    """
+    from .frame import _resolve_tape, infer_schema
+
+    tape, names = _resolve_tape(source, dialect, backend, engine, False)
+    field = _field_index(names, column)
+    if spec is None:
+        inferred = infer_schema(tape, names, columns=[field],
+                                sample=sample)
+        col = inferred[names[field]]
+    else:
+        col = parse_spec(spec)
+    records = None
+    if where is not None:
+        records = select_records(tape, where, names=names,
+                                 dialect=dialect, sample=sample)
+    if col.type in ("str", "bytes"):
+        n = (len(records) if records is not None
+             else int(tape.record_cnt) - 1)
+        return Stats(n, n, None, None, None)
+    vals, ok, kind = _parse_column(tape, field, col, dialect,
+                                   records=records)
+    if kind == "int":
+        return stats_int(vals, ok)
+    if kind == "float":
+        return stats_float(vals, ok)
+    return _stats_host_i64(vals, ok)
+
+
+# ------------------------------------------------------------ predicates
+
+def _field_index(names: List[str], key) -> int:
+    if isinstance(key, (int, np.integer)):
+        if not 0 <= int(key) < len(names):
+            raise KeyError(f"column index {key} out of range")
+        return int(key)
+    try:
+        return names.index(key)
+    except ValueError:
+        raise KeyError(f"no column {key!r}; header names: {names}") from None
+
+
+@functools.partial(jax.jit, static_argnames=("op",))
+def _cmp_mask(vals, ok, lit, op: str):
+    if op == "==":
+        m = vals == lit
+    elif op == "!=":
+        m = vals != lit
+    elif op == "<":
+        m = vals < lit
+    elif op == "<=":
+        m = vals <= lit
+    elif op == ">":
+        m = vals > lit
+    else:
+        m = vals >= lit
+    return ok & m
+
+
+@jax.jit
+def _between_mask(vals, ok, lo, hi):
+    return ok & (vals >= lo) & (vals <= hi)
+
+
+def _decoded_eq_mask(tape, field: int, value, dialect, window: int):
+    """Device mask: stage-2 decoded field == value (bytes compare)."""
+    from .device_tape import _filter_equals
+
+    if isinstance(value, str):
+        value = value.encode()
+    n = int(getattr(tape, "num_data_records",
+                    int(tape.record_cnt) - 1))
+    out, lengths, valid = tape.gather_decoded(
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.full((n,), field, jnp.int32),
+        max_len=window, dialect=dialect,
+    )
+    needle = np.zeros(window, np.uint8)
+    raw = np.frombuffer(bytes(value), np.uint8)[:window]
+    needle[: raw.size] = raw
+    return _filter_equals(out, lengths, valid, jnp.asarray(needle),
+                          len(value))
+
+
+def _typed_literal(col: Col, value):
+    """Host conversion of a predicate literal to the column's device
+    value domain (days / epoch units / scaled decimal)."""
+    if col.type == "int32":
+        return int(value)
+    if col.type in ("float32", "float"):
+        return np.float32(value)
+    if col.type == "date":
+        return int(np.datetime64(value, "D").astype(np.int64))
+    if col.type == "datetime":
+        return int(np.datetime64(value, col.unit).astype(np.int64))
+    if col.type == "decimal":
+        from decimal import Decimal
+
+        d = Decimal(str(value)).scaleb(col.scale)
+        if d != d.to_integral_value():
+            raise ValueError(
+                f"literal {value!r} has more than {col.scale} decimal "
+                "digits (column scale)"
+            )
+        return int(d)
+    raise ValueError(col.type)
+
+
+def _predicate_mask(tape, names, pred, col_specs, dialect,
+                    sample: int) -> np.ndarray:
+    from .frame import _true_window, infer_schema
+
+    if not (isinstance(pred, (tuple, list)) and len(pred) == 3):
+        raise ValueError(
+            f"predicate must be (column, op, value), got {pred!r}"
+        )
+    key, op, value = pred
+    if op not in _OPS:
+        raise ValueError(f"unknown predicate op {op!r}; one of {_OPS}")
+    field = _field_index(names, key)
+    name = names[field]
+    col = col_specs.get(name)
+    if col is None:
+        col = infer_schema(tape, names, columns=[field],
+                           sample=sample)[name]
+        col_specs[name] = col
+
+    if col.type in ("str", "bytes"):
+        if op == "in":
+            window = col.max_len or _true_window(tape, field, 16)
+            window = max(
+                window,
+                max((len(str(v).encode() if isinstance(v, str) else v)
+                     for v in value), default=1),
+            )
+            m = None
+            for v in value:
+                mv = np.asarray(
+                    _decoded_eq_mask(tape, field, v, dialect, window)
+                )
+                m = mv if m is None else (m | mv)
+            return m if m is not None else np.zeros(
+                int(getattr(tape, "num_data_records",
+                            int(tape.record_cnt) - 1)), bool)
+        if op not in ("==", "!="):
+            raise ValueError(
+                f"op {op!r} needs a typed column; {name!r} is "
+                f"{col.type} (give an explicit schema to order on text)"
+            )
+        lit = value.encode() if isinstance(value, str) else bytes(value)
+        window = col.max_len or _true_window(tape, field, 16)
+        window = max(window, len(lit), 1)
+        m = np.asarray(_decoded_eq_mask(tape, field, value, dialect,
+                                        window))
+        return ~m if op == "!=" else m
+
+    vals, ok, kind = _parse_column(tape, field, col, dialect)
+    if kind == "i64host":
+        vals = np.asarray(vals)
+        ok = np.asarray(ok, bool)
+        if op == "between":
+            lo = _typed_literal(col, value[0])
+            hi = _typed_literal(col, value[1])
+            return ok & (vals >= lo) & (vals <= hi)
+        if op == "in":
+            lits = np.array([_typed_literal(col, v) for v in value],
+                            np.int64)
+            return ok & np.isin(vals, lits)
+        lit = _typed_literal(col, value)
+        return ok & _PY_OPS[op](vals, lit)
+    dtype = vals.dtype
+    if op == "between":
+        lo = jnp.asarray(_typed_literal(col, value[0]), dtype)
+        hi = jnp.asarray(_typed_literal(col, value[1]), dtype)
+        return np.asarray(_between_mask(vals, ok, lo, hi))
+    if op == "in":
+        m = None
+        for v in value:
+            lit = jnp.asarray(_typed_literal(col, v), dtype)
+            mv = _cmp_mask(vals, ok, lit, "==")
+            m = mv if m is None else (m | mv)
+        return (np.asarray(m) if m is not None
+                else np.zeros(vals.shape[0], bool))
+    lit = jnp.asarray(_typed_literal(col, value), dtype)
+    return np.asarray(_cmp_mask(vals, ok, lit, op))
+
+
+def select_records(tape, where, *, names=None, schema=None, dialect=None,
+                   sample: int = 256) -> np.ndarray:
+    """Evaluate `where` (predicate or list, AND) against a serving tape
+    and return matching record ids as (K,) int32. `schema` supplies
+    column types for predicate columns (name -> spec); unlisted columns
+    are inferred. Rows failing a predicate column's typed parse never
+    match."""
+    if names is None:
+        hdr = getattr(tape, "header", None)
+        names = getattr(hdr, "names", None)
+        if names is None:
+            names = [f"c{i}" for i in range(int(tape.field_cnt))]
+    preds = where
+    if isinstance(preds, tuple) and len(preds) == 3 and isinstance(
+        preds[1], str
+    ):
+        preds = [preds]
+    col_specs: Dict[str, Col] = {}
+    if schema:
+        for k, v in schema.items():
+            col_specs[names[_field_index(names, k)]] = parse_spec(v)
+    mask = None
+    for pred in preds:
+        m = _predicate_mask(tape, names, pred, col_specs, dialect, sample)
+        mask = m if mask is None else (mask & m)
+    if mask is None:
+        n = int(getattr(tape, "num_data_records",
+                        int(tape.record_cnt) - 1))
+        return np.arange(n, dtype=np.int32)
+    return np.flatnonzero(mask).astype(np.int32)
+
+
+# -------------------------------------------------------------- group-by
+
+# int32 -> two unsigned 10-bit digits + a signed high part (v >> 20,
+# range ±2^11): per-digit int32 segment sums stay exact for groups up to
+# 2^20 rows (the binding term is the high part: 2^11 * 2^20 = 2^31)
+_GROUP_SPLIT = (20, 10)
+
+
+@functools.partial(jax.jit, static_argnames=("is_float",))
+def _group_device(keys, vals, ok, is_float: bool):
+    """Stable-sort by key, segment by key change, reduce per segment.
+    Invalid rows sort last under the max sentinel and are excluded by
+    the returned valid-group count."""
+    n = keys.shape[0]
+    big = (jnp.float32(jnp.inf) if keys.dtype == jnp.float32
+           else jnp.int32(2**31 - 1))
+    k = jnp.where(ok, keys, big)
+    order = jnp.argsort(k, stable=True)
+    sk = k[order]
+    sv = vals[order]
+    sok = ok[order]
+    change = jnp.concatenate(
+        [jnp.zeros(1, bool), sk[1:] != sk[:-1]]
+    )
+    seg = jnp.cumsum(change.astype(jnp.int32))
+    counts = jax.ops.segment_sum(sok.astype(jnp.int32), seg,
+                                 num_segments=n)
+    n_groups = jnp.sum(
+        jnp.max(jnp.where(sok, seg, -1)) + 1
+    )
+    zero = jnp.where(sok, sv, jnp.zeros((), sv.dtype))
+    if is_float:
+        sums = (jax.ops.segment_sum(zero, seg, num_segments=n),)
+    else:
+        sums = tuple(
+            jax.ops.segment_sum(
+                (zero >> s) & ((1 << w) - 1) if s + w <= 31
+                else zero >> s,
+                seg, num_segments=n,
+            )
+            for s, w in ((0, _GROUP_SPLIT[1]),
+                         (_GROUP_SPLIT[1], _GROUP_SPLIT[1]),
+                         (_GROUP_SPLIT[0], 31))
+        )
+    mns = jax.ops.segment_min(
+        jnp.where(sok, sv,
+                  jnp.asarray(jnp.inf if is_float else 2**31 - 1,
+                              sv.dtype)),
+        seg, num_segments=n)
+    mxs = jax.ops.segment_max(
+        jnp.where(sok, sv,
+                  jnp.asarray(-jnp.inf if is_float else -(2**31),
+                              sv.dtype)),
+        seg, num_segments=n)
+    # every row of a segment holds the same key, so any segment reduce
+    # recovers it
+    gkeys = jax.ops.segment_max(sk, seg, num_segments=n)
+    return gkeys, sums, mns, mxs, counts, n_groups
+
+
+def group_aggregate(keys, vals, key_ok=None, val_ok=None):
+    """Group `vals` by `keys` entirely on device; ship only per-group
+    results to host.
+
+    keys — (N,) int32 or float32 device array (e.g. a parsed column);
+    vals — (N,) int32 or float32; key_ok/val_ok — parse-ok masks (rows
+    failing either are excluded). Returns a dict with host arrays
+    `keys` (G,), `sum`, `min`, `max`, `count` — groups in ascending key
+    order. Integer sums are exact for groups up to 2**20 rows
+    (digit-split segment sums, guarded by an assertion)."""
+    keys = jnp.asarray(keys)
+    vals = jnp.asarray(vals)
+    n = keys.shape[0]
+    ok = jnp.ones(n, bool)
+    if key_ok is not None:
+        ok = ok & jnp.asarray(key_ok, bool)
+    if val_ok is not None:
+        ok = ok & jnp.asarray(val_ok, bool)
+    if n == 0:
+        empty_k = np.zeros(0, np.asarray(keys).dtype)
+        z = np.zeros(0, np.int64)
+        return {"keys": empty_k, "sum": z, "min": z, "max": z,
+                "count": np.zeros(0, np.int64)}
+    is_float = vals.dtype == jnp.float32
+    gk, sums, mns, mxs, counts, n_groups = _group_device(
+        keys, vals, ok, is_float
+    )
+    g = int(n_groups)
+    counts = np.asarray(counts)[:g].astype(np.int64)
+    assert counts.max(initial=0) < 2**20, (
+        "group larger than 2**20 rows: integer digit-split sum would "
+        "not be exact — shard the input first"
+    )
+    if is_float:
+        total = np.asarray(sums[0])[:g].astype(np.float64)
+    else:
+        d0, d1, d2 = (np.asarray(s)[:g].astype(np.int64) for s in sums)
+        w = _GROUP_SPLIT[1]
+        total = d0 + (d1 << w) + (d2 << _GROUP_SPLIT[0])
+        # d2 carries the sign bits (arithmetic >> 20 keeps them); d0/d1
+        # are unsigned digit fields, so the recomposition is exact
+    return {
+        "keys": np.asarray(gk)[:g],
+        "sum": total,
+        "min": np.asarray(mns)[:g],
+        "max": np.asarray(mxs)[:g],
+        "count": counts,
+    }
+
+
+def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
+                  where=None, dialect=None, backend: str = "auto",
+                  engine: str = "offsets", sample: int = 256) -> Dict:
+    """End-to-end device group-by over a CSV: parse `key` and `value`
+    columns on device, filter with `where`, group-aggregate, return the
+    per-group host dict of group_aggregate. Value columns must be
+    typed int32/float/float32/date. Group keys may additionally be
+    str/bytes (factorized to dense codes, device-grouped, groups keyed
+    by the decoded text) or decimal/datetime (host grouping)."""
+    from .frame import _resolve_tape, infer_schema
+
+    tape, names = _resolve_tape(source, dialect, backend, engine, False)
+    kf = _field_index(names, key)
+    vf = _field_index(names, value)
+    kcol = (parse_spec(key_spec) if key_spec is not None
+            else infer_schema(tape, names, columns=[kf],
+                              sample=sample)[names[kf]])
+    vcol = (parse_spec(value_spec) if value_spec is not None
+            else infer_schema(tape, names, columns=[vf],
+                              sample=sample)[names[vf]])
+    records = None
+    if where is not None:
+        records = select_records(tape, where, names=names,
+                                 dialect=dialect, sample=sample)
+    vv, vok, vkind = _parse_column(tape, vf, vcol, dialect,
+                                   records=records)
+    if vkind == "i64host":
+        raise ValueError(
+            f"value column {names[vf]!r} is {vcol.type}: its values "
+            "only exist as host int64 — aggregate on host instead"
+        )
+    if kcol.type in ("str", "bytes"):
+        # categorical key: factorize the DECODED column on host into
+        # dense int32 codes (np.unique sorts, so code order == key
+        # order), then reuse the device segment grouping on the codes
+        from .frame import _true_window
+
+        window = kcol.max_len or _true_window(tape, kf, 16)
+        recs = (np.asarray(records, np.int32) if records is not None
+                else np.arange(
+                    int(getattr(tape, "num_data_records",
+                                int(tape.record_cnt) - 1)),
+                    dtype=np.int32))
+        out, ln, v = tape.gather_decoded(
+            recs, np.full(recs.shape, kf, np.int32), max_len=window,
+            dialect=dialect, trim=kcol.trim,
+        )
+        raw = tape.to_host_lists(out, ln, v)
+        kok_h = np.array([b is not None for b in raw], bool)
+        keys_b = np.array([b"" if b is None else b for b in raw],
+                          dtype=object)
+        # object-dtype unique: Python-bytes compare, so embedded NULs
+        # and length ties sort correctly (|S dtype would strip NULs)
+        uniq, inv = np.unique(keys_b[kok_h], return_inverse=True)
+        codes = np.zeros(recs.shape[0], np.int32)
+        codes[kok_h] = inv.astype(np.int32)
+        g = group_aggregate(jnp.asarray(codes), vv,
+                            jnp.asarray(kok_h), vok)
+        gk = uniq[np.asarray(g["keys"], np.int64)]
+        if kcol.type == "str":
+            gk = np.array([b.decode("utf-8", "replace") for b in gk],
+                          dtype=object)
+        g["keys"] = gk
+        return g
+    kv, kok, kkind = _parse_column(tape, kf, kcol, dialect,
+                                   records=records)
+    if kkind == "i64host":
+        # host grouping path: int64 keys, device values pulled once
+        kh = np.asarray(kv)
+        okh = np.asarray(kok, bool) & np.asarray(vok, bool)
+        vh = np.asarray(vv)
+        uk, inv = np.unique(kh[okh], return_inverse=True)
+        sel = vh[okh]
+        sums = np.zeros(uk.shape[0], np.float64 if vkind == "float"
+                        else object)
+        np.add.at(sums, inv, sel.astype(sums.dtype))
+        mins = np.full(uk.shape[0], np.inf)
+        maxs = np.full(uk.shape[0], -np.inf)
+        np.minimum.at(mins, inv, sel.astype(np.float64))
+        np.maximum.at(maxs, inv, sel.astype(np.float64))
+        cnts = np.bincount(inv, minlength=uk.shape[0]).astype(np.int64)
+        return {"keys": uk, "sum": sums, "min": mins, "max": maxs,
+                "count": cnts}
+    return group_aggregate(kv, vv, kok, vok)

@@ -1,0 +1,472 @@
+"""Device query layer (query.py): predicate pushdown, exact device
+aggregates, device group-by — all differential against a pure-Python
+csv-module oracle."""
+
+import csv as pycsv
+import io
+
+import numpy as np
+import pytest
+
+import csv_simd_tpu as cst
+from csv_simd_tpu.query import (
+    Stats,
+    column_stats,
+    group_aggregate,
+    groupby_typed,
+    select_records,
+    stats_float,
+    stats_int,
+)
+
+
+def _make_csv(n=1000, bad_rows=(), quoted=()):
+    """Synthetic table with int/float/str/date/decimal columns. Rows in
+    `bad_rows` get a non-numeric qty; rows in `quoted` get a quoted,
+    comma-containing sym."""
+    out = [b"sym,qty,price,day,ratio"]
+    for i in range(n):
+        sym = ("AAPL", "MSFT", "GOOG")[i % 3]
+        if i in quoted:
+            sym = '"AA,PL"'
+        qty = "x!" if i in bad_rows else str((-1) ** i * ((i * 7) % 2000))
+        price = f"{i % 100}.{i % 97:02d}"
+        day = f"2024-{(i % 12) + 1:02d}-{(i % 28) + 1:02d}"
+        ratio = f"{(i % 13) * 0.5}"
+        out.append(f"{sym},{qty},{price},{day},{ratio}".encode())
+    return b"\n".join(out) + b"\n"
+
+
+def _oracle_rows(data: bytes):
+    rd = pycsv.reader(io.StringIO(data.decode()))
+    rows = list(rd)[1:]
+    return rows
+
+
+CSV = _make_csv(n=600, bad_rows={5, 77}, quoted={9, 12})
+ROWS = _oracle_rows(CSV)
+
+
+def _oracle_qty():
+    vals, ok = [], []
+    for r in ROWS:
+        try:
+            vals.append(int(r[1]))
+            ok.append(True)
+        except ValueError:
+            vals.append(0)
+            ok.append(False)
+    return np.array(vals), np.array(ok)
+
+
+@pytest.fixture(scope="module", params=["offsets", "packed"])
+def engine(request):
+    return request.param
+
+
+# ------------------------------------------------------------- stats
+
+def test_stats_int_exact(engine):
+    st = column_stats(CSV, "qty", engine=engine)
+    v, ok = _oracle_qty()
+    assert st.count == len(ROWS)
+    assert st.ok_count == int(ok.sum())
+    assert st.sum == int(v[ok].sum())
+    assert st.min == int(v[ok].min())
+    assert st.max == int(v[ok].max())
+    assert st.mean == pytest.approx(v[ok].mean())
+
+
+def test_stats_chunk_boundary_extremes():
+    # values near int32 extremes across a >1-chunk column: the 16-bit
+    # half-split partial sums must recombine exactly
+    n = 9000  # > _CHUNK = 8192
+    vals = np.where(
+        np.arange(n) % 2 == 0, 2**31 - 1 - (np.arange(n) % 7), -(2**31)
+    ).astype(np.int64)
+    body = b"v\n" + b"\n".join(str(x).encode() for x in vals) + b"\n"
+    st = column_stats(body, "v", "int32")
+    assert st.sum == int(vals.sum())
+    assert st.min == -(2**31) and st.max == 2**31 - 1
+
+
+def test_stats_float(engine):
+    st = column_stats(CSV, "ratio", "float", engine=engine)
+    orc = np.array([float(r[4]) for r in ROWS], np.float32)
+    assert st.ok_count == len(ROWS)
+    assert st.min == float(orc.min()) and st.max == float(orc.max())
+    assert st.sum == pytest.approx(float(orc.astype(np.float64).sum()),
+                                   rel=1e-6)
+
+
+def test_stats_decimal_host_path():
+    st = column_stats(CSV, "price")  # inferred decimal:2
+    cents = [round(float(r[2]) * 100) for r in ROWS]
+    assert st.sum == sum(cents)
+    assert st.min == min(cents) and st.max == max(cents)
+
+
+def test_stats_date():
+    st = column_stats(CSV, "day")
+    days = [int(np.datetime64(r[3], "D").astype(np.int64)) for r in ROWS]
+    assert st.sum == sum(days) and st.min == min(days)
+
+
+def test_stats_str_counts_only():
+    st = column_stats(CSV, "sym")
+    assert st.sum is None and st.mean is None
+    assert st.count == len(ROWS)
+
+
+def test_stats_where():
+    st = column_stats(CSV, "qty", where=("qty", ">", 0))
+    v, ok = _oracle_qty()
+    pos = v[ok & (v > 0)]
+    assert st.ok_count == len(pos)
+    assert st.sum == int(pos.sum())
+
+
+def test_stats_empty_selection():
+    st = column_stats(CSV, "qty", where=("qty", ">", 10**6))
+    assert st.ok_count == 0 and st.sum is None and st.mean is None
+
+
+def test_stats_int_direct_all_bad():
+    import jax.numpy as jnp
+
+    s = stats_int(jnp.zeros(16, jnp.int32), jnp.zeros(16, bool))
+    assert s == Stats(16, 0, None, None, None)
+    f = stats_float(jnp.zeros(16, jnp.float32), jnp.zeros(16, bool))
+    assert f.sum is None
+
+
+# --------------------------------------------------------- predicates
+
+def _ids_where(mask_fn):
+    v, ok = _oracle_qty()
+    return [i for i in range(len(ROWS)) if mask_fn(i, v[i], ok[i])]
+
+
+def test_select_numeric_ops(engine):
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", engine, False)
+    v, ok = _oracle_qty()
+    for op, fn in [("==", lambda x: x == 14), ("!=", lambda x: x != 14),
+                   ("<", lambda x: x < -100), ("<=", lambda x: x <= 0),
+                   (">", lambda x: x > 500), (">=", lambda x: x >= 1992)]:
+        got = select_records(tape, ("qty", op, (14 if op in ("==", "!=")
+                                                else {"<": -100, "<=": 0,
+                                                      ">": 500,
+                                                      ">=": 1992}[op])),
+                             names=names)
+        want = [i for i in range(len(ROWS)) if ok[i] and fn(v[i])]
+        assert got.tolist() == want, op
+
+
+def test_select_between_and_in(engine):
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", engine, False)
+    v, ok = _oracle_qty()
+    got = select_records(tape, ("qty", "between", (10, 99)), names=names)
+    want = [i for i in range(len(ROWS)) if ok[i] and 10 <= v[i] <= 99]
+    assert got.tolist() == want
+    got = select_records(tape, ("qty", "in", [14, -7, 21]), names=names)
+    want = [i for i in range(len(ROWS)) if ok[i] and v[i] in (14, -7, 21)]
+    assert got.tolist() == want
+
+
+def test_select_str_decoded_equality(engine):
+    # rows 9/12 hold a QUOTED comma-containing sym: the predicate
+    # compares the stage-2 decoded value
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", engine, False)
+    got = select_records(tape, ("sym", "==", "AA,PL"), names=names)
+    assert got.tolist() == [9, 12]
+    got = select_records(tape, ("sym", "in", ["AA,PL", "GOOG"]),
+                         names=names)
+    want = [i for i in range(len(ROWS)) if ROWS[i][0] in ("AA,PL", "GOOG")]
+    assert got.tolist() == want
+
+
+def test_select_date_and_decimal_predicates():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    got = select_records(tape, ("day", ">=", "2024-11-01"), names=names)
+    want = [i for i in range(len(ROWS)) if ROWS[i][3] >= "2024-11-01"]
+    assert got.tolist() == want
+    got = select_records(tape, ("price", "<", "1.00"), names=names)
+    want = [i for i in range(len(ROWS)) if float(ROWS[i][2]) < 1.0]
+    assert got.tolist() == want
+
+
+def test_select_and_of_predicates():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    v, ok = _oracle_qty()
+    got = select_records(
+        tape, [("qty", ">", 0), ("sym", "==", "MSFT")], names=names
+    )
+    want = [i for i in range(len(ROWS))
+            if ok[i] and v[i] > 0 and ROWS[i][0] == "MSFT"]
+    assert got.tolist() == want
+
+
+def test_select_rejects_bad_predicates():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    with pytest.raises(ValueError, match="unknown predicate op"):
+        select_records(tape, ("qty", "~=", 3), names=names)
+    with pytest.raises(KeyError, match="no column"):
+        select_records(tape, ("nope", "==", 3), names=names)
+    with pytest.raises(ValueError, match="typed column"):
+        select_records(tape, ("sym", "<", "B"), names=names)
+
+
+# ----------------------------------------------------- where= pushdown
+
+def test_read_typed_where(engine):
+    fr = cst.read_typed(
+        CSV, where=[("qty", ">", 100), ("sym", "==", "AAPL")],
+        engine=engine,
+    )
+    v, ok = _oracle_qty()
+    want = [i for i in range(len(ROWS))
+            if ok[i] and v[i] > 100 and ROWS[i][0] == "AAPL"]
+    assert fr.records.tolist() == want
+    assert len(fr) == len(want)
+    assert fr["qty"].tolist() == [int(ROWS[i][1]) for i in want]
+    assert fr["sym"].tolist() == ["AAPL"] * len(want)
+    # date column materializes only the selected rows
+    assert (fr["day"] == np.array(
+        [np.datetime64(ROWS[i][3], "D") for i in want]
+    )).all()
+
+
+def test_read_typed_where_empty():
+    fr = cst.read_typed(CSV, where=("qty", ">", 10**6))
+    assert len(fr) == 0
+    assert fr["qty"].shape == (0,)
+    assert fr["sym"].shape == (0,)
+
+
+def test_read_typed_no_where_records():
+    fr = cst.read_typed(CSV, {"qty": "int32"})
+    assert fr.records.tolist() == list(range(len(ROWS)))
+
+
+def test_records_param_direct(engine):
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, _ = _resolve_tape(CSV, None, "auto", engine, False)
+    sel = np.array([3, 0, 77, 599], np.int32)
+    vals, ok = tape.column_int32(1, max_len=16, records=sel)
+    v, okk = _oracle_qty()
+    assert np.asarray(vals)[np.asarray(ok)].tolist() == [
+        v[i] for i in [3, 0, 599] if okk[i]
+    ]
+    assert np.asarray(ok).tolist() == [True, True, False, True]
+
+
+def test_filter_equals_records_param():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, _ = _resolve_tape(CSV, None, "auto", "offsets", False)
+    sel = np.arange(0, 30, dtype=np.int32)
+    got = tape.filter_equals(0, b"MSFT", records=sel)
+    want = [i for i in range(30) if ROWS[i][0] == "MSFT"]
+    assert got.tolist() == want
+
+
+# ------------------------------------------------------------ group-by
+
+def test_groupby_int_key_int_val(engine):
+    g = groupby_typed(CSV, "qty", "qty", engine=engine)
+    v, ok = _oracle_qty()
+    uniq = sorted(set(v[ok].tolist()))
+    assert g["keys"].tolist() == uniq
+    for k, s, mn, mx, c in zip(g["keys"], g["sum"], g["min"], g["max"],
+                               g["count"]):
+        sel = v[ok & (v == k)]
+        assert s == sel.sum() and mn == k and mx == k
+        assert c == len(sel)
+
+
+def test_groupby_date_key_sum(engine):
+    g = groupby_typed(CSV, "day", "qty", engine=engine)
+    v, ok = _oracle_qty()
+    import collections
+
+    o = collections.defaultdict(lambda: [0, 0, None, None])
+    for i in range(len(ROWS)):
+        if not ok[i]:
+            continue
+        k = int(np.datetime64(ROWS[i][3], "D").astype(np.int64))
+        e = o[k]
+        e[0] += v[i]
+        e[1] += 1
+        e[2] = v[i] if e[2] is None else min(e[2], v[i])
+        e[3] = v[i] if e[3] is None else max(e[3], v[i])
+    assert g["keys"].tolist() == sorted(o)
+    for k, s, mn, mx, c in zip(g["keys"], g["sum"], g["min"], g["max"],
+                               g["count"]):
+        assert [s, c, mn, mx] == o[k]
+
+
+def test_groupby_float_values():
+    g = groupby_typed(CSV, "qty", "ratio", value_spec="float")
+    v, ok = _oracle_qty()
+    r = np.array([float(x[4]) for x in ROWS], np.float64)
+    for k, s in zip(g["keys"][:5], g["sum"][:5]):
+        assert s == pytest.approx(r[ok & (v == k)].sum(), rel=1e-6)
+
+
+def test_groupby_where():
+    g = groupby_typed(CSV, "day", "qty", where=("qty", ">", 0))
+    v, ok = _oracle_qty()
+    keep = ok & (v > 0)
+    days = np.array(
+        [int(np.datetime64(r[3], "D").astype(np.int64)) for r in ROWS]
+    )
+    assert g["keys"].tolist() == sorted(set(days[keep].tolist()))
+
+
+def test_groupby_str_key(engine):
+    # categorical key: decoded text (incl. the quoted comma-sym rows),
+    # device grouping on factorized codes, keys back as str
+    g = groupby_typed(CSV, "sym", "qty", engine=engine)
+    v, ok = _oracle_qty()
+    syms = np.array([r[0] for r in ROWS], dtype=object)
+    uniq = sorted(set(syms.tolist()))
+    assert g["keys"].tolist() == uniq
+    for k, s, c in zip(g["keys"], g["sum"], g["count"]):
+        sel = v[ok & (syms == k)]
+        assert s == sel.sum() and c == len(sel)
+    assert "AA,PL" in g["keys"].tolist()  # quoted sym decoded
+
+
+def test_groupby_str_key_where():
+    g = groupby_typed(CSV, "sym", "qty", where=("qty", "<", 0))
+    v, ok = _oracle_qty()
+    syms = np.array([r[0] for r in ROWS], dtype=object)
+    keep = ok & (v < 0)
+    assert g["keys"].tolist() == sorted(set(syms[keep].tolist()))
+    for k, s in zip(g["keys"], g["sum"]):
+        assert s == v[keep & (syms == k)].sum()
+
+
+def test_groupby_bytes_key():
+    g = groupby_typed(CSV, "sym", "qty", key_spec="bytes")
+    assert all(isinstance(k, bytes) for k in g["keys"])
+    assert b"AAPL" in g["keys"].tolist()
+
+
+def test_groupby_decimal_key_host_fallback():
+    g = groupby_typed(CSV, "price", "qty")
+    v, ok = _oracle_qty()
+    cents = np.array([round(float(r[2]) * 100) for r in ROWS])
+    uniq = sorted(set(cents[ok].tolist()))
+    assert g["keys"].tolist() == uniq
+    first = uniq[0]
+    assert g["sum"][0] == int(v[ok & (cents == first)].sum())
+
+
+def test_groupby_float_value_rejected_as_i64():
+    with pytest.raises(ValueError, match="host int64"):
+        groupby_typed(CSV, "qty", "price")  # price infers decimal
+
+
+def test_group_aggregate_direct_negative_sums():
+    import jax.numpy as jnp
+
+    keys = jnp.asarray(np.repeat(np.arange(5, dtype=np.int32), 50))
+    vals = jnp.asarray(
+        (np.arange(250) % 7 - 3).astype(np.int32) * 100_000
+    )
+    g = group_aggregate(keys, vals)
+    kh = np.repeat(np.arange(5), 50)
+    vh = (np.arange(250) % 7 - 3).astype(np.int64) * 100_000
+    for k in range(5):
+        assert g["sum"][k] == vh[kh == k].sum()
+    assert g["count"].tolist() == [50] * 5
+
+
+def test_group_aggregate_all_invalid():
+    import jax.numpy as jnp
+
+    g = group_aggregate(
+        jnp.zeros(8, jnp.int32), jnp.ones(8, jnp.int32),
+        key_ok=jnp.zeros(8, bool),
+    )
+    assert g["keys"].shape == (0,)
+    assert g["sum"].shape == (0,)
+
+
+def test_group_aggregate_empty():
+    import jax.numpy as jnp
+
+    g = group_aggregate(jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32))
+    assert g["keys"].shape == (0,)
+
+
+def test_group_key_at_sentinel_value():
+    # a legit key equal to INT32_MAX shares the sentinel segment with
+    # invalid rows; masked reductions must still be correct
+    import jax.numpy as jnp
+
+    keys = jnp.asarray(np.array([2**31 - 1, 5, 2**31 - 1, 5], np.int32))
+    vals = jnp.asarray(np.array([10, 1, 20, 2], np.int32))
+    ok = jnp.asarray(np.array([True, True, False, True]))
+    g = group_aggregate(keys, vals, key_ok=ok)
+    assert g["keys"].tolist() == [5, 2**31 - 1]
+    assert g["sum"].tolist() == [3, 10]
+    assert g["count"].tolist() == [2, 1]
+
+
+# ---------------------------------------------------------------- CLI
+
+def test_cli_stats_and_groupby(tmp_path, capsys):
+    import json
+
+    from csv_simd_tpu.__main__ import main
+
+    f = tmp_path / "t.csv"
+    f.write_bytes(CSV)
+    assert main(["stats", str(f), "qty"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    v, ok = _oracle_qty()
+    assert rep["sum"] == int(v[ok].sum())
+    assert rep["ok_count"] == int(ok.sum())
+
+    assert main(["stats", str(f), "qty", "--where", "qty > 0",
+                 "--where", "sym == AAPL"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    keep = ok & (v > 0) & np.array([r[0] == "AAPL" for r in ROWS])
+    assert rep["sum"] == int(v[keep].sum())
+
+    assert main(["groupby", str(f), "day", "qty", "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "groups" in out and "sum=" in out
+
+    assert main(["frame", str(f), "--where", "qty between 10 99",
+                 "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "qty" in out
+
+
+def test_cli_where_parser():
+    from csv_simd_tpu.__main__ import _parse_where
+
+    assert _parse_where(None) is None
+    assert _parse_where(["qty > 100"]) == [("qty", ">", "100")]
+    assert _parse_where(["sym in A|B"]) == [("sym", "in", ["A", "B"])]
+    assert _parse_where(["d between 1 2"]) == [("d", "between",
+                                                ("1", "2"))]
+    assert _parse_where(["0 <= 5"]) == [(0, "<=", "5")]
+    with pytest.raises(SystemExit):
+        _parse_where(["qty >"])
