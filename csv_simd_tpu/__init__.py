@@ -42,9 +42,12 @@ from .frame import Col, Frame, infer_schema, read_typed
 from .query import (
     Stats,
     column_stats,
+    distinct,
     group_aggregate,
     groupby_typed,
+    order_records,
     select_records,
+    value_counts,
 )
 
 __all__ = [
@@ -86,9 +89,12 @@ __all__ = [
     "read_typed",
     "Stats",
     "column_stats",
+    "distinct",
     "group_aggregate",
     "groupby_typed",
+    "order_records",
     "select_records",
+    "value_counts",
 ]
 
 __version__ = "0.1.0"

@@ -181,6 +181,38 @@ def main(argv=None) -> int:
         "== != < <= > >=, or 'col between LO HI', or 'col in A|B|C'; "
         "evaluated on device before materialization",
     )
+    sp.add_argument(
+        "--order-by", default=None, metavar="COL",
+        help="sort rows by this column (device sort for typed columns; "
+        "parse-failures last)",
+    )
+    sp.add_argument("--desc", action="store_true",
+                    help="order-by descending")
+    sp.add_argument(
+        "--head", type=int, default=None, metavar="N",
+        help="materialize only the first N rows after where/order-by "
+        "(top-k read; --limit only limits printing)",
+    )
+
+    sp = sub.add_parser(
+        "values",
+        help="distinct values of a column with row counts (device "
+        "grouping for typed columns)",
+    )
+    sp.add_argument("file")
+    sp.add_argument("column", help="column name or index")
+    sp.add_argument(
+        "--type", dest="spec", default=None,
+        help="column type spec; default: infer",
+    )
+    sp.add_argument("--where", action="append", default=None,
+                    metavar="EXPR", help="row filter (see frame --where)")
+    sp.add_argument("--limit", type=int, default=30)
+    sp.add_argument("--by-count", action="store_true",
+                    help="print most-frequent first (default: key order)")
+    sp.add_argument(
+        "--engine", default="offsets", choices=["offsets", "packed"],
+    )
 
     sp = sub.add_parser(
         "stats",
@@ -267,6 +299,23 @@ def main(argv=None) -> int:
                     f"count={g['count'][i]}"
                 )
             return 0
+        if args.cmd == "values":
+            from .query import value_counts
+
+            vc = value_counts(
+                args.file, _col_key(args.column), args.spec,
+                backend=args.backend, engine=args.engine,
+                where=_parse_where(args.where),
+            )
+            keys, counts = vc["keys"], vc["count"]
+            order = (
+                list(reversed(counts.argsort(kind="stable").tolist()))
+                if args.by_count else range(len(keys))
+            )
+            print(f"{len(keys)} distinct values")
+            for i in list(order)[: args.limit]:
+                print(f"  {keys[i]}: {counts[i]}")
+            return 0
         if args.cmd == "frame":
             from .frame import read_typed
 
@@ -280,6 +329,9 @@ def main(argv=None) -> int:
                 args.file, schema, columns=cols, backend=args.backend,
                 engine=args.engine, validate_utf8=args.validate_utf8,
                 where=_parse_where(args.where),
+                order_by=(_col_key(args.order_by)
+                          if args.order_by else None),
+                descending=args.desc, limit=args.head,
             )
             print(fr)
             for name in fr.names:

@@ -363,9 +363,11 @@ def _materialize(tape, field: int, col: Col, dialect, strict: bool,
 
 def read_typed(source, schema: Optional[Mapping] = None, *,
                columns: Optional[List[Union[str, int]]] = None,
-               where=None, dialect=None, backend: str = "auto",
-               engine: str = "offsets", validate_utf8: bool = False,
-               strict: bool = False, sample: int = 256) -> Frame:
+               where=None, order_by=None, descending: bool = False,
+               limit: Optional[int] = None, dialect=None,
+               backend: str = "auto", engine: str = "offsets",
+               validate_utf8: bool = False, strict: bool = False,
+               sample: int = 256) -> Frame:
     """CSV -> Frame of typed NumPy arrays via the device parsers.
 
     source  — path, raw bytes, Tape, DeviceTape, or PackedDeviceTape.
@@ -382,6 +384,12 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
               matching rows are gathered/parsed/shipped. See
               query.select_records for the grammar. The selected record
               ids are returned as `frame.records`.
+    order_by — column to sort rows by (ORDER BY): typed columns sort on
+              device, str/bytes by decoded text, parse-failures last.
+              `descending` flips direction; ties keep record order.
+    limit   — keep only the first `limit` rows (after where/order_by);
+              with order_by this is a top-k read — non-matching rows
+              are never materialized.
     strict  — raise InvalidCsvFormat on the first row that fails a
               typed parse instead of returning ok masks.
 
@@ -398,6 +406,12 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
     from .corpus_api import CsvCorpus
 
     if isinstance(source, CsvCorpus):
+        if order_by is not None or limit is not None:
+            raise ValueError(
+                "order_by/limit need global record ids; a CsvCorpus "
+                "concatenates per-file frames — read the corpus, then "
+                "sort the Frame columns"
+            )
         sub = [
             read_typed(t, schema, columns=columns, where=where,
                        dialect=dialect, strict=strict, sample=sample)
@@ -463,6 +477,15 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
 
         sel = select_records(tape, where, names=names, schema=resolved,
                              dialect=dialect, sample=sample)
+    if order_by is not None:
+        from .query import order_records
+
+        sel = order_records(tape, order_by, names=names, schema=resolved,
+                            records=sel, descending=descending,
+                            limit=limit, dialect=dialect, sample=sample)
+    elif limit is not None:
+        sel = (np.arange(min(limit, _num_records(tape)), dtype=np.int32)
+               if sel is None else sel[:limit])
     num = _num_records(tape) if sel is None else int(sel.size)
     cols: Dict[str, np.ndarray] = {}
     oks: Dict[str, Optional[np.ndarray]] = {}

@@ -405,6 +405,177 @@ def select_records(tape, where, *, names=None, schema=None, dialect=None,
     return np.flatnonzero(mask).astype(np.int32)
 
 
+# -------------------------------------------------------------- ordering
+
+@functools.partial(jax.jit, static_argnames=("descending",))
+def _order_device(vals, ok, descending: bool):
+    """Permutation ordering rows by (valid-first, key, original id).
+    Two stable argsorts: secondary key first, then the validity flag —
+    invalid rows land at the end under either direction without key
+    sentinels (so a legit INT32_MAX row never interleaves with them).
+    Descending int32 flips via bitwise NOT (monotone decreasing, no
+    INT32_MIN negation overflow); float via negation (invalid rows'
+    NaNs are ranked by the validity pass, not the key pass)."""
+    k = vals
+    if descending:
+        k = ~k if k.dtype == jnp.int32 else -k
+    if k.dtype == jnp.float32:
+        # NaNs sort unpredictably; their rows are invalid (ok False)
+        # but must not perturb the stable secondary order of valid rows
+        k = jnp.where(ok, k, jnp.float32(jnp.inf))
+    order = jnp.argsort(k, stable=True)
+    order2 = jnp.argsort((~ok).astype(jnp.int32)[order], stable=True)
+    return order[order2]
+
+
+def order_records(tape, by, *, names=None, schema=None, where=None,
+                  records=None, descending: bool = False,
+                  limit: Optional[int] = None, dialect=None,
+                  sample: int = 256) -> np.ndarray:
+    """Record ids ordered by a column's typed values (ORDER BY).
+
+    Typed columns sort on device (stable argsort; ties keep record
+    order); str/bytes sort by the stage-2 DECODED text on host;
+    decimal/datetime sort their host int64 values. Rows failing the
+    typed parse always sort LAST (both directions). `where` filters
+    first; `records` restricts to explicit ids (mutually exclusive with
+    `where`); `limit` truncates after ordering."""
+    if names is None:
+        hdr = getattr(tape, "header", None)
+        names = getattr(hdr, "names", None)
+        if names is None:
+            names = [f"c{i}" for i in range(int(tape.field_cnt))]
+    if where is not None:
+        if records is not None:
+            raise ValueError("pass either where= or records=, not both")
+        records = select_records(tape, where, names=names, schema=schema,
+                                 dialect=dialect, sample=sample)
+    field = _field_index(names, by)
+    name = names[field]
+    col = None
+    if schema:
+        for k, v in schema.items():
+            if names[_field_index(names, k)] == name:
+                col = parse_spec(v)
+                break
+    if col is None:
+        col = infer_col(tape, names, field, sample)
+    ids = (np.asarray(records, np.int32) if records is not None
+           else np.arange(
+               int(getattr(tape, "num_data_records",
+                           int(tape.record_cnt) - 1)), dtype=np.int32))
+    if col.type in ("str", "bytes"):
+        from .frame import _true_window
+
+        window = col.max_len or _true_window(tape, field, 16)
+        out, ln, v = tape.gather_decoded(
+            ids, np.full(ids.shape, field, np.int32), max_len=window,
+            dialect=dialect, trim=col.trim,
+        )
+        raw = tape.to_host_lists(out, ln, v)
+        okm = np.array([b is not None for b in raw], bool)
+        keys = np.array([b"" if b is None else b for b in raw],
+                        dtype=object)
+        if descending:
+            # reversing an ascending sort would also reverse equal-key
+            # runs (breaking stability); stable-sort the negated
+            # distinct-value rank instead
+            _, inv = np.unique(keys[okm], return_inverse=True)
+            sub = np.argsort(-inv.astype(np.int64), kind="stable")
+        else:
+            sub = np.argsort(keys[okm], kind="stable")
+        perm = np.concatenate(
+            [np.flatnonzero(okm)[sub], np.flatnonzero(~okm)]
+        )
+        out_ids = ids[perm]
+        return out_ids[:limit] if limit is not None else out_ids
+    vals, ok, kind = _parse_column(tape, field, col, dialect,
+                                   records=records)
+    if kind == "i64host":
+        v64 = np.asarray(vals)
+        okh = np.asarray(ok, bool)
+        key = (-v64 if descending else v64)
+        sub = np.argsort(key[okh], kind="stable")
+        perm = np.concatenate(
+            [np.flatnonzero(okh)[sub], np.flatnonzero(~okh)]
+        )
+        out_ids = ids[perm]
+        return out_ids[:limit] if limit is not None else out_ids
+    perm = np.asarray(_order_device(vals, jnp.asarray(ok, bool),
+                                    descending))
+    out_ids = ids[perm]
+    return out_ids[:limit] if limit is not None else out_ids
+
+
+def infer_col(tape, names, field: int, sample: int) -> Col:
+    """Single-column type inference (shared by order/stat/count paths)."""
+    from .frame import infer_schema
+
+    return infer_schema(tape, names, columns=[field],
+                        sample=sample)[names[field]]
+
+
+def value_counts(source, column, spec=None, *, where=None, dialect=None,
+                 backend: str = "auto", engine: str = "offsets",
+                 sample: int = 256) -> Dict:
+    """Distinct values of a column with their row counts.
+
+    Typed columns count on device (segment grouping); str/bytes
+    factorize the decoded text. Returns {"keys": (G,) array ascending,
+    "count": (G,) int64}; rows failing the typed parse are excluded."""
+    from .frame import _resolve_tape, _true_window
+
+    tape, names = _resolve_tape(source, dialect, backend, engine, False)
+    field = _field_index(names, column)
+    col = parse_spec(spec) if spec is not None else infer_col(
+        tape, names, field, sample)
+    records = None
+    if where is not None:
+        records = select_records(tape, where, names=names,
+                                 dialect=dialect, sample=sample)
+    if col.type in ("str", "bytes"):
+        window = col.max_len or _true_window(tape, field, 16)
+        ids = (np.asarray(records, np.int32) if records is not None
+               else np.arange(
+                   int(getattr(tape, "num_data_records",
+                               int(tape.record_cnt) - 1)),
+                   dtype=np.int32))
+        out, ln, v = tape.gather_decoded(
+            ids, np.full(ids.shape, field, np.int32), max_len=window,
+            dialect=dialect, trim=col.trim,
+        )
+        raw = tape.to_host_lists(out, ln, v)
+        keys_b = np.array([b for b in raw if b is not None], dtype=object)
+        uniq, counts = np.unique(keys_b, return_counts=True)
+        if col.type == "str":
+            uniq = np.array(
+                [b.decode("utf-8", "replace") for b in uniq], dtype=object
+            )
+        return {"keys": uniq, "count": counts.astype(np.int64)}
+    vals, ok, kind = _parse_column(tape, field, col, dialect,
+                                   records=records)
+    if kind == "i64host":
+        sel = np.asarray(vals)[np.asarray(ok, bool)]
+        uniq, counts = np.unique(sel, return_counts=True)
+        return {"keys": uniq, "count": counts.astype(np.int64)}
+    if vals.shape[0] == 0:
+        return {"keys": np.zeros(0, np.asarray(vals).dtype),
+                "count": np.zeros(0, np.int64)}
+    # _group_device directly: counts have no exactness ceiling, so the
+    # group_aggregate 2**20 sum-exactness assert must not apply here
+    gk, _, _, _, counts, n_groups = _group_device(
+        vals, jnp.zeros(vals.shape[0], jnp.int32),
+        jnp.asarray(ok, bool), False)
+    g = int(n_groups)
+    return {"keys": np.asarray(gk)[:g],
+            "count": np.asarray(counts)[:g].astype(np.int64)}
+
+
+def distinct(source, column, spec=None, **kw) -> np.ndarray:
+    """Distinct values of a column (ascending; see value_counts)."""
+    return value_counts(source, column, spec, **kw)["keys"]
+
+
 # -------------------------------------------------------------- group-by
 
 # int32 -> two unsigned 10-bit digits + a signed high part (v >> 20,

@@ -14,9 +14,11 @@ from csv_simd_tpu.query import (
     column_stats,
     group_aggregate,
     groupby_typed,
+    order_records,
     select_records,
     stats_float,
     stats_int,
+    value_counts,
 )
 
 
@@ -426,6 +428,135 @@ def test_group_key_at_sentinel_value():
     assert g["keys"].tolist() == [5, 2**31 - 1]
     assert g["sum"].tolist() == [3, 10]
     assert g["count"].tolist() == [2, 1]
+
+
+# ------------------------------------------------------------ ordering
+
+def _oracle_order(desc=False, key=lambda i: None, valid=lambda i: True):
+    """Expected id order: valid rows stable-sorted by key (descending
+    still breaks ties by ascending id), parse failures last."""
+    ok_ids = [i for i in range(len(ROWS)) if valid(i)]
+    bad_ids = [i for i in range(len(ROWS)) if not valid(i)]
+    sign = -1 if desc else 1
+    return sorted(ok_ids, key=lambda i: (sign * key(i), i)) + bad_ids
+
+
+def test_order_records_int(engine):
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", engine, False)
+    v, ok = _oracle_qty()
+    got = order_records(tape, "qty", names=names)
+    want = _oracle_order(key=lambda i: v[i], valid=lambda i: ok[i])
+    assert got.tolist() == want
+    got = order_records(tape, "qty", names=names, descending=True)
+    want = _oracle_order(desc=True, key=lambda i: int(v[i]),
+                         valid=lambda i: ok[i])
+    assert got.tolist() == want
+
+
+def test_order_records_limit_and_where():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    v, ok = _oracle_qty()
+    got = order_records(tape, "qty", names=names, where=("qty", ">", 0),
+                        descending=True, limit=5)
+    pos = sorted((i for i in range(len(ROWS)) if ok[i] and v[i] > 0),
+                 key=lambda i: (-v[i], i))
+    assert got.tolist() == pos[:5]
+
+
+def test_order_records_str():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    got = order_records(tape, "sym", names=names, limit=30)
+    want = sorted(range(len(ROWS)), key=lambda i: (ROWS[i][0], i))[:30]
+    assert got.tolist() == want
+
+
+def test_order_records_float_and_decimal():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    r = [float(x[4]) for x in ROWS]
+    got = order_records(tape, "ratio", names=names,
+                        schema={"ratio": "float"})
+    want = sorted(range(len(ROWS)), key=lambda i: (np.float32(r[i]), i))
+    assert got.tolist() == want
+    cents = [round(float(x[2]) * 100) for x in ROWS]
+    got = order_records(tape, "price", names=names, descending=True,
+                        limit=7)
+    want = sorted(range(len(ROWS)), key=lambda i: (-cents[i], i))[:7]
+    assert got.tolist() == want
+
+
+def test_read_typed_order_by(engine):
+    fr = cst.read_typed(CSV, where=("sym", "==", "MSFT"),
+                        order_by="qty", descending=True, limit=10,
+                        engine=engine)
+    v, ok = _oracle_qty()
+    want = sorted(
+        (i for i in range(len(ROWS)) if ok[i] and ROWS[i][0] == "MSFT"),
+        key=lambda i: (-v[i], i),
+    )[:10]
+    assert fr.records.tolist() == want
+    assert fr["qty"].tolist() == [int(v[i]) for i in want]
+    assert len(fr) == 10
+
+
+def test_read_typed_limit_only():
+    fr = cst.read_typed(CSV, {"qty": "int32"}, limit=25)
+    v, _ = _oracle_qty()
+    assert fr.records.tolist() == list(range(25))
+    assert fr["qty"].tolist() == v[:25].tolist()
+
+
+def test_read_typed_order_parse_failures_last():
+    fr = cst.read_typed(CSV, order_by="qty", limit=len(ROWS))
+    v, ok = _oracle_qty()
+    tail = fr.records[-int((~ok).sum()):].tolist()
+    assert sorted(tail) == np.flatnonzero(~ok).tolist()
+
+
+# -------------------------------------------------------- value counts
+
+def test_value_counts_int(engine):
+    vc = value_counts(CSV, "qty", engine=engine)
+    v, ok = _oracle_qty()
+    import collections
+
+    c = collections.Counter(v[ok].tolist())
+    assert vc["keys"].tolist() == sorted(c)
+    assert vc["count"].tolist() == [c[k] for k in sorted(c)]
+
+
+def test_value_counts_str_where():
+    vc = value_counts(CSV, "sym", where=("qty", ">", 0))
+    v, ok = _oracle_qty()
+    import collections
+
+    c = collections.Counter(
+        ROWS[i][0] for i in range(len(ROWS)) if ok[i] and v[i] > 0
+    )
+    assert vc["keys"].tolist() == sorted(c)
+    assert vc["count"].tolist() == [c[k] for k in sorted(c)]
+
+
+def test_distinct():
+    got = cst.distinct(CSV, "sym")
+    assert got.tolist() == sorted({r[0] for r in ROWS})
+
+
+def test_value_counts_decimal_host():
+    vc = value_counts(CSV, "price")
+    cents = [round(float(r[2]) * 100) for r in ROWS]
+    import collections
+
+    c = collections.Counter(cents)
+    assert vc["keys"].tolist() == sorted(c)
+    assert int(vc["count"].sum()) == len(ROWS)
 
 
 # ---------------------------------------------------------------- CLI
