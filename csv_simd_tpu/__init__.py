@@ -38,7 +38,7 @@ from .streaming import (
 )
 from .artifact import load_tape, save_tape
 from .offsetfree import PackedDeviceTape
-from .frame import Col, Frame, infer_schema, read_typed
+from .frame import Col, Frame, infer_schema, read_typed, write_csv
 from .query import (
     Stats,
     column_stats,
@@ -87,6 +87,7 @@ __all__ = [
     "Frame",
     "infer_schema",
     "read_typed",
+    "write_csv",
     "Stats",
     "column_stats",
     "distinct",

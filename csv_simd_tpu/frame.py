@@ -146,6 +146,82 @@ class Frame:
         )
         return f"Frame(records={self.num_records}, columns=[{cols}])"
 
+    def to_csv(self, path=None, *, dialect=None, header: bool = True):
+        """CSV bytes of this frame (see write_csv)."""
+        return write_csv(self, path, dialect=dialect, header=header)
+
+    # -- persistence: typed columnar artifact ("index+parse once,
+    #    serve typed forever" — extends artifact.py's checkpoint story
+    #    from offsets to parsed columns) --
+
+    def save(self, path) -> None:
+        """Write the frame as a .npz columnar artifact. Text columns
+        (object arrays of str/bytes) are stored as a concatenated
+        uint8 buffer + int64 offsets (no pickling, NUL-safe; fixed
+        '|S' dtypes would strip embedded/trailing NULs)."""
+        import json
+
+        payload = {}
+        meta = {"names": self.names, "num_records": self.num_records,
+                "schema": {n: dataclasses.asdict(self.schema[n])
+                           for n in self.names}}
+        for n in self.names:
+            col = self._columns[n]
+            if col.dtype == object:
+                bufs = [
+                    v.encode("utf-8", "surrogateescape")
+                    if isinstance(v, str) else bytes(v)
+                    for v in col
+                ]
+                lens = np.array([len(b) for b in bufs], np.int64)
+                payload[f"text_{n}"] = np.frombuffer(
+                    b"".join(bufs), np.uint8
+                )
+                payload[f"offs_{n}"] = np.concatenate(
+                    [[0], np.cumsum(lens)]
+                ).astype(np.int64)
+            else:
+                payload[f"col_{n}"] = col
+            okm = self._ok[n]
+            if okm is not None:
+                payload[f"ok_{n}"] = okm
+        if self.records is not None:
+            payload["records"] = self.records
+        payload["meta"] = np.frombuffer(
+            json.dumps(meta).encode(), np.uint8
+        )
+        with open(path, "wb") as f:
+            np.savez(f, **payload)
+
+    @classmethod
+    def load(cls, path) -> "Frame":
+        """Read a frame artifact written by save()."""
+        import json
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            names = meta["names"]
+            schema = {n: Col(**meta["schema"][n]) for n in names}
+            cols: Dict[str, np.ndarray] = {}
+            oks: Dict[str, Optional[np.ndarray]] = {}
+            for n in names:
+                if f"col_{n}" in z:
+                    cols[n] = z[f"col_{n}"]
+                else:
+                    buf = z[f"text_{n}"].tobytes()
+                    offs = z[f"offs_{n}"]
+                    vals = [buf[offs[i]:offs[i + 1]]
+                            for i in range(len(offs) - 1)]
+                    if schema[n].type == "str":
+                        vals = [v.decode("utf-8", "surrogateescape")
+                                for v in vals]
+                    cols[n] = np.array(vals, dtype=object)
+                oks[n] = z[f"ok_{n}"] if f"ok_{n}" in z else None
+            fr = cls(names, cols, oks, schema, meta["num_records"])
+            if "records" in z:
+                fr.records = z["records"]
+        return fr
+
 
 def _bucket(n: int) -> int:
     """Round a gather window up to a power of two (>=8) so repeated
@@ -359,6 +435,84 @@ def _materialize(tape, field: int, col: Col, dialect, strict: bool,
             f"column {name!r} row {bad} does not parse as {col.type}"
         )
     return vals, okm
+
+
+def _format_column(frame: Frame, name: str) -> List[bytes]:
+    """Column values -> CSV field texts. Not-ok rows emit empty fields
+    (missing data), so a round-trip re-parse flags them not-ok again."""
+    col = frame[name]
+    spec = frame.schema[name]
+    okm = frame.ok(name)
+    if spec.type == "decimal":
+        s = spec.scale
+        out = []
+        for v in col:
+            v = int(v)
+            if s == 0:
+                out.append(b"%d" % v)
+            else:
+                sign = b"-" if v < 0 else b""
+                q, r = divmod(abs(v), 10 ** s)
+                out.append(sign + b"%d.%0*d" % (q, s, r))
+    elif spec.type in ("date", "datetime"):
+        out = [np.datetime_as_string(v).encode() for v in col]
+    elif spec.type in ("float32", "float"):
+        # shortest text that re-parses to the same float32 (repr of the
+        # float64 widening would print conversion noise: 1.100000023...)
+        out = [
+            np.format_float_positional(
+                np.float32(v), unique=True, trim="-"
+            ).encode()
+            for v in col
+        ]
+    elif spec.type == "str":
+        out = [v.encode("utf-8", "surrogateescape") for v in col]
+    elif spec.type == "bytes":
+        out = [bytes(v) for v in col]
+    else:
+        out = [b"%d" % int(v) for v in col]
+    if okm is not None and not okm.all():
+        out = [v if o else b"" for v, o in zip(out, okm)]
+    return out
+
+
+def write_csv(frame: Frame, path=None, *, dialect=None,
+              header: bool = True) -> Optional[bytes]:
+    """Frame -> CSV bytes (RFC-4180 quoting under the dialect): fields
+    containing the delimiter, the quote char, or a newline are quoted
+    with quotes doubled, so `read_typed(write_csv(f))` round-trips.
+    Typed columns format canonically (decimal re-inserts the point per
+    its scale; dates ISO; not-ok rows become empty fields). Writes to
+    `path` when given, else returns the bytes.
+
+    Completes the reference's one-way pipeline (csv -> index -> serve,
+    README.md:4-6) into a round-trip."""
+    from .config import DEFAULT_DIALECT
+
+    d = dialect or DEFAULT_DIALECT
+    delim = bytes([d.delimiter])
+    quote = bytes([d.quote])
+    needs = (delim, quote, b"\n", b"\r")
+
+    def q(v: bytes) -> bytes:
+        if any(c in v for c in needs):
+            return quote + v.replace(quote, quote + quote) + quote
+        return v
+
+    cols = [_format_column(frame, n) for n in frame.names]
+    lines = []
+    if header:
+        lines.append(delim.join(
+            q(n.encode("utf-8")) for n in frame.names
+        ))
+    for i in range(frame.num_records):
+        lines.append(delim.join(q(c[i]) for c in cols))
+    blob = b"\n".join(lines) + b"\n"
+    if path is None:
+        return blob
+    with open(path, "wb") as f:
+        f.write(blob)
+    return None
 
 
 def read_typed(source, schema: Optional[Mapping] = None, *,
