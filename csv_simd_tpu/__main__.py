@@ -238,7 +238,11 @@ def main(argv=None) -> int:
         "a key column; only per-group results leave the device",
     )
     sp.add_argument("file")
-    sp.add_argument("key", help="key column name or index")
+    sp.add_argument(
+        "key",
+        help="key column (name or index); comma list for a composite "
+        "key, e.g. sym,day",
+    )
     sp.add_argument("value", help="value column name or index")
     sp.add_argument("--where", action="append", default=None,
                     metavar="EXPR", help="row filter (see frame --where)")
@@ -285,16 +289,22 @@ def main(argv=None) -> int:
         if args.cmd == "groupby":
             from .query import groupby_typed
 
+            key_cols = [_col_key(k) for k in args.key.split(",")]
             g = groupby_typed(
-                args.file, _col_key(args.key), _col_key(args.value),
+                args.file,
+                key_cols if len(key_cols) > 1 else key_cols[0],
+                _col_key(args.value),
                 backend=args.backend, engine=args.engine,
                 where=_parse_where(args.where),
             )
-            n = len(g["keys"])
+            composite = isinstance(g["keys"], list)
+            n = len(g["keys"][0]) if composite else len(g["keys"])
             print(f"{n} groups (key ascending)")
             for i in range(min(n, args.limit)):
+                k = (",".join(str(a[i]) for a in g["keys"])
+                     if composite else g["keys"][i])
                 print(
-                    f"  {g['keys'][i]}: sum={g['sum'][i]} "
+                    f"  {k}: sum={g['sum'][i]} "
                     f"min={g['min'][i]} max={g['max'][i]} "
                     f"count={g['count'][i]}"
                 )

@@ -686,6 +686,133 @@ def group_aggregate(keys, vals, key_ok=None, val_ok=None):
     }
 
 
+def _groupby_composite(tape, names, keys: List, value, key_spec,
+                       value_spec, where, dialect, sample: int) -> Dict:
+    """Multi-column GROUP BY: factorize each key column to dense codes,
+    combine into one mixed-radix code, group once. Groups come back in
+    lexicographic (col0, col1, ...) ascending order because np.unique
+    sorts each factorization and the radix combine preserves the
+    ordering."""
+    from .frame import _resolve_tape  # noqa: F401 (kept for symmetry)
+
+    records = None
+    if where is not None:
+        records = select_records(tape, where, names=names,
+                                 dialect=dialect, sample=sample)
+    vf = _field_index(names, value)
+    vcol = (parse_spec(value_spec) if value_spec is not None
+            else infer_col(tape, names, vf, sample))
+    vv, vok, vkind = _parse_column(tape, vf, vcol, dialect,
+                                   records=records)
+    if vkind == "i64host":
+        raise ValueError(
+            f"value column {names[vf]!r} is {vcol.type}: its values "
+            "only exist as host int64 — aggregate on host instead"
+        )
+    specs = (list(key_spec) if key_spec is not None
+             else [None] * len(keys))
+    if len(specs) != len(keys):
+        raise ValueError(
+            f"key_spec has {len(specs)} entries for {len(keys)} key "
+            "columns"
+        )
+    uniqs, cols_meta = [], []
+    combo = None
+    ok_all = None
+    for k, spec in zip(keys, specs):
+        f = _field_index(names, k)
+        col = (parse_spec(spec) if spec is not None
+               else infer_col(tape, names, f, sample))
+        vals, ok, _ = _host_key_column(tape, names, f, col, dialect,
+                                       records, sample)
+        ok_all = ok if ok_all is None else (ok_all & ok)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        uniqs.append(uniq)
+        cols_meta.append(col)
+        inv = inv.astype(np.int64)
+        combo = inv if combo is None else combo * len(uniq) + inv
+        if combo.max(initial=0) >= 2**62:
+            raise ValueError(
+                "composite key space too large to radix-combine"
+            )
+    ok_all = ok_all & np.asarray(vok, bool)
+    if combo is None or combo.shape[0] == 0:
+        empty = {"keys": [np.zeros(0, u.dtype) for u in uniqs],
+                 "sum": np.zeros(0, np.int64),
+                 "min": np.zeros(0, np.int64),
+                 "max": np.zeros(0, np.int64),
+                 "count": np.zeros(0, np.int64)}
+        return empty
+    if combo.max(initial=0) < 2**31 - 1:
+        g = group_aggregate(jnp.asarray(combo.astype(np.int32)), vv,
+                            jnp.asarray(ok_all), vok)
+        codes = np.asarray(g["keys"], np.int64)
+    else:
+        # combination space exceeds int32: host grouping on the int64
+        # codes, values pulled once
+        vh = np.asarray(vv)[ok_all]
+        ch = combo[ok_all]
+        uk, inv2 = np.unique(ch, return_inverse=True)
+        sums = np.zeros(uk.shape[0],
+                        np.float64 if vkind == "float" else object)
+        np.add.at(sums, inv2, vh.astype(sums.dtype))
+        mins = np.full(uk.shape[0], np.inf)
+        maxs = np.full(uk.shape[0], -np.inf)
+        np.minimum.at(mins, inv2, vh.astype(np.float64))
+        np.maximum.at(maxs, inv2, vh.astype(np.float64))
+        g = {"sum": sums, "min": mins, "max": maxs,
+             "count": np.bincount(
+                 inv2, minlength=uk.shape[0]).astype(np.int64)}
+        codes = uk
+    out_keys = []
+    rem = codes
+    for uniq in reversed(uniqs):
+        rem, idx = np.divmod(rem, len(uniq))
+        out_keys.append(uniq[idx])
+    out_keys.reverse()
+    out_keys = [
+        _decode_key_array(arr, col)
+        for arr, col in zip(out_keys, cols_meta)
+    ]
+    return {"keys": out_keys, "sum": g["sum"], "min": g["min"],
+            "max": g["max"], "count": g["count"]}
+
+
+def _host_key_column(tape, names, field: int, col: Col, dialect,
+                     records, sample: int):
+    """One group-key column as host-factorizable values + ok mask.
+    Typed columns parse on device and ship the (N,) values once;
+    str/bytes ship the decoded text."""
+    if col.type in ("str", "bytes"):
+        from .frame import _true_window
+
+        window = col.max_len or _true_window(tape, field, 16)
+        ids = (np.asarray(records, np.int32) if records is not None
+               else np.arange(
+                   int(getattr(tape, "num_data_records",
+                               int(tape.record_cnt) - 1)),
+                   dtype=np.int32))
+        out, ln, v = tape.gather_decoded(
+            ids, np.full(ids.shape, field, np.int32), max_len=window,
+            dialect=dialect, trim=col.trim,
+        )
+        raw = tape.to_host_lists(out, ln, v)
+        ok = np.array([b is not None for b in raw], bool)
+        vals = np.array([b"" if b is None else b for b in raw],
+                        dtype=object)
+        return vals, ok, True
+    vals, ok, _ = _parse_column(tape, field, col, dialect,
+                                records=records)
+    return np.asarray(vals), np.asarray(ok, bool), col.type == "str"
+
+
+def _decode_key_array(uniq: np.ndarray, col: Col):
+    if col.type == "str":
+        return np.array([b.decode("utf-8", "replace") for b in uniq],
+                        dtype=object)
+    return uniq
+
+
 def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
                   where=None, dialect=None, backend: str = "auto",
                   engine: str = "offsets", sample: int = 256) -> Dict:
@@ -694,10 +821,21 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
     per-group host dict of group_aggregate. Value columns must be
     typed int32/float/float32/date. Group keys may additionally be
     str/bytes (factorized to dense codes, device-grouped, groups keyed
-    by the decoded text) or decimal/datetime (host grouping)."""
+    by the decoded text) or decimal/datetime (host grouping).
+
+    `key` may be a LIST of columns (composite GROUP BY): each key
+    column factorizes independently, the dense codes combine into one
+    int32 code (device-grouped when the distinct-combination space
+    fits), and `keys` in the result becomes a list of per-column
+    arrays, groups in lexicographic key order. `key_spec`, when given
+    for a composite key, is a matching list of specs."""
     from .frame import _resolve_tape, infer_schema
 
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
+    if isinstance(key, (list, tuple)):
+        return _groupby_composite(tape, names, list(key), value,
+                                  key_spec, value_spec, where, dialect,
+                                  sample)
     kf = _field_index(names, key)
     vf = _field_index(names, value)
     kcol = (parse_spec(key_spec) if key_spec is not None

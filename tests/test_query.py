@@ -368,6 +368,55 @@ def test_groupby_bytes_key():
     assert b"AAPL" in g["keys"].tolist()
 
 
+def test_groupby_composite_keys(engine):
+    # (sym, day) pairs: lexicographic group order, exact sums
+    g = groupby_typed(CSV, ["sym", "day"], "qty", engine=engine)
+    v, ok = _oracle_qty()
+    import collections
+
+    o = collections.defaultdict(int)
+    cnt = collections.Counter()
+    for i in range(len(ROWS)):
+        if not ok[i]:
+            continue
+        k = (ROWS[i][0],
+             int(np.datetime64(ROWS[i][3], "D").astype(np.int64)))
+        o[k] += v[i]
+        cnt[k] += 1
+    want = sorted(o)
+    ks, kd = g["keys"]
+    assert list(zip(ks.tolist(), kd.tolist())) == want
+    assert g["sum"].tolist() == [o[k] for k in want]
+    assert g["count"].tolist() == [cnt[k] for k in want]
+
+
+def test_groupby_composite_where_and_specs():
+    g = groupby_typed(CSV, ["sym", "qty"], "qty",
+                      key_spec=["str", "int32"], value_spec="int32",
+                      where=("qty", ">", 1500))
+    v, ok = _oracle_qty()
+    pairs = sorted({(ROWS[i][0], int(v[i]))
+                    for i in range(len(ROWS)) if ok[i] and v[i] > 1500})
+    ks, kq = g["keys"]
+    assert list(zip(ks.tolist(), kq.tolist())) == pairs
+    # key == value: each group's sum is key*count
+    assert all(s == q * c for q, s, c in
+               zip(kq.tolist(), g["sum"].tolist(), g["count"].tolist()))
+
+
+def test_groupby_composite_bad_rows_excluded():
+    # rows 5/77 have unparseable qty: excluded as group keys too
+    g = groupby_typed(CSV, ["qty"], "qty")
+    single = groupby_typed(CSV, "qty", "qty")
+    assert g["keys"][0].tolist() == single["keys"].tolist()
+    assert g["sum"].tolist() == single["sum"].tolist()
+
+
+def test_groupby_composite_spec_len_mismatch():
+    with pytest.raises(ValueError, match="key_spec has"):
+        groupby_typed(CSV, ["sym", "day"], "qty", key_spec=["str"])
+
+
 def test_groupby_decimal_key_host_fallback():
     g = groupby_typed(CSV, "price", "qty")
     v, ok = _oracle_qty()
@@ -583,6 +632,14 @@ def test_cli_stats_and_groupby(tmp_path, capsys):
     assert main(["groupby", str(f), "day", "qty", "--limit", "2"]) == 0
     out = capsys.readouterr().out
     assert "groups" in out and "sum=" in out
+
+    assert main(["groupby", str(f), "sym,day", "qty", "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "AA,PL," in out  # composite key printed col0,col1
+
+    assert main(["values", str(f), "sym", "--by-count"]) == 0
+    out = capsys.readouterr().out
+    assert "distinct values" in out
 
     assert main(["frame", str(f), "--where", "qty between 10 99",
                  "--limit", "3"]) == 0
