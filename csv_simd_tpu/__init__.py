@@ -39,6 +39,7 @@ from .streaming import (
 from .artifact import load_tape, save_tape
 from .offsetfree import PackedDeviceTape
 from .frame import Col, Frame, infer_schema, read_typed, write_csv
+from .join import join_records, join_typed
 from .query import (
     Stats,
     column_stats,
@@ -93,6 +94,8 @@ __all__ = [
     "distinct",
     "group_aggregate",
     "groupby_typed",
+    "join_records",
+    "join_typed",
     "order_records",
     "select_records",
     "value_counts",

@@ -252,6 +252,30 @@ def main(argv=None) -> int:
     )
 
     sp = sub.add_parser(
+        "join",
+        help="equi-join two CSVs on a key column (device sort-merge) "
+        "and print the joined typed frame",
+    )
+    sp.add_argument("left")
+    sp.add_argument("right")
+    sp.add_argument("on", help="key column (left name; also right "
+                    "unless --right-on)")
+    sp.add_argument("--right-on", default=None)
+    sp.add_argument("--how", default="inner", choices=["inner", "left"])
+    sp.add_argument("--columns", default=None,
+                    help="comma list of left columns (default all)")
+    sp.add_argument("--right-columns", default=None,
+                    help="comma list of right columns (default all)")
+    sp.add_argument("--where", action="append", default=None,
+                    metavar="EXPR", help="left-side row filter")
+    sp.add_argument("--right-where", action="append", default=None,
+                    metavar="EXPR", help="right-side row filter")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument(
+        "--engine", default="offsets", choices=["offsets", "packed"],
+    )
+
+    sp = sub.add_parser(
         "json-index",
         help="JSON structural offsets + nesting depths (escape-aware)",
     )
@@ -308,6 +332,28 @@ def main(argv=None) -> int:
                     f"min={g['min'][i]} max={g['max'][i]} "
                     f"count={g['count'][i]}"
                 )
+            return 0
+        if args.cmd == "join":
+            from .join import join_typed
+
+            fr = join_typed(
+                args.left, args.right, _col_key(args.on),
+                right_on=(_col_key(args.right_on)
+                          if args.right_on else None),
+                how=args.how,
+                columns=(args.columns.split(",") if args.columns
+                         else None),
+                right_columns=(args.right_columns.split(",")
+                               if args.right_columns else None),
+                where=_parse_where(args.where),
+                right_where=_parse_where(args.right_where),
+                backend=args.backend, engine=args.engine,
+            )
+            print(fr)
+            for name in fr.names:
+                vals = fr[name][: args.limit]
+                print(f"  {name} [{fr.schema[name].type}]: "
+                      + ", ".join(str(v) for v in vals))
             return 0
         if args.cmd == "values":
             from .query import value_counts

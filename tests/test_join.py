@@ -1,0 +1,201 @@
+"""Device equi-join (join.py): sort-merge on device, host pair
+expansion — differential against a nested-loop Python oracle."""
+
+import csv as pycsv
+import io
+
+import numpy as np
+import pytest
+
+import csv_simd_tpu as cst
+from csv_simd_tpu.join import join_records, join_typed
+
+
+LEFT = (
+    b"sym,qty\n"
+    b"AAPL,10\n"
+    b"MSFT,20\n"
+    b"ZZZZ,30\n"       # no right match
+    b"AAPL,40\n"
+    b"GOOG,bad!\n"      # right matches exist but qty won't parse
+    b'"AA,PL",50\n'     # quoted key
+)
+
+RIGHT = (
+    b"sym,price\n"
+    b"MSFT,2.50\n"
+    b'"AAPL",1.25\n'    # quoted: joins text-equal to bare AAPL
+    b"AAPL,1.75\n"
+    b"GOOG,9.99\n"
+    b'"AA,PL",7.77\n'
+    b"XXXX,0.01\n"      # no left match
+)
+
+
+def _rows(data):
+    return list(pycsv.reader(io.StringIO(data.decode())))[1:]
+
+
+LROWS, RROWS = _rows(LEFT), _rows(RIGHT)
+
+
+def _oracle_pairs(how="inner", lkey=lambda r: r[0],
+                  rkey=lambda r: r[0]):
+    out = []
+    for i, lr in enumerate(LROWS):
+        hits = [j for j, rr in enumerate(RROWS) if rkey(rr) == lkey(lr)]
+        if hits:
+            out += [(i, j) for j in hits]
+        elif how == "left":
+            out.append((i, -1))
+    return out
+
+
+def _tapes(engine="offsets"):
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lt, ln = _resolve_tape(LEFT, None, "auto", engine, False)
+    rt, rn = _resolve_tape(RIGHT, None, "auto", engine, False)
+    return lt, rt
+
+
+@pytest.mark.parametrize("engine", ["offsets", "packed"])
+def test_join_records_str_key(engine):
+    lt, rt = _tapes(engine)
+    l, r = join_records(lt, rt, "sym")
+    got = sorted(zip(l.tolist(), r.tolist()))
+    assert got == sorted(_oracle_pairs())
+
+
+def test_join_records_left():
+    lt, rt = _tapes()
+    l, r = join_records(lt, rt, "sym", how="left")
+    # left order preserved, unmatched keep -1
+    assert l.tolist() == [p[0] for p in _oracle_pairs("left")]
+    assert sorted(zip(l.tolist(), r.tolist())) == sorted(
+        _oracle_pairs("left")
+    )
+
+
+def test_join_int_key_device():
+    left = b"k,a\n1,x\n2,y\n2,z\n9,w\n"
+    right = b"k,b\n2,p\n1,q\n2,r\n7,s\n"
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lt, _ = _resolve_tape(left, None, "auto", "offsets", False)
+    rt, _ = _resolve_tape(right, None, "auto", "offsets", False)
+    l, r = join_records(lt, rt, "k")
+    lr = _rows(left)
+    rr = _rows(right)
+    want = sorted(
+        (i, j) for i in range(4) for j in range(4)
+        if lr[i][0] == rr[j][0]
+    )
+    assert sorted(zip(l.tolist(), r.tolist())) == want
+    # ties: right matches within a group keep right record order
+    grp = [rj for li, rj in zip(l.tolist(), r.tolist()) if li == 1]
+    assert grp == sorted(grp)
+
+
+def test_join_invalid_keys_never_match():
+    # right key INT32_MAX is legit; an invalid right row must not ride
+    # the sentinel into its group
+    left = b"k\n2147483647\n5\n"
+    right = b"k,v\n2147483647,1\nnope,2\n5,3\n"
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lt, _ = _resolve_tape(left, None, "auto", "offsets", False)
+    rt, _ = _resolve_tape(right, None, "auto", "offsets", False)
+    l, r = join_records(lt, rt, "k", right_spec="int32",
+                        left_spec="int32")
+    assert sorted(zip(l.tolist(), r.tolist())) == [(0, 0), (1, 2)]
+
+
+def test_join_decimal_key_host():
+    left = b"p\n1.25\n9.99\n"
+    right = b"p,tag\n9.99,hi\n1.25,lo\n1.25,mid\n"
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lt, _ = _resolve_tape(left, None, "auto", "offsets", False)
+    rt, _ = _resolve_tape(right, None, "auto", "offsets", False)
+    l, r = join_records(lt, rt, "p")
+    assert sorted(zip(l.tolist(), r.tolist())) == [
+        (0, 1), (0, 2), (1, 0)
+    ]
+
+
+def test_join_typed_frame():
+    fr = join_typed(LEFT, RIGHT, "sym", schema={"qty": "int32"})
+    pairs = _oracle_pairs()
+    assert len(fr) == len(pairs)
+    assert fr.records.tolist() == [p[0] for p in pairs]
+    # qty from left, price from right, per pair
+    import collections
+
+    got = collections.Counter(
+        (s, int(q) if ok else None, str(p))
+        for s, q, ok, p in zip(
+            fr["sym"], fr["qty"], fr.ok("qty"), fr["price"]
+        )
+    )
+    want = collections.Counter()
+    for i, j in pairs:
+        try:
+            q = int(LROWS[i][1])
+        except ValueError:
+            q = None
+        cents = str(round(float(RROWS[j][1]) * 100))  # decimal:2 int64
+        want[(LROWS[i][0], q, cents)] += 1
+    assert got == want
+
+
+def test_join_typed_left_missing_flags():
+    fr = join_typed(LEFT, RIGHT, "sym", how="left")
+    miss_rows = [k for k, r in enumerate(fr.records.tolist())
+                 if LROWS[r][0] == "ZZZZ"]
+    assert len(miss_rows) == 1
+    k = miss_rows[0]
+    assert not fr.ok("price")[k]
+    assert fr.ok("sym_right") is not None and not fr.ok("sym_right")[k]
+
+
+def test_join_typed_suffix_and_columns():
+    fr = join_typed(LEFT, RIGHT, "sym", columns=["sym", "qty"],
+                    right_columns=["sym", "price"])
+    assert fr.names == ["sym", "qty", "sym_right", "price"]
+    assert all(a == b for a, b in zip(fr["sym"], fr["sym_right"]))
+
+
+def test_join_typed_where_pushdown():
+    fr = join_typed(LEFT, RIGHT, "sym", where=("qty", ">=", 40),
+                    right_where=("price", "<", "5.00"),
+                    schema={"qty": "int32"})
+    want = [
+        (i, j) for i, j in _oracle_pairs()
+        if LROWS[i][1].isdigit() and int(LROWS[i][1]) >= 40
+        and float(RROWS[j][1]) < 5.0
+    ]
+    assert len(fr) == len(want)
+    assert fr.records.tolist() == [p[0] for p in want]
+
+
+def test_join_key_type_mismatch():
+    with pytest.raises(ValueError, match="disagree"):
+        join_typed(LEFT, RIGHT, "sym", right_on="price")
+
+
+def test_join_how_validation():
+    lt, rt = _tapes()
+    with pytest.raises(ValueError, match="inner|left"):
+        join_records(lt, rt, "sym", how="outer")
+
+
+def test_cli_join(tmp_path, capsys):
+    from csv_simd_tpu.__main__ import main
+
+    lp, rp = tmp_path / "l.csv", tmp_path / "r.csv"
+    lp.write_bytes(LEFT)
+    rp.write_bytes(RIGHT)
+    assert main(["join", str(lp), str(rp), "sym", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "sym_right" in out and "price" in out
