@@ -56,65 +56,33 @@ def _gather_fields(
     return out, lengths, valid
 
 
-class DeviceTape:
-    """Tape with bytes + index resident on device for batched serving.
+class TypedColumnsMixin:
+    """Batched serving surface shared by every device tape (single-chip
+    offsets, single-chip packed, and both mesh-sharded tapes).
 
-    Construct from a host Tape (`DeviceTape.from_tape`) or raw parts. The
-    scalar metadata mirrors RecordSource's getters; lookups return
-    (bytes (N, max_len) uint8, lengths (N,), valid (N,)) device arrays.
-    """
+    Everything here is derived from one primitive the concrete class
+    must provide — `gather_fields(records, fields, max_len)` returning
+    (bytes (N, max_len) uint8, TRUE lengths (N,), valid (N,)) — plus the
+    scalar metadata `record_cnt` / `field_cnt` (and optionally
+    `num_data_records`). That contract is what lets the relational layer
+    (query.py / frame.py / join.py) run unchanged over a single chip or
+    a whole mesh: predicate pushdown, typed parses, decode and stats all
+    route through these methods."""
 
-    def __init__(self, data: jnp.ndarray, index, jump: int,
-                 field_cnt: int, record_cnt: int, header=None):
-        self.data = data
-        self.header = header  # optional Header (column names for frame.py)
-        # guard BEFORE any int32 conversion (jnp.asarray would already
-        # wrap an int64 host index when x64 is disabled): native/golden
-        # backends emit int64 indexes for >= 2 GiB inputs, and a wrapped
-        # offset would silently mis-serve
-        idx_host = np.asarray(index)
-        if idx_host.size and int(idx_host[-1]) >= 2**31:
-            raise ValueError(
-                "device tape uses int32 offsets: this index addresses "
-                ">= 2 GiB; shard across devices (parallel.serving) "
-                "or serve from the host Tape"
-            )
-        self.index = jnp.asarray(idx_host.astype(np.int32))
-        self.jump = jnp.int32(jump)
-        self.field_cnt = jnp.int32(field_cnt)
-        self.record_cnt = jnp.int32(record_cnt)
-
-    @classmethod
-    def from_tape(cls, tape) -> "DeviceTape":
-        raw = tape.data_bytes
-        host = (
-            np.frombuffer(raw, dtype=np.uint8)
-            if isinstance(raw, (bytes, bytearray, memoryview))
-            else np.asarray(raw, dtype=np.uint8)
-        )
-        data = jnp.asarray(host)
-        return cls(
-            data, np.asarray(tape.index),
-            tape.record_jump_size, tape.field_cnt, tape.record_cnt,
-            header=tape.header,
-        )
-
-    def gather_fields(
-        self, records, fields, max_len: int = 64
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Batched (record, field) -> (bytes, lengths, valid)."""
-        return _gather_fields(
-            self.data, self.index,
-            jnp.asarray(records, jnp.int32), jnp.asarray(fields, jnp.int32),
-            self.jump, self.field_cnt, self.record_cnt, max_len,
-        )
+    def _num_data(self) -> int:
+        n = getattr(self, "num_data_records", None)
+        if n is not None:
+            return int(n)
+        return max(int(self.record_cnt) - 1, 0)
 
     def gather_column(self, field: int, max_len: int = 64):
         """One whole column in a single device gather."""
-        n = int(self.record_cnt) - 1
-        recs = jnp.arange(n, dtype=jnp.int32)
-        flds = jnp.full((n,), field, jnp.int32)
-        return self.gather_fields(recs, flds, max_len)
+        n = self._num_data()
+        return self.gather_fields(
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((n,), field, jnp.int32),
+            max_len,
+        )
 
     def _column_gather(self, field: int, max_len: int, records=None):
         """gather_column, optionally restricted to `records` (int32 ids —
@@ -184,7 +152,7 @@ class DeviceTape:
                        dialect=None, trim: bool = True) -> list:
         """Whole decoded column as host bytes — byte-equal to
         decode.DecodedView.column on the same tape."""
-        n = int(self.record_cnt) - 1
+        n = self._num_data()
         out, ln, v = self.gather_decoded(
             jnp.arange(n, dtype=jnp.int32),
             jnp.full((n,), field, jnp.int32),
@@ -251,6 +219,60 @@ class DeviceTape:
         if records is None:
             return hits
         return np.asarray(records, np.int32)[hits]
+
+
+class DeviceTape(TypedColumnsMixin):
+    """Tape with bytes + index resident on device for batched serving.
+
+    Construct from a host Tape (`DeviceTape.from_tape`) or raw parts. The
+    scalar metadata mirrors RecordSource's getters; lookups return
+    (bytes (N, max_len) uint8, lengths (N,), valid (N,)) device arrays.
+    """
+
+    def __init__(self, data: jnp.ndarray, index, jump: int,
+                 field_cnt: int, record_cnt: int, header=None):
+        self.data = data
+        self.header = header  # optional Header (column names for frame.py)
+        # guard BEFORE any int32 conversion (jnp.asarray would already
+        # wrap an int64 host index when x64 is disabled): native/golden
+        # backends emit int64 indexes for >= 2 GiB inputs, and a wrapped
+        # offset would silently mis-serve
+        idx_host = np.asarray(index)
+        if idx_host.size and int(idx_host[-1]) >= 2**31:
+            raise ValueError(
+                "device tape uses int32 offsets: this index addresses "
+                ">= 2 GiB; shard across devices (parallel.serving) "
+                "or serve from the host Tape"
+            )
+        self.index = jnp.asarray(idx_host.astype(np.int32))
+        self.jump = jnp.int32(jump)
+        self.field_cnt = jnp.int32(field_cnt)
+        self.record_cnt = jnp.int32(record_cnt)
+
+    @classmethod
+    def from_tape(cls, tape) -> "DeviceTape":
+        raw = tape.data_bytes
+        host = (
+            np.frombuffer(raw, dtype=np.uint8)
+            if isinstance(raw, (bytes, bytearray, memoryview))
+            else np.asarray(raw, dtype=np.uint8)
+        )
+        data = jnp.asarray(host)
+        return cls(
+            data, np.asarray(tape.index),
+            tape.record_jump_size, tape.field_cnt, tape.record_cnt,
+            header=tape.header,
+        )
+
+    def gather_fields(
+        self, records, fields, max_len: int = 64
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Batched (record, field) -> (bytes, lengths, valid)."""
+        return _gather_fields(
+            self.data, self.index,
+            jnp.asarray(records, jnp.int32), jnp.asarray(fields, jnp.int32),
+            self.jump, self.field_cnt, self.record_cnt, max_len,
+        )
 
 
 def _check_not_truncated(lengths, valid, max_len: int) -> None:

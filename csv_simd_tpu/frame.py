@@ -234,13 +234,18 @@ def _bucket(n: int) -> int:
 
 def _resolve_tape(source, dialect, backend: str, engine: str,
                   validate_utf8: bool):
-    """path/bytes/Tape/DeviceTape/PackedDeviceTape -> (serving tape,
-    header names)."""
+    """path/bytes/Tape/serving tape -> (serving tape, header names).
+
+    A "serving tape" is anything exposing the TypedColumnsMixin
+    contract (gather_fields + record_cnt/field_cnt): DeviceTape,
+    PackedDeviceTape, and the mesh-sharded ShardedTape /
+    ShardedPackedTape all qualify — passing a sharded tape runs the
+    whole relational layer (filters, stats, group-by, joins, frames)
+    across the device mesh."""
     from .device_tape import DeviceTape
-    from .offsetfree import PackedDeviceTape
     from .tape import Tape
 
-    if isinstance(source, (DeviceTape, PackedDeviceTape)):
+    if hasattr(source, "gather_fields") and hasattr(source, "record_cnt"):
         names = getattr(getattr(source, "header", None), "names", None)
         if names is None:
             names = [f"c{i}" for i in range(int(source.field_cnt))]
@@ -250,6 +255,7 @@ def _resolve_tape(source, dialect, backend: str, engine: str,
     if isinstance(source, (bytes, bytearray, memoryview, np.ndarray)):
         if engine == "packed":
             from .config import DEFAULT_DIALECT
+            from .offsetfree import PackedDeviceTape
             t = PackedDeviceTape(source, dialect or DEFAULT_DIALECT,
                                  validate_utf8=validate_utf8)
             return t, t.header.names

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_DIALECT, Dialect
+from .device_tape import TypedColumnsMixin
 from .errors import InvalidCsvFormat
 from .ops.stage1_v2 import pad_to_words
 from .ops.stage1_v3 import stage1_seq_xla
@@ -127,9 +128,11 @@ def _serve(data, words2d, cum_incl, records, fields, jump, field_cnt,
     return out, lengths, valid
 
 
-class PackedDeviceTape:
+class PackedDeviceTape(TypedColumnsMixin):
     """Device tape whose index is the sequential packed bitmask + word
-    popcount prefix — built at scan speed, no compaction pass."""
+    popcount prefix — built at scan speed, no compaction pass. The whole
+    typed/decoded/relational serving surface comes from
+    TypedColumnsMixin on top of `gather_fields`."""
 
     def __init__(self, data: bytes | np.ndarray,
                  dialect: Dialect = DEFAULT_DIALECT,
@@ -196,112 +199,6 @@ class PackedDeviceTape:
             jnp.asarray(records, jnp.int32), jnp.asarray(fields, jnp.int32),
             self.jump, self.field_cnt, self.record_cnt, max_len,
         )
-
-    def gather_column(self, field: int, max_len: int = 64):
-        n = self.num_data_records
-        return self.gather_fields(
-            jnp.arange(n, dtype=jnp.int32),
-            jnp.full((n,), field, jnp.int32),
-            max_len,
-        )
-
-    def _column_gather(self, field: int, max_len: int, records=None):
-        """gather_column restricted to `records` when given (mirrors
-        DeviceTape._column_gather for predicate pushdown)."""
-        if records is None:
-            return self.gather_column(field, max_len)
-        recs = jnp.asarray(records, jnp.int32)
-        return self.gather_fields(
-            recs, jnp.full(recs.shape, field, jnp.int32), max_len
-        )
-
-    def filter_equals(self, field: int, value: bytes, max_len: int = 64,
-                      records=None):
-        """Record ids whose `field` equals `value` exactly (device byte
-        compare; see DeviceTape.filter_equals)."""
-        from .device_tape import _filter_equals
-
-        out, lengths, valid = self._column_gather(field, max_len, records)
-        v = np.zeros(max_len, dtype=np.uint8)
-        raw = np.frombuffer(value, dtype=np.uint8)[:max_len]
-        v[: raw.size] = raw
-        hits = np.flatnonzero(
-            np.asarray(_filter_equals(out, lengths, valid,
-                                      jnp.asarray(v), len(value)))
-        ).astype(np.int32)
-        if records is None:
-            return hits
-        return np.asarray(records, np.int32)[hits]
-
-    # typed device columns — same parsers as DeviceTape
-    def column_int32(self, field: int, max_len: int = 20, records=None):
-        """See DeviceTape.column_int32 (same grammar/ok contract)."""
-        from .device_tape import _parse_int32
-
-        out, lengths, valid = self._column_gather(field, max_len, records)
-        return _parse_int32(out, lengths, valid)
-
-    def column_float32(self, field: int, max_len: int = 24, records=None):
-        """See DeviceTape.column_float32 (no exponent notation)."""
-        from .device_tape import _parse_float32
-
-        out, lengths, valid = self._column_gather(field, max_len, records)
-        return _parse_float32(out, lengths, valid)
-
-    def column_float32_exp(self, field: int, max_len: int = 32,
-                           records=None):
-        """See DeviceTape.column_float32_exp (exponent notation)."""
-        from .device_tape import _parse_float32_exp
-
-        out, lengths, valid = self._column_gather(field, max_len, records)
-        return _parse_float32_exp(out, lengths, valid)
-
-    def column_decimal64(self, field: int, scale: int = 2,
-                         max_len: int = 32, records=None):
-        """See DeviceTape.column_decimal64 (exact scaled int64)."""
-        from .device_tape import _combine_decimal, _parse_decimal_limbs
-
-        out, lengths, valid = self._column_gather(field, max_len, records)
-        return _combine_decimal(
-            _parse_decimal_limbs(out, lengths, valid, scale)
-        )
-
-    def column_date_days(self, field: int, max_len: int = 12, records=None):
-        """See DeviceTape.column_date_days (ISO dates -> epoch days)."""
-        from .device_tape import _parse_date_days
-
-        out, lengths, valid = self._column_gather(field, max_len, records)
-        return _parse_date_days(out, lengths, valid)
-
-    def column_datetime64(self, field: int, unit: str = "s",
-                          max_len: int = 32, records=None):
-        """See DeviceTape.column_datetime64 (ISO timestamps -> int64
-        epoch in `unit`)."""
-        from .device_tape import _combine_datetime, _parse_datetime_parts
-
-        out, lengths, valid = self._column_gather(field, max_len, records)
-        return _combine_datetime(
-            _parse_datetime_parts(out, lengths, valid, unit), unit
-        )
-
-    def gather_decoded(self, records, fields, max_len: int = 64,
-                       dialect=None, trim: bool = True):
-        """Gather + device stage-2 decode (see DeviceTape.gather_decoded)."""
-        from .config import DEFAULT_DIALECT
-        from .device_tape import _check_not_truncated, _decode_fields
-
-        d = dialect or DEFAULT_DIALECT
-        out, lengths, valid = self.gather_fields(records, fields, max_len)
-        _check_not_truncated(lengths, valid, max_len)
-        spaces = (d.space, 0x09) if trim else ()
-        return _decode_fields(out, lengths, valid, d.quote, spaces)
-
-    def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
-        """See DeviceTape.to_host_lists: raises if any valid field's true
-        length exceeds the gathered max_len, unless allow_truncated."""
-        from .device_tape import _to_host_lists
-
-        return _to_host_lists(out, lengths, valid, allow_truncated)
 
     # -- persistence: the packed words ARE the artifact (1 bit/byte);
     #    the prefix is recomputed on load (cheap) --

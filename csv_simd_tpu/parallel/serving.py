@@ -23,15 +23,19 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..device_tape import _gather_fields
+from ..device_tape import TypedColumnsMixin, _gather_fields
 from .sharded import AXIS
 
 
-class ShardedTape:
-    """Serving over mesh-sharded bytes + replicated index."""
+class ShardedTape(TypedColumnsMixin):
+    """Serving over mesh-sharded bytes + replicated index. Typed
+    columns / decode / filters come from TypedColumnsMixin, so the
+    relational layer (query/frame/join) runs over the mesh unchanged."""
 
     def __init__(self, data: np.ndarray, index: np.ndarray, jump: int,
-                 field_cnt: int, record_cnt: int, mesh: Mesh):
+                 field_cnt: int, record_cnt: int, mesh: Mesh,
+                 header=None):
+        self.header = header  # optional Header (column names, frame.py)
         n_shards = mesh.devices.size
         pad = (-len(data)) % n_shards
         padded = np.concatenate([data, np.zeros(pad, np.uint8)]) if pad else data
@@ -67,6 +71,7 @@ class ShardedTape:
             tape.field_cnt,
             tape.record_cnt,
             mesh,
+            header=getattr(tape, "header", None),
         )
 
     def gather_fields(self, records, fields, max_len: int = 64):
@@ -75,11 +80,6 @@ class ShardedTape:
             jnp.asarray(records, jnp.int32), jnp.asarray(fields, jnp.int32),
             self.jump, self.field_cnt, self.record_cnt, max_len,
         )
-
-    def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
-        from ..device_tape import _to_host_lists
-
-        return _to_host_lists(out, lengths, valid, allow_truncated)
 
 
 def _sharded_serve_fn(data_loc, words_loc, cum, records, fields, jump,
@@ -186,7 +186,7 @@ def _packed_seq_meta(header, n_bytes, fingerprint):
     )
 
 
-class ShardedPackedTape:
+class ShardedPackedTape(TypedColumnsMixin):
     """Offsets-free serving over a mesh: the packed seq bitmask AND the
     bytes stay sharded row-wise on the devices that own them; only the
     row popcount prefix (4 bytes per 512 input bytes) is replicated.
@@ -303,28 +303,3 @@ class ShardedPackedTape:
             packed=np.asarray(self.words, dtype=np.int32),
         )
 
-    def gather_column(self, field: int, max_len: int = 64):
-        n = self.num_data_records
-        return self.gather_fields(
-            jnp.arange(n, dtype=jnp.int32),
-            jnp.full((n,), field, jnp.int32),
-            max_len,
-        )
-
-    def gather_decoded(self, records, fields, max_len: int = 64,
-                       dialect=None, trim: bool = True):
-        """Sharded gather + device stage-2 decode (the decode runs on
-        the replicated gather result; see DeviceTape.gather_decoded)."""
-        from ..config import DEFAULT_DIALECT
-        from ..device_tape import _check_not_truncated, _decode_fields
-
-        d = dialect or DEFAULT_DIALECT
-        out, lengths, valid = self.gather_fields(records, fields, max_len)
-        _check_not_truncated(lengths, valid, max_len)
-        spaces = (d.space, 0x09) if trim else ()
-        return _decode_fields(out, lengths, valid, d.quote, spaces)
-
-    def to_host_lists(self, out, lengths, valid, allow_truncated=False) -> list:
-        from ..device_tape import _to_host_lists
-
-        return _to_host_lists(out, lengths, valid, allow_truncated)
