@@ -146,6 +146,22 @@ class Frame:
         )
         return f"Frame(records={self.num_records}, columns=[{cols}])"
 
+    def take(self, indices) -> "Frame":
+        """Row-subset/permutation view materialized as a new Frame (the
+        host analog of a gather: ORDER BY / LIMIT over an already-read
+        corpus frame reduce to a take of the sort permutation)."""
+        idx = np.asarray(indices, np.int64)
+        cols = {n: self._columns[n][idx] for n in self.names}
+        oks = {
+            n: (self._ok[n][idx] if self._ok[n] is not None else None)
+            for n in self.names
+        }
+        fr = Frame(list(self.names), cols, oks, dict(self.schema),
+                   int(idx.size))
+        if self.records is not None:
+            fr.records = self.records[idx]
+        return fr
+
     def to_csv(self, path=None, *, dialect=None, header: bool = True):
         """CSV bytes of this frame (see write_csv)."""
         return write_csv(self, path, dialect=dialect, header=header)
@@ -521,6 +537,40 @@ def write_csv(frame: Frame, path=None, *, dialect=None,
     return None
 
 
+def _frame_order_perm(frame: Frame, by, descending: bool) -> np.ndarray:
+    """ORDER BY permutation over an already-materialized Frame, with
+    query.order_records' semantics: parse-failures last under either
+    direction, ties stable in row order. Used by corpus reads, where
+    the key column is parsed per file and sorted globally on host."""
+    if isinstance(by, int):
+        by = frame.names[by]
+    if by not in frame._columns:
+        raise KeyError(
+            f"order_by column {by!r} is not in the frame; available: "
+            f"{frame.names}"
+        )
+    vals = frame[by]
+    okm = frame.ok(by)
+    ok = (np.ones(len(frame), bool) if okm is None
+          else np.asarray(okm, bool))
+    ok_ids = np.flatnonzero(ok)
+    if vals.dtype == object:
+        keys = vals[ok_ids]
+        if descending:
+            # reversing an ascending stable sort would also reverse
+            # equal-key runs; stable-sort the negated distinct rank
+            _, inv = np.unique(keys, return_inverse=True)
+            sub = np.argsort(-inv.astype(np.int64), kind="stable")
+        else:
+            sub = np.argsort(keys, kind="stable")
+    else:
+        k = vals[ok_ids]
+        if k.dtype.kind == "i":
+            k = k.astype(np.int64)  # negation-safe for INT32_MIN
+        sub = np.argsort(-k if descending else k, kind="stable")
+    return np.concatenate([ok_ids[sub], np.flatnonzero(~ok)])
+
+
 def read_typed(source, schema: Optional[Mapping] = None, *,
                columns: Optional[List[Union[str, int]]] = None,
                where=None, order_by=None, descending: bool = False,
@@ -561,17 +611,15 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
     schema is inferred from the FIRST file (or given), then applied to
     every file and the columns concatenated in corpus order — dtype-
     stable across files, with per-row ok masks flagging any file whose
-    values don't fit the schema (e.g. more decimal digits).
+    values don't fit the schema (e.g. more decimal digits). `where`
+    pushes down per file; `order_by`/`limit` apply to the concatenated
+    frame (the key column is already parsed, so the global sort is a
+    host argsort + Frame.take — parse-failures last, ties stable in
+    corpus order).
     """
     from .corpus_api import CsvCorpus
 
     if isinstance(source, CsvCorpus):
-        if order_by is not None or limit is not None:
-            raise ValueError(
-                "order_by/limit need global record ids; a CsvCorpus "
-                "concatenates per-file frames — read the corpus, then "
-                "sort the Frame columns"
-            )
         sub = [
             read_typed(t, schema, columns=columns, where=where,
                        dialect=dialect, strict=strict, sample=sample)
@@ -595,7 +643,13 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
             for n in first.names
         }
         total = sum(len(f) for f in sub)
-        return Frame(first.names, cols, oks, first.schema, total)
+        out = Frame(first.names, cols, oks, first.schema, total)
+        if order_by is not None:
+            perm = _frame_order_perm(out, order_by, descending)
+            return out.take(perm if limit is None else perm[:limit])
+        if limit is not None:
+            return out.take(np.arange(min(limit, total)))
+        return out
 
     tape, names = _resolve_tape(source, dialect, backend, engine,
                                 validate_utf8)

@@ -177,19 +177,100 @@ def _parse_column(tape, field: int, col: Col, dialect, records=None):
     )
 
 
+def _combine_stats(parts: List[Stats]) -> Stats:
+    """Associative Stats combine (the per-file/per-shard reduce of a
+    corpus aggregate): counts add, sums add, min/max fold."""
+    count = sum(p.count for p in parts)
+    ok_count = sum(p.ok_count for p in parts)
+    sums = [p.sum for p in parts if p.sum is not None]
+    mins = [p.min for p in parts if p.min is not None]
+    maxs = [p.max for p in parts if p.max is not None]
+    return Stats(
+        count, ok_count,
+        sum(sums) if sums else None,
+        min(mins) if mins else None,
+        max(maxs) if maxs else None,
+    )
+
+
+def _merge_groups(parts: List[Dict], composite: bool) -> Dict:
+    """Associative merge of per-file group_aggregate results: sums and
+    counts add, min/max fold, groups re-sorted ascending (lexicographic
+    for composite keys). The corpus-level GROUP BY reduce."""
+    acc: Dict = {}
+    for p in parts:
+        if composite:
+            keys_iter = list(zip(*[list(a) for a in p["keys"]]))
+        else:
+            keys_iter = list(p["keys"])
+        for i, k in enumerate(keys_iter):
+            s, mn, mx, c = (p["sum"][i], p["min"][i], p["max"][i],
+                            int(p["count"][i]))
+            if k in acc:
+                e = acc[k]
+                e[0] += s
+                e[1] = min(e[1], mn)
+                e[2] = max(e[2], mx)
+                e[3] += c
+            else:
+                acc[k] = [s, mn, mx, c]
+    ks = sorted(acc)
+    n_cols = len(parts[0]["keys"]) if composite else 1
+
+    def _key_arr(i):
+        src = parts[0]["keys"][i] if composite else parts[0]["keys"]
+        vals = [k[i] for k in ks] if composite else ks
+        return np.array(vals, dtype=src.dtype)
+
+    out_keys = ([_key_arr(i) for i in range(n_cols)] if composite
+                else _key_arr(0))
+    sums = np.array([acc[k][0] for k in ks])
+    return {
+        "keys": out_keys,
+        "sum": sums,
+        "min": np.array([acc[k][1] for k in ks]),
+        "max": np.array([acc[k][2] for k in ks]),
+        "count": np.array([acc[k][3] for k in ks], np.int64),
+    }
+
+
+def _lock_corpus_spec(corpus, column, spec, sample: int):
+    """Resolve one column spec against the corpus' FIRST file so every
+    file aggregates under the same type (no per-file inference drift)."""
+    from .frame import _resolve_tape
+
+    names = corpus.header_names()
+    field = _field_index(names, column)
+    if spec is not None:
+        return parse_spec(spec)
+    tape0, _ = _resolve_tape(corpus.tapes[0], None, "auto", "offsets",
+                             False)
+    return infer_col(tape0, names, field, sample)
+
+
 def column_stats(source, column, spec=None, *, where=None, dialect=None,
                  backend: str = "auto", engine: str = "offsets",
                  sample: int = 256) -> Stats:
     """Aggregate one column of a CSV without materializing it on host.
 
-    source — path, bytes, Tape, DeviceTape, or PackedDeviceTape (same
-    resolution as frame.read_typed). `spec` is the column type (string
-    spec or Col); None infers it from a row sample. `where` filters
-    rows first (see module docstring). str/bytes columns return
-    count/ok_count only.
+    source — path, bytes, Tape, or any serving tape (incl. the
+    mesh-sharded ones; same resolution as frame.read_typed), or a
+    CsvCorpus (per-file aggregation, associative combine — the
+    map-reduce over corpus shards). `spec` is the column type (string
+    spec or Col); None infers it from a row sample (first file for a
+    corpus). `where` filters rows first (see module docstring).
+    str/bytes columns return count/ok_count only.
     """
+    from .corpus_api import CsvCorpus
     from .frame import _resolve_tape, infer_schema
 
+    if isinstance(source, CsvCorpus):
+        col = _lock_corpus_spec(source, column, spec, sample)
+        return _combine_stats([
+            column_stats(t, column, col, where=where, dialect=dialect,
+                         sample=sample)
+            for t in source.tapes
+        ])
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     field = _field_index(names, column)
     if spec is None:
@@ -379,7 +460,23 @@ def select_records(tape, where, *, names=None, schema=None, dialect=None,
     and return matching record ids as (K,) int32. `schema` supplies
     column types for predicate columns (name -> spec); unlisted columns
     are inferred. Rows failing a predicate column's typed parse never
-    match."""
+    match.
+
+    A CsvCorpus evaluates per file and returns GLOBAL record ids
+    (int64, rebased by the corpus routing table — the ids
+    corpus.seek_field/seek_record accept)."""
+    from .corpus_api import CsvCorpus
+
+    if isinstance(tape, CsvCorpus):
+        from .frame import _resolve_tape
+
+        parts = []
+        for t, start in zip(tape.tapes, tape._starts[:-1]):
+            st, nm = _resolve_tape(t, dialect, "auto", "offsets", False)
+            ids = select_records(st, where, names=nm, schema=schema,
+                                 dialect=dialect, sample=sample)
+            parts.append(ids.astype(np.int64) + int(start))
+        return np.concatenate(parts) if parts else np.zeros(0, np.int64)
     if names is None:
         hdr = getattr(tape, "header", None)
         names = getattr(hdr, "names", None)
@@ -522,9 +619,26 @@ def value_counts(source, column, spec=None, *, where=None, dialect=None,
 
     Typed columns count on device (segment grouping); str/bytes
     factorize the decoded text. Returns {"keys": (G,) array ascending,
-    "count": (G,) int64}; rows failing the typed parse are excluded."""
+    "count": (G,) int64}; rows failing the typed parse are excluded.
+    A CsvCorpus counts per file and merges (associative combine)."""
+    from .corpus_api import CsvCorpus
     from .frame import _resolve_tape, _true_window
 
+    if isinstance(source, CsvCorpus):
+        col = _lock_corpus_spec(source, column, spec, sample)
+        parts = [
+            value_counts(t, column, col, where=where, dialect=dialect,
+                         sample=sample)
+            for t in source.tapes
+        ]
+        acc: Dict = {}
+        for p in parts:
+            for k, c in zip(list(p["keys"]), list(p["count"])):
+                acc[k] = acc.get(k, 0) + int(c)
+        ks = sorted(acc)
+        dtype = parts[0]["keys"].dtype
+        return {"keys": np.array(ks, dtype=dtype),
+                "count": np.array([acc[k] for k in ks], np.int64)}
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     field = _field_index(names, column)
     col = parse_spec(spec) if spec is not None else infer_col(
@@ -828,9 +942,33 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
     int32 code (device-grouped when the distinct-combination space
     fits), and `keys` in the result becomes a list of per-column
     arrays, groups in lexicographic key order. `key_spec`, when given
-    for a composite key, is a matching list of specs."""
+    for a composite key, is a matching list of specs.
+
+    A CsvCorpus source groups per file under one locked schema and
+    merges the per-file results (sums/counts add, min/max fold) —
+    the associative reduce also lifts the per-group 2**20-row sum
+    exactness ceiling to per-file granularity."""
+    from .corpus_api import CsvCorpus
     from .frame import _resolve_tape, infer_schema
 
+    if isinstance(source, CsvCorpus):
+        composite = isinstance(key, (list, tuple))
+        if composite:
+            ks = list(key)
+            kspecs = (list(key_spec) if key_spec is not None
+                      else [None] * len(ks))
+            locked_k = [_lock_corpus_spec(source, k, s, sample)
+                        for k, s in zip(ks, kspecs)]
+        else:
+            locked_k = _lock_corpus_spec(source, key, key_spec, sample)
+        locked_v = _lock_corpus_spec(source, value, value_spec, sample)
+        parts = [
+            groupby_typed(t, key, value, key_spec=locked_k,
+                          value_spec=locked_v, where=where,
+                          dialect=dialect, sample=sample)
+            for t in source.tapes
+        ]
+        return _merge_groups(parts, composite)
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     if isinstance(key, (list, tuple)):
         return _groupby_composite(tape, names, list(key), value,

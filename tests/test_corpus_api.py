@@ -49,3 +49,103 @@ def test_corpus_schema_mismatch(tmp_path, files):
 def test_corpus_empty():
     with pytest.raises(InvalidState):
         CsvCorpus([])
+
+
+# -- corpus-level relational ops (per-file map + associative combine) --
+
+
+@pytest.fixture
+def typed_files(tmp_path):
+    """Three files, one logical trades table with overlapping symbols."""
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"trades{i}.csv"
+        rows = ["sym,qty,price"]
+        for j in range(40):
+            sym = ["AAPL", "MSFT", '"GOOG"'][int(rng.integers(0, 3))]
+            rows.append(f"{sym},{int(rng.integers(-5, 500))},"
+                        f"{int(rng.integers(1, 999)) / 100:.2f}")
+        p.write_bytes(("\n".join(rows) + "\n").encode())
+        paths.append(str(p))
+    return paths
+
+
+def _single_file_equiv(typed_files, tmp_path):
+    """Concatenate the parts into one file (shared header) — the oracle
+    for every corpus-level result."""
+    blobs = [open(p, "rb").read() for p in typed_files]
+    body = blobs[0] + b"".join(b.split(b"\n", 1)[1] for b in blobs[1:])
+    one = tmp_path / "all.csv"
+    one.write_bytes(body)
+    return str(one)
+
+
+def test_corpus_stats_matches_single_file(typed_files, tmp_path):
+    from csv_simd_tpu.query import column_stats
+
+    c = CsvCorpus(typed_files, backend="golden")
+    one = _single_file_equiv(typed_files, tmp_path)
+    assert column_stats(c, "qty") == column_stats(one, "qty")
+    w = [("sym", "==", "GOOG")]
+    assert column_stats(c, "qty", where=w) == column_stats(one, "qty", where=w)
+
+
+def test_corpus_groupby_matches_single_file(typed_files, tmp_path):
+    from csv_simd_tpu.query import groupby_typed
+
+    c = CsvCorpus(typed_files, backend="golden")
+    one = _single_file_equiv(typed_files, tmp_path)
+    g_c = groupby_typed(c, "sym", "qty")
+    g_1 = groupby_typed(one, "sym", "qty")
+    assert list(g_c["keys"]) == list(g_1["keys"])
+    for k in ("sum", "min", "max", "count"):
+        assert list(g_c[k]) == list(g_1[k])
+
+
+def test_corpus_groupby_composite(typed_files, tmp_path):
+    from csv_simd_tpu.query import groupby_typed
+
+    c = CsvCorpus(typed_files, backend="golden")
+    one = _single_file_equiv(typed_files, tmp_path)
+    g_c = groupby_typed(c, ["sym", "price"], "qty",
+                        key_spec=[None, "decimal:2"])
+    g_1 = groupby_typed(one, ["sym", "price"], "qty",
+                        key_spec=[None, "decimal:2"])
+    for a, b in zip(g_c["keys"], g_1["keys"]):
+        assert list(a) == list(b)
+    for k in ("sum", "min", "max", "count"):
+        assert list(g_c[k]) == list(g_1[k])
+
+
+def test_corpus_value_counts_and_select(typed_files, tmp_path):
+    from csv_simd_tpu.query import select_records, value_counts
+
+    c = CsvCorpus(typed_files, backend="golden")
+    one = _single_file_equiv(typed_files, tmp_path)
+    v_c = value_counts(c, "sym")
+    v_1 = value_counts(one, "sym")
+    assert list(v_c["keys"]) == list(v_1["keys"])
+    assert list(v_c["count"]) == list(v_1["count"])
+    ids = select_records(c, [("qty", ">", 250)])
+    # global ids route through the corpus to the same rows the
+    # single-file select finds
+    from csv_simd_tpu.frame import read_typed
+    qty_all = read_typed(c, {"qty": "int32"})["qty"]
+    assert (qty_all[ids] > 250).all()
+    assert len(ids) == int((qty_all > 250).sum())
+
+
+def test_corpus_order_by_limit(typed_files, tmp_path):
+    from csv_simd_tpu.frame import read_typed
+
+    c = CsvCorpus(typed_files, backend="golden")
+    one = _single_file_equiv(typed_files, tmp_path)
+    f_c = read_typed(c, order_by="qty", descending=True, limit=7)
+    f_1 = read_typed(one, order_by="qty", descending=True, limit=7)
+    assert list(f_c["qty"]) == list(f_1["qty"])
+    assert list(f_c["sym"]) == list(f_1["sym"])
+    # text ORDER BY over the corpus frame
+    f_c2 = read_typed(c, order_by="sym", limit=5)
+    f_12 = read_typed(one, order_by="sym", limit=5)
+    assert list(f_c2["sym"]) == list(f_12["sym"])
