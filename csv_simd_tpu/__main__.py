@@ -14,6 +14,12 @@ The reference's binary is a stub that prints "not required"
   python -m csv_simd_tpu index FILE -o OUT.npz     # build + save artifact
   python -m csv_simd_tpu serve FILE --from-index OUT.npz RECORD FIELD
 
+The analytic commands (stats, groupby, values, frame) accept SEVERAL
+files: they form one logical corpus (CsvCorpus) and aggregate per file
+with an associative combine, e.g.
+  python -m csv_simd_tpu stats part1.csv part2.csv qty
+  python -m csv_simd_tpu groupby part*.csv sym qty
+
 Global flags: --backend {auto,golden,jnp,pallas,native}, --decode
 (RFC-4180 unquote/unescape/trim on output), --validate-utf8.
 """
@@ -160,7 +166,8 @@ def main(argv=None) -> int:
         help="typed batch export: infer (or take) a schema and print "
         "columns parsed on device (read_typed endpoint)",
     )
-    sp.add_argument("file")
+    sp.add_argument("file", nargs="+",
+                    help="CSV file(s); several files form one corpus")
     sp.add_argument(
         "--schema", default=None,
         help="comma list col=type (type: int32|float32|float|date|"
@@ -199,7 +206,8 @@ def main(argv=None) -> int:
         help="distinct values of a column with row counts (device "
         "grouping for typed columns)",
     )
-    sp.add_argument("file")
+    sp.add_argument("file", nargs="+",
+                    help="CSV file(s); several files form one corpus")
     sp.add_argument("column", help="column name or index")
     sp.add_argument(
         "--type", dest="spec", default=None,
@@ -219,7 +227,8 @@ def main(argv=None) -> int:
         help="aggregate a column on device (count/sum/min/max/mean "
         "without materializing values on host)",
     )
-    sp.add_argument("file")
+    sp.add_argument("file", nargs="+",
+                    help="CSV file(s); several files form one corpus")
     sp.add_argument("column", help="column name or index")
     sp.add_argument(
         "--type", dest="spec", default=None,
@@ -237,7 +246,8 @@ def main(argv=None) -> int:
         help="device group-by: sort + segment-reduce a value column by "
         "a key column; only per-group results leave the device",
     )
-    sp.add_argument("file")
+    sp.add_argument("file", nargs="+",
+                    help="CSV file(s); several files form one corpus")
     sp.add_argument(
         "key",
         help="key column (name or index); comma list for a composite "
@@ -292,13 +302,23 @@ def main(argv=None) -> int:
     from . import create
     from .errors import StructureError
 
+    def _source(files):
+        """One path stays a path (engine/backend flags apply); several
+        build a CsvCorpus — the analytic commands then map per file and
+        combine associatively (query.py corpus branches)."""
+        if len(files) == 1:
+            return files[0]
+        from .corpus_api import CsvCorpus
+
+        return CsvCorpus(files, backend=args.backend)
+
     try:
         if args.cmd == "stats":
             from .query import column_stats
 
             key = _col_key(args.column)
             st = column_stats(
-                args.file, key, args.spec, backend=args.backend,
+                _source(args.file), key, args.spec, backend=args.backend,
                 engine=args.engine,
                 where=_parse_where(args.where),
             )
@@ -315,7 +335,7 @@ def main(argv=None) -> int:
 
             key_cols = [_col_key(k) for k in args.key.split(",")]
             g = groupby_typed(
-                args.file,
+                _source(args.file),
                 key_cols if len(key_cols) > 1 else key_cols[0],
                 _col_key(args.value),
                 backend=args.backend, engine=args.engine,
@@ -359,7 +379,7 @@ def main(argv=None) -> int:
             from .query import value_counts
 
             vc = value_counts(
-                args.file, _col_key(args.column), args.spec,
+                _source(args.file), _col_key(args.column), args.spec,
                 backend=args.backend, engine=args.engine,
                 where=_parse_where(args.where),
             )
@@ -382,7 +402,8 @@ def main(argv=None) -> int:
                 )
             cols = args.columns.split(",") if args.columns else None
             fr = read_typed(
-                args.file, schema, columns=cols, backend=args.backend,
+                _source(args.file), schema, columns=cols,
+                backend=args.backend,
                 engine=args.engine, validate_utf8=args.validate_utf8,
                 where=_parse_where(args.where),
                 order_by=(_col_key(args.order_by)

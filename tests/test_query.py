@@ -658,3 +658,39 @@ def test_cli_where_parser():
     assert _parse_where(["0 <= 5"]) == [(0, "<=", "5")]
     with pytest.raises(SystemExit):
         _parse_where(["qty >"])
+
+
+def test_cli_multi_file_corpus(tmp_path, capsys):
+    """Several FILE arguments form one corpus for the analytic cmds.
+    Clean table (no bad rows): the point is the corpus plumbing, not
+    inference-sample edge cases (those are covered elsewhere)."""
+    import json
+
+    from csv_simd_tpu.__main__ import main
+
+    data = _make_csv(n=200)
+    rows = data.decode().strip().split("\n")
+    head, body = rows[0], rows[1:]
+    half = len(body) // 2
+    f1 = tmp_path / "p1.csv"
+    f2 = tmp_path / "p2.csv"
+    f1.write_text("\n".join([head] + body[:half]) + "\n")
+    f2.write_text("\n".join([head] + body[half:]) + "\n")
+    qty = np.array([int(r[1]) for r in _oracle_rows(data)])
+
+    assert main(["--backend", "golden", "stats", str(f1), str(f2),
+                 "qty"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["sum"] == int(qty.sum())
+    assert rep["count"] == 200
+
+    assert main(["--backend", "golden", "groupby", str(f1), str(f2),
+                 "sym", "qty"]) == 0
+    out = capsys.readouterr().out
+    assert "3 groups" in out
+
+    assert main(["--backend", "golden", "frame", str(f1), str(f2),
+                 "--order-by", "qty", "--desc", "--head", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "records=3" in out
+    assert str(int(qty.max())) in out
