@@ -625,14 +625,15 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
                        dialect=dialect, strict=strict, sample=sample)
             for t in source.tapes
         ]
-        # lock the first file's resolved schema so later files can't
-        # drift (e.g. infer float where file 0 inferred int32)
-        first = sub[0]
-        sub = [sub[0]] + [
+        # lock the resolved schema of the first file WITH data rows so
+        # later files can't drift (e.g. infer float where it inferred
+        # int32); a header-only leading file has nothing to infer from
+        first = next((f for f in sub if len(f) > 0), sub[0])
+        sub = [
             read_typed(t, first.schema, where=where, dialect=dialect,
                        strict=strict)
             if f.schema != first.schema else f
-            for t, f in zip(source.tapes[1:], sub[1:])
+            for t, f in zip(source.tapes, sub)
         ]
         cols = {
             n: np.concatenate([f[n] for f in sub]) for n in first.names

@@ -235,16 +235,20 @@ def _merge_groups(parts: List[Dict], composite: bool) -> Dict:
 
 
 def _lock_corpus_spec(corpus, column, spec, sample: int):
-    """Resolve one column spec against the corpus' FIRST file so every
-    file aggregates under the same type (no per-file inference drift)."""
+    """Resolve one column spec against the corpus' first NON-EMPTY file
+    so every file aggregates under the same type (no per-file inference
+    drift; a header-only leading file has no rows to infer from)."""
     from .frame import _resolve_tape
 
     names = corpus.header_names()
     field = _field_index(names, column)
     if spec is not None:
         return parse_spec(spec)
-    tape0, _ = _resolve_tape(corpus.tapes[0], None, "auto", "offsets",
-                             False)
+    ref = next(
+        (t for t in corpus.tapes if t.num_data_records > 0),
+        corpus.tapes[0],
+    )
+    tape0, _ = _resolve_tape(ref, None, "auto", "offsets", False)
     return infer_col(tape0, names, field, sample)
 
 

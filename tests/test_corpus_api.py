@@ -149,3 +149,43 @@ def test_corpus_order_by_limit(typed_files, tmp_path):
     f_c2 = read_typed(c, order_by="sym", limit=5)
     f_12 = read_typed(one, order_by="sym", limit=5)
     assert list(f_c2["sym"]) == list(f_12["sym"])
+
+
+def test_corpus_partition_invariance(tmp_path):
+    """Corpus-level relational results must not depend on WHERE the
+    file boundaries fall (the associative-combine property, exercised
+    at several partitionings of the same logical table)."""
+    from csv_simd_tpu.frame import read_typed
+    from csv_simd_tpu.query import column_stats, groupby_typed
+
+    rng = np.random.default_rng(13)
+    body = [
+        f"{['X', 'Y', 'Z'][int(rng.integers(0, 3))]},"
+        f"{int(rng.integers(-100, 100))}"
+        for _ in range(60)
+    ]
+    head = "sym,qty"
+
+    def _mk(cuts, tag):
+        paths, prev = [], 0
+        for i, c in enumerate(list(cuts) + [len(body)]):
+            p = tmp_path / f"{tag}_{i}.csv"
+            p.write_text("\n".join([head] + body[prev:c]) + "\n")
+            paths.append(str(p))
+            prev = c
+        return CsvCorpus(paths, backend="golden")
+
+    base = _mk([], "whole")
+    s0 = column_stats(base, "qty")
+    g0 = groupby_typed(base, "sym", "qty")
+    f0 = read_typed(base, order_by="qty", limit=10)
+    for k, cuts in enumerate([[30], [1, 2], [10, 20, 30, 40, 50],
+                              [59], [17, 43], [0, 30]]):
+        c = _mk(cuts, f"cut{k}")
+        assert column_stats(c, "qty") == s0
+        g = groupby_typed(c, "sym", "qty")
+        assert list(g["keys"]) == list(g0["keys"])
+        for fld in ("sum", "min", "max", "count"):
+            assert list(g[fld]) == list(g0[fld])
+        f = read_typed(c, order_by="qty", limit=10)
+        assert list(f["qty"]) == list(f0["qty"])
