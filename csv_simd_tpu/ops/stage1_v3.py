@@ -55,18 +55,21 @@ _SIGMA = [7, 3, 5, 1, 6, 2, 4, 0]  # sigma(j) = 7 - bitrev3(j)
 
 def _fold_pack(masked: jnp.ndarray, tile: int) -> jnp.ndarray:
     """(tile, 128) 0x80-flag words -> (tile/8, 128) packed words via 3
-    constant RIGHT-shift folds (shifts 1, 2, 4) applied to the flag bits
-    directly — no separate (>>7)&mask prep pass. Flag bits start at
-    8b+7 and land at 8b + 7 - bitrev3(j) = 8b + sigma(j); right shifts
-    stay within bytes, and the AND only clears the arithmetic shift's
-    sign fill of bit 31 (int32 lanes have no logical shift here)."""
+    constant LOGICAL right-shift folds (shifts 1, 2, 4) applied to the
+    flag bits directly — no separate (>>7)&mask prep pass. Flag bits
+    start at 8b+7 and land at 8b + 7 - bitrev3(j) = 8b + sigma(j);
+    right shifts stay within bytes. shift_right_logical has no sign
+    fill, dropping the three clear-ANDs the arithmetic form needed
+    (measured ~3% same-batch, compiled bit-identical; Mosaic lowers
+    int32 logical shifts fine — PERF_NOTES round 2-late)."""
     t = masked
     h = tile // 2
-    t = t[:h] | ((t[h:] >> 1) & 0x7FFFFFFF)
+    sr = jax.lax.shift_right_logical
+    t = t[:h] | sr(t[h:], 1)
     h //= 2
-    t = t[:h] | ((t[h:] >> 2) & 0x3FFFFFFF)
+    t = t[:h] | sr(t[h:], 2)
     h //= 2
-    return t[:h] | ((t[h:] >> 4) & 0x0FFFFFFF)
+    return t[:h] | sr(t[h:], 4)
 
 
 def _classify(x: jnp.ndarray, dialect: Dialect):
@@ -381,11 +384,12 @@ def stage1_swar_xla(
     # per-tile fold pack to match the kernel layout (right-shift folds)
     t = masked.reshape(steps, tile, lanes)
     h = tile // 2
-    t = t[:, :h] | ((t[:, h:] >> 1) & 0x7FFFFFFF)
+    sr = jax.lax.shift_right_logical
+    t = t[:, :h] | sr(t[:, h:], 1)
     h //= 2
-    t = t[:, :h] | ((t[:, h:] >> 2) & 0x3FFFFFFF)
+    t = t[:, :h] | sr(t[:, h:], 2)
     h //= 2
-    t = (t[:, :h] | ((t[:, h:] >> 4) & 0x0FFFFFFF)).reshape(rows // 8, lanes)
+    t = (t[:, :h] | sr(t[:, h:], 4)).reshape(rows // 8, lanes)
     parity = (jnp.sum(wp) + carry_in) & 1
     return t, parity
 

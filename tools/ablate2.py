@@ -218,6 +218,8 @@ def bench(mode, tile, arr, Ks=(32, 96)):
 
 
 if __name__ == "__main__":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     rows = N // 512
     arr = jnp.asarray(
         np.random.randint(-(2**31), 2**31, (rows, L), dtype=np.int64).astype(np.int32)
