@@ -37,6 +37,7 @@ from .streaming import (
     create_streaming,
 )
 from .artifact import load_tape, save_tape
+from .corpus_api import CorpusTape, CsvCorpus
 from .offsetfree import PackedDeviceTape
 from .frame import Col, Frame, infer_schema, read_typed, write_csv
 from .join import join_records, join_typed
@@ -84,6 +85,8 @@ __all__ = [
     "create_streaming",
     "load_tape",
     "save_tape",
+    "CsvCorpus",
+    "CorpusTape",
     "Col",
     "Frame",
     "infer_schema",

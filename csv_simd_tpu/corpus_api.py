@@ -28,6 +28,7 @@ import numpy as np
 
 from .api import create
 from .config import DEFAULT_DIALECT, Dialect
+from .device_tape import TypedColumnsMixin
 from .errors import InvalidState
 
 
@@ -103,8 +104,60 @@ class CsvCorpus:
     def __len__(self) -> int:
         return self.num_records
 
+    def serving_tape(self) -> "CorpusTape":
+        """The corpus as ONE serving tape (TypedColumnsMixin contract):
+        batched gathers route per file, everything typed/relational
+        derives. Cached."""
+        if getattr(self, "_serving", None) is None:
+            self._serving = CorpusTape(self)
+        return self._serving
+
     def __repr__(self) -> str:
         return (
             f"CsvCorpus(files={len(self._paths)}, records={self.num_records}, "
             f"fields={self.field_cnt})"
         )
+
+
+class CorpusTape(TypedColumnsMixin):
+    """A whole CsvCorpus behind the one serving-tape contract
+    (`gather_fields` + record_cnt/field_cnt — see
+    device_tape.TypedColumnsMixin): batched (record, field) lookups
+    route each global record id to the file that owns it, gather on
+    device per file, and reassemble in request order. Joins, ORDER BY,
+    predicate pushdown and typed columns then run over the corpus
+    through exactly the code paths a single tape uses."""
+
+    def __init__(self, corpus: CsvCorpus):
+        from .device_tape import DeviceTape
+
+        self._corpus = corpus
+        self._dev = [DeviceTape.from_tape(t) for t in corpus.tapes]
+        self._starts = corpus._starts
+        self.header = corpus.tapes[0].header
+        self.field_cnt = corpus.field_cnt
+        self.num_data_records = corpus.num_records
+        self.record_cnt = corpus.num_records + 1  # mixin convention
+
+    def gather_fields(self, records, fields, max_len: int = 64):
+        recs = np.asarray(records, np.int64)
+        flds = np.asarray(fields, np.int32)
+        n = recs.shape[0]
+        out = np.zeros((n, max_len), np.uint8)
+        lengths = np.zeros(n, np.int32)
+        valid = np.zeros(n, bool)
+        for i, dt in enumerate(self._dev):
+            s, e = int(self._starts[i]), int(self._starts[i + 1])
+            m = (recs >= s) & (recs < e)
+            if not m.any():
+                continue
+            o, ln, v = dt.gather_fields(
+                (recs[m] - s).astype(np.int32), flds[m], max_len
+            )
+            out[m] = np.asarray(o)
+            lengths[m] = np.asarray(ln)
+            valid[m] = np.asarray(v)
+        return out, lengths, valid
+
+    def __repr__(self) -> str:
+        return f"CorpusTape({self._corpus!r})"

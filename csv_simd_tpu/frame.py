@@ -261,6 +261,14 @@ def _resolve_tape(source, dialect, backend: str, engine: str,
     from .device_tape import DeviceTape
     from .tape import Tape
 
+    from .corpus_api import CsvCorpus
+
+    if isinstance(source, CsvCorpus):
+        # the corpus as one serving tape: per-file routed gathers (the
+        # aggregate entry points shortcut with per-file map-reduce
+        # BEFORE reaching here; this path serves id-addressed work
+        # like joins and order_records)
+        return source.serving_tape(), source.header_names()
     if hasattr(source, "gather_fields") and hasattr(source, "record_cnt"):
         names = getattr(getattr(source, "header", None), "names", None)
         if names is None:

@@ -189,3 +189,47 @@ def test_corpus_partition_invariance(tmp_path):
             assert list(g[fld]) == list(g0[fld])
         f = read_typed(c, order_by="qty", limit=10)
         assert list(f["qty"]) == list(f0["qty"])
+
+
+def test_corpus_serving_tape_and_join(tmp_path):
+    """CorpusTape: the corpus behind the single-tape serving contract —
+    routed gathers, typed columns, and equi-joins with a corpus on
+    either side."""
+    from csv_simd_tpu.join import join_typed
+    from csv_simd_tpu.query import order_records
+
+    for i in range(2):
+        rows = ["sym,qty"] + [
+            f"{['AA', 'BB', 'CC'][j % 3]},{i * 100 + j}" for j in range(9)
+        ]
+        (tmp_path / f"p{i}.csv").write_text("\n".join(rows) + "\n")
+    (tmp_path / "dim.csv").write_text(
+        "sym,sector\nAA,tech\nBB,ads\nCC,cars\n"
+    )
+    c = CsvCorpus([str(tmp_path / f"p{i}.csv") for i in range(2)],
+                  backend="golden")
+    st = c.serving_tape()
+
+    # routed gather == per-file seeks
+    out, ln, v = st.gather_fields(
+        np.array([0, 8, 9, 17, 99]), np.array([1, 1, 1, 1, 1]), 8
+    )
+    vals = st.to_host_lists(out, ln, v)
+    assert vals == [b"0", b"8", b"100", b"108", None]
+
+    # typed column spans the file boundary
+    vv, ok = st.column_int32(1)
+    assert np.asarray(ok).all()
+    assert list(np.asarray(vv)) == list(range(9)) + [100 + j
+                                                     for j in range(9)]
+
+    ids = order_records(st, "qty", descending=True, limit=3)
+    assert [c.seek_field(int(r), 1) for r in ids] == [b"108", b"107",
+                                                      b"106"]
+
+    f = join_typed(c, str(tmp_path / "dim.csv"), on="sym")
+    assert len(f) == 18
+    assert list(f["sector"][:3]) == ["tech", "ads", "cars"]
+
+    f2 = join_typed(str(tmp_path / "dim.csv"), c, on="sym", how="left")
+    assert len(f2) == 18  # every dim row matches 6 corpus rows
