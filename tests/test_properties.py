@@ -132,3 +132,40 @@ def test_device_decode_matches_host(fields, trim):
     for i, f in enumerate(fields):
         want = decode_field(f, trim=trim)
         assert bytes(got[i, : ln[i]]) == want, (f, trim)
+
+
+# -- relational layer: predicate differential vs a Python oracle --------
+
+_pred_table = st.lists(
+    st.tuples(
+        st.sampled_from(["AAPL", "MSFT", "GOOG", "AA,PL"]),
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    ),
+    min_size=1, max_size=60,
+)
+_pred_op = st.sampled_from(["==", "!=", "<", "<=", ">", ">="])
+_pred_lit = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_pred_table, _pred_op, _pred_lit)
+def test_select_records_matches_python_oracle(rows, op, lit):
+    """select_records over a typed predicate == the same comparison in
+    plain Python, at arbitrary literals incl. int32 boundaries."""
+    import operator
+
+    from csv_simd_tpu.device_tape import DeviceTape
+    from csv_simd_tpu.query import select_records
+
+    body = "".join(
+        f'"{s}",{q}\n' if "," in s else f"{s},{q}\n" for s, q in rows
+    )
+    data = ("sym,qty\n" + body).encode()
+    tape = create_from_bytes(data, backend="golden")
+    dt = DeviceTape.from_tape(tape)
+    ids = select_records(dt, [("qty", op, lit)],
+                         schema={"qty": "int32"})
+    pyop = {"==": operator.eq, "!=": operator.ne, "<": operator.lt,
+            "<=": operator.le, ">": operator.gt, ">=": operator.ge}[op]
+    expect = [i for i, (_s, q) in enumerate(rows) if pyop(q, lit)]
+    assert list(ids) == expect
