@@ -310,7 +310,8 @@ def main(argv=None) -> int:
             return files[0]
         from .corpus_api import CsvCorpus
 
-        return CsvCorpus(files, backend=args.backend)
+        return CsvCorpus(files, backend=args.backend,
+                         validate_utf8=args.validate_utf8)
 
     try:
         if args.cmd == "stats":
@@ -401,10 +402,19 @@ def main(argv=None) -> int:
                     kv.split("=", 1) for kv in args.schema.split(",")
                 )
             cols = args.columns.split(",") if args.columns else None
+            multi = len(args.file) > 1
+            if multi and args.engine != "offsets":
+                raise SystemExit(
+                    "--engine applies to single files; a multi-file "
+                    "corpus serves through its per-file device tapes"
+                )
             fr = read_typed(
                 _source(args.file), schema, columns=cols,
                 backend=args.backend,
-                engine=args.engine, validate_utf8=args.validate_utf8,
+                engine=args.engine,
+                # a corpus validates at build time (_source passes the
+                # flag to CsvCorpus); re-validating per read would raise
+                validate_utf8=args.validate_utf8 and not multi,
                 where=_parse_where(args.where),
                 order_by=(_col_key(args.order_by)
                           if args.order_by else None),

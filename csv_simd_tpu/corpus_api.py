@@ -40,6 +40,7 @@ class CsvCorpus:
         backend: str = "auto",
         max_workers: int = 4,
         require_same_schema: bool = True,
+        validate_utf8: bool = False,
     ):
         if not paths:
             raise InvalidState("empty corpus")
@@ -47,7 +48,11 @@ class CsvCorpus:
         dialect = dialect or DEFAULT_DIALECT
         with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
             self._tapes = list(
-                ex.map(lambda p: create(p, dialect=dialect, backend=backend), self._paths)
+                ex.map(
+                    lambda p: create(p, dialect=dialect, backend=backend,
+                                     validate_utf8=validate_utf8),
+                    self._paths,
+                )
             )
         names0 = self._tapes[0].header_names()
         if require_same_schema:
@@ -111,6 +116,12 @@ class CsvCorpus:
         if getattr(self, "_serving", None) is None:
             self._serving = CorpusTape(self)
         return self._serving
+
+    def device_tapes(self):
+        """The cached per-file DeviceTapes (one upload per file per
+        corpus lifetime — the per-file map-reduce paths in query.py and
+        frame.py route through these, never re-uploading bytes)."""
+        return self.serving_tape()._dev
 
     def __repr__(self) -> str:
         return (

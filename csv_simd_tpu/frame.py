@@ -545,43 +545,45 @@ def write_csv(frame: Frame, path=None, *, dialect=None,
     return None
 
 
-def _frame_order_perm(frame: Frame, by, descending: bool) -> np.ndarray:
-    """ORDER BY permutation over an already-materialized Frame, with
-    query.order_records' semantics: parse-failures last under either
-    direction, ties stable in row order. Used by corpus reads, where
-    the key column is parsed per file and sorted globally on host."""
-    if isinstance(by, int):
-        by = frame.names[by]
-    if by not in frame._columns:
-        raise KeyError(
-            f"order_by column {by!r} is not in the frame; available: "
-            f"{frame.names}"
-        )
-    vals = frame[by]
-    okm = frame.ok(by)
-    ok = (np.ones(len(frame), bool) if okm is None
-          else np.asarray(okm, bool))
-    ok_ids = np.flatnonzero(ok)
-    if vals.dtype == object:
-        keys = vals[ok_ids]
-        if descending:
-            # reversing an ascending stable sort would also reverse
-            # equal-key runs; stable-sort the negated distinct rank
-            _, inv = np.unique(keys, return_inverse=True)
-            sub = np.argsort(-inv.astype(np.int64), kind="stable")
-        else:
-            sub = np.argsort(keys, kind="stable")
-    else:
-        k = vals[ok_ids]
-        if k.dtype.kind == "i":
-            k = k.astype(np.int64)  # negation-safe for INT32_MIN
-        sub = np.argsort(-k if descending else k, kind="stable")
-    return np.concatenate([ok_ids[sub], np.flatnonzero(~ok)])
+def _resolve_schema(tape, names, schema, columns, sample: int):
+    """(resolved {name: Col}, output column order) for read_typed —
+    from an explicit schema mapping, or inferred over `columns`."""
+    def _idx(key) -> int:
+        if isinstance(key, int):
+            if not 0 <= key < len(names):
+                raise KeyError(f"column index {key} out of range")
+            return key
+        try:
+            return names.index(key)
+        except ValueError:
+            raise KeyError(
+                f"no column {key!r}; header names: {names}"
+            ) from None
+
+    if schema is None:
+        sel = None if columns is None else [_idx(c) for c in columns]
+        inferred = infer_schema(tape, names, columns=sel, sample=sample)
+        resolved = {n: parse_spec(s) for n, s in inferred.items()}
+        return resolved, [n for n in names if n in resolved]
+    resolved = {}
+    order = []
+    for key, spec in schema.items():
+        f = _idx(key)
+        name = names[f]
+        if name in resolved:
+            raise ValueError(
+                f"schema names column {name!r} twice (by name and "
+                "by index, or duplicate header names)"
+            )
+        resolved[name] = parse_spec(spec)
+        order.append(name)
+    return resolved, order
 
 
 def read_typed(source, schema: Optional[Mapping] = None, *,
                columns: Optional[List[Union[str, int]]] = None,
-               where=None, order_by=None, descending: bool = False,
+               where=None, records=None, order_by=None,
+               descending: bool = False,
                limit: Optional[int] = None, dialect=None,
                backend: str = "auto", engine: str = "offsets",
                validate_utf8: bool = False, strict: bool = False,
@@ -596,6 +598,9 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
     engine  — "offsets" (DeviceTape over the offsets index) or "packed"
               (offsets-free PackedDeviceTape); only used when `source`
               is a path or bytes.
+    records — explicit record ids to materialize (composes with ids
+              from select_records/order_records/join_records; mutually
+              exclusive with `where`).
     where   — predicate or list of predicates (AND), e.g.
               [("qty", ">", 100), ("sym", "==", "AAPL")] — evaluated on
               device BEFORE materialization (predicate pushdown): only
@@ -616,33 +621,76 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
     lengths, so oversized fields never silently truncate.
 
     A CsvCorpus source exports the whole corpus as one table: the
-    schema is inferred from the FIRST file (or given), then applied to
-    every file and the columns concatenated in corpus order — dtype-
-    stable across files, with per-row ok masks flagging any file whose
-    values don't fit the schema (e.g. more decimal digits). `where`
-    pushes down per file; `order_by`/`limit` apply to the concatenated
-    frame (the key column is already parsed, so the global sort is a
-    host argsort + Frame.take — parse-failures last, ties stable in
-    corpus order).
+    output schema AND every predicate column's type resolve ONCE
+    against the first file with data rows (or the given schema), then
+    apply to every file — so results cannot depend on where the file
+    boundaries fall. Columns concatenate in corpus order (per-file
+    device tapes are cached on the corpus — no re-upload); per-row ok
+    masks flag any file whose values don't fit the locked schema.
+    `where` pushes down per file; `order_by`/`limit` sort the
+    concatenated result on host (the key column may be any corpus
+    column, not just an output column). `frame.records` holds GLOBAL
+    corpus record ids. validate_utf8 applies at corpus build time —
+    pass it to CsvCorpus(...) — and `engine` does not apply (corpus
+    files serve through their per-file device tapes).
     """
     from .corpus_api import CsvCorpus
 
     if isinstance(source, CsvCorpus):
+        if validate_utf8:
+            raise ValueError(
+                "validate_utf8 applies when the corpus is built: "
+                "construct CsvCorpus(paths, validate_utf8=True)"
+            )
+        if engine != "offsets":
+            raise ValueError(
+                "a CsvCorpus serves through its per-file device tapes; "
+                "engine= does not apply"
+            )
+        if records is not None:
+            raise ValueError(
+                "records= over a corpus: take() the full frame instead"
+            )
+        from .query import (
+            _field_index,
+            _host_order_perm,
+            _lock_corpus_spec,
+            _lock_where_schema,
+            select_records,
+        )
+
+        names = source.header_names()
+        devs = source.device_tapes()
+        # resolve the output schema ONCE, corpus-wide (inference samples
+        # every file; where-independent), and lock predicate columns the
+        # same way — results must not depend on file boundaries
+        if schema is None:
+            from .query import infer_corpus_col
+
+            selc = (list(range(len(names))) if columns is None
+                    else [_field_index(names, c) for c in columns])
+            resolved = {
+                names[f]: infer_corpus_col(source, f, sample)
+                for f in selc
+            }
+            order = [n for n in names if n in resolved]
+        else:
+            resolved, order = _resolve_schema(devs[0], names, schema,
+                                              columns, sample)
+        sels = [None] * len(devs)
+        if where is not None:
+            wsch = _lock_where_schema(source, where, resolved, sample)
+            sels = [
+                select_records(dt, where, names=names, schema=wsch,
+                               dialect=dialect, sample=sample)
+                for dt in devs
+            ]
         sub = [
-            read_typed(t, schema, columns=columns, where=where,
-                       dialect=dialect, strict=strict, sample=sample)
-            for t in source.tapes
+            read_typed(dt, resolved, records=sel, dialect=dialect,
+                       strict=strict, sample=sample)
+            for dt, sel in zip(devs, sels)
         ]
-        # lock the resolved schema of the first file WITH data rows so
-        # later files can't drift (e.g. infer float where it inferred
-        # int32); a header-only leading file has nothing to infer from
-        first = next((f for f in sub if len(f) > 0), sub[0])
-        sub = [
-            read_typed(t, first.schema, where=where, dialect=dialect,
-                       strict=strict)
-            if f.schema != first.schema else f
-            for t, f in zip(source.tapes, sub)
-        ]
+        first = sub[0]
         cols = {
             n: np.concatenate([f[n] for f in sub]) for n in first.names
         }
@@ -653,8 +701,28 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
         }
         total = sum(len(f) for f in sub)
         out = Frame(first.names, cols, oks, first.schema, total)
+        out.records = np.concatenate([
+            (np.asarray(f.records, np.int64) + int(start))
+            for f, start in zip(sub, source._starts[:-1])
+        ]) if sub else np.zeros(0, np.int64)
         if order_by is not None:
-            perm = _frame_order_perm(out, order_by, descending)
+            key = names[_field_index(names, order_by)]
+            if key in out._columns:
+                kv, kok = out[key], out.ok(key)
+            else:
+                # ORDER BY a column outside the output set: parse it
+                # per file under a corpus-locked spec
+                kcol = (resolved.get(key)
+                        or _lock_corpus_spec(source, key, None, sample))
+                parts = [
+                    _materialize(dt, names.index(key), kcol, dialect,
+                                 False, key, records=sel)
+                    for dt, sel in zip(devs, sels)
+                ]
+                kv = np.concatenate([p[0] for p in parts])
+                kok = (np.concatenate([p[1] for p in parts])
+                       if parts and parts[0][1] is not None else None)
+            perm = _host_order_perm(kv, kok, descending)
             return out.take(perm if limit is None else perm[:limit])
         if limit is not None:
             return out.take(np.arange(min(limit, total)))
@@ -675,27 +743,15 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
                 f"no column {key!r}; header names: {names}"
             ) from None
 
-    if schema is None:
-        sel = None if columns is None else [_idx(c) for c in columns]
-        inferred = infer_schema(tape, names, columns=sel, sample=sample)
-        resolved = {n: parse_spec(s) for n, s in inferred.items()}
-        order = [n for n in names if n in resolved]
-    else:
-        resolved = {}
-        order = []
-        for key, spec in schema.items():
-            f = _idx(key)
-            name = names[f]
-            if name in resolved:
-                raise ValueError(
-                    f"schema names column {name!r} twice (by name and "
-                    "by index, or duplicate header names)"
-                )
-            resolved[name] = parse_spec(spec)
-            order.append(name)
+    resolved, order = _resolve_schema(tape, names, schema, columns,
+                                      sample)
 
     sel = None
-    if where is not None:
+    if records is not None:
+        if where is not None:
+            raise ValueError("pass either where= or records=, not both")
+        sel = np.asarray(records, np.int32)
+    elif where is not None:
         from .query import select_records
 
         sel = select_records(tape, where, names=names, schema=resolved,

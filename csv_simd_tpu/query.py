@@ -234,27 +234,70 @@ def _merge_groups(parts: List[Dict], composite: bool) -> Dict:
     }
 
 
-def _lock_corpus_spec(corpus, column, spec, sample: int):
-    """Resolve one column spec against the corpus' first NON-EMPTY file
-    so every file aggregates under the same type (no per-file inference
-    drift; a header-only leading file has no rows to infer from)."""
-    from .frame import _resolve_tape
+def infer_corpus_col(corpus, field: int, sample: int) -> Col:
+    """Infer one column type from a sample drawn across EVERY corpus
+    file (strided within each): a type locked from a single member file
+    could misclassify values that only later files contain (e.g. int32
+    where another file holds decimals — then a decimal predicate
+    literal would truncate and match the wrong rows)."""
+    from .frame import _classify_values, _true_window
 
+    devs = corpus.device_tapes()
+    per = max(8, sample // max(len(devs), 1))
+    vals: list = []
+    for dt, t in zip(devs, corpus.tapes):
+        n = int(t.num_data_records)
+        if n == 0:
+            continue
+        take = min(n, per)
+        recs = np.unique(
+            (np.arange(take, dtype=np.int64) * max(n // take, 1))
+            .clip(0, n - 1)
+        ).astype(np.int32)
+        w = _true_window(dt, field, 8)
+        out, ln, v = dt.gather_fields(
+            recs, np.full(recs.shape, field, np.int32), max_len=w
+        )
+        vals.extend(dt.to_host_lists(out, ln, v))
+    return _classify_values(vals) if vals else Col("str")
+
+
+def _lock_corpus_spec(corpus, column, spec, sample: int):
+    """Resolve one column spec corpus-wide (explicit spec, or inference
+    over a cross-file sample) so every member file aggregates under the
+    same type — results must not depend on file boundaries."""
     names = corpus.header_names()
     field = _field_index(names, column)
     if spec is not None:
         return parse_spec(spec)
-    ref = next(
-        (t for t in corpus.tapes if t.num_data_records > 0),
-        corpus.tapes[0],
-    )
-    tape0, _ = _resolve_tape(ref, None, "auto", "offsets", False)
-    return infer_col(tape0, names, field, sample)
+    return infer_corpus_col(corpus, field, sample)
 
 
-def column_stats(source, column, spec=None, *, where=None, dialect=None,
-                 backend: str = "auto", engine: str = "offsets",
-                 sample: int = 256) -> Stats:
+def _lock_where_schema(corpus, where, schema, sample: int):
+    """Corpus-wide column specs for every predicate column of `where`
+    (plus any user-provided entries): without this, each file would
+    infer predicate types independently and file boundaries could
+    change which rows match (or crash on a header-only part)."""
+    out = dict(schema) if schema else {}
+    if where is None:
+        return out or None
+    preds = where
+    if (isinstance(preds, tuple) and len(preds) == 3
+            and isinstance(preds[1], str)):
+        preds = [preds]
+    names = corpus.header_names()
+    covered = {names[_field_index(names, k)] for k in out}
+    for pred in preds:
+        name = names[_field_index(names, pred[0])]
+        if name not in covered:
+            out[name] = _lock_corpus_spec(corpus, name, None, sample)
+            covered.add(name)
+    return out or None
+
+
+def column_stats(source, column, spec=None, *, where=None, schema=None,
+                 dialect=None, backend: str = "auto",
+                 engine: str = "offsets", sample: int = 256) -> Stats:
     """Aggregate one column of a CSV without materializing it on host.
 
     source — path, bytes, Tape, or any serving tape (incl. the
@@ -270,10 +313,11 @@ def column_stats(source, column, spec=None, *, where=None, dialect=None,
 
     if isinstance(source, CsvCorpus):
         col = _lock_corpus_spec(source, column, spec, sample)
+        wsch = _lock_where_schema(source, where, schema, sample)
         return _combine_stats([
-            column_stats(t, column, col, where=where, dialect=dialect,
-                         sample=sample)
-            for t in source.tapes
+            column_stats(t, column, col, where=where, schema=wsch,
+                         dialect=dialect, sample=sample)
+            for t in source.device_tapes()
         ])
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     field = _field_index(names, column)
@@ -285,7 +329,7 @@ def column_stats(source, column, spec=None, *, where=None, dialect=None,
         col = parse_spec(spec)
     records = None
     if where is not None:
-        records = select_records(tape, where, names=names,
+        records = select_records(tape, where, names=names, schema=schema,
                                  dialect=dialect, sample=sample)
     if col.type in ("str", "bytes"):
         n = (len(records) if records is not None
@@ -472,12 +516,11 @@ def select_records(tape, where, *, names=None, schema=None, dialect=None,
     from .corpus_api import CsvCorpus
 
     if isinstance(tape, CsvCorpus):
-        from .frame import _resolve_tape
-
+        nm = tape.header_names()
+        wsch = _lock_where_schema(tape, where, schema, sample)
         parts = []
-        for t, start in zip(tape.tapes, tape._starts[:-1]):
-            st, nm = _resolve_tape(t, dialect, "auto", "offsets", False)
-            ids = select_records(st, where, names=nm, schema=schema,
+        for st, start in zip(tape.device_tapes(), tape._starts[:-1]):
+            ids = select_records(st, where, names=nm, schema=wsch,
                                  dialect=dialect, sample=sample)
             parts.append(ids.astype(np.int64) + int(start))
         return np.concatenate(parts) if parts else np.zeros(0, np.int64)
@@ -529,6 +572,35 @@ def _order_device(vals, ok, descending: bool):
     return order[order2]
 
 
+def _host_order_perm(vals, ok, descending: bool) -> np.ndarray:
+    """Host ORDER BY permutation shared by every non-device sort path
+    (str/bytes keys, host int64 values, materialized corpus frames):
+    parse-failures last under either direction, ties stable in input
+    order. Handles object, datetime64, integer and float key arrays."""
+    vals = np.asarray(vals)
+    ok = (np.ones(vals.shape[0], bool) if ok is None
+          else np.asarray(ok, bool))
+    ok_ids = np.flatnonzero(ok)
+    keys = vals[ok_ids]
+    if keys.dtype == object:
+        if descending:
+            # reversing an ascending sort would also reverse equal-key
+            # runs (breaking stability); stable-sort the negated
+            # distinct-value rank instead
+            _, inv = np.unique(keys, return_inverse=True)
+            sub = np.argsort(-inv.astype(np.int64), kind="stable")
+        else:
+            sub = np.argsort(keys, kind="stable")
+    else:
+        k = keys
+        if k.dtype.kind in "Mmi":
+            # datetime64 has no unary negation; int32 negation of
+            # INT32_MIN overflows — sort the int64 view
+            k = k.astype(np.int64)
+        sub = np.argsort(-k if descending else k, kind="stable")
+    return np.concatenate([ok_ids[sub], np.flatnonzero(~ok)])
+
+
 def order_records(tape, by, *, names=None, schema=None, where=None,
                   records=None, descending: bool = False,
                   limit: Optional[int] = None, dialect=None,
@@ -577,30 +649,12 @@ def order_records(tape, by, *, names=None, schema=None, where=None,
         okm = np.array([b is not None for b in raw], bool)
         keys = np.array([b"" if b is None else b for b in raw],
                         dtype=object)
-        if descending:
-            # reversing an ascending sort would also reverse equal-key
-            # runs (breaking stability); stable-sort the negated
-            # distinct-value rank instead
-            _, inv = np.unique(keys[okm], return_inverse=True)
-            sub = np.argsort(-inv.astype(np.int64), kind="stable")
-        else:
-            sub = np.argsort(keys[okm], kind="stable")
-        perm = np.concatenate(
-            [np.flatnonzero(okm)[sub], np.flatnonzero(~okm)]
-        )
-        out_ids = ids[perm]
+        out_ids = ids[_host_order_perm(keys, okm, descending)]
         return out_ids[:limit] if limit is not None else out_ids
     vals, ok, kind = _parse_column(tape, field, col, dialect,
                                    records=records)
     if kind == "i64host":
-        v64 = np.asarray(vals)
-        okh = np.asarray(ok, bool)
-        key = (-v64 if descending else v64)
-        sub = np.argsort(key[okh], kind="stable")
-        perm = np.concatenate(
-            [np.flatnonzero(okh)[sub], np.flatnonzero(~okh)]
-        )
-        out_ids = ids[perm]
+        out_ids = ids[_host_order_perm(vals, ok, descending)]
         return out_ids[:limit] if limit is not None else out_ids
     perm = np.asarray(_order_device(vals, jnp.asarray(ok, bool),
                                     descending))
@@ -616,9 +670,9 @@ def infer_col(tape, names, field: int, sample: int) -> Col:
                         sample=sample)[names[field]]
 
 
-def value_counts(source, column, spec=None, *, where=None, dialect=None,
-                 backend: str = "auto", engine: str = "offsets",
-                 sample: int = 256) -> Dict:
+def value_counts(source, column, spec=None, *, where=None, schema=None,
+                 dialect=None, backend: str = "auto",
+                 engine: str = "offsets", sample: int = 256) -> Dict:
     """Distinct values of a column with their row counts.
 
     Typed columns count on device (segment grouping); str/bytes
@@ -630,10 +684,11 @@ def value_counts(source, column, spec=None, *, where=None, dialect=None,
 
     if isinstance(source, CsvCorpus):
         col = _lock_corpus_spec(source, column, spec, sample)
+        wsch = _lock_where_schema(source, where, schema, sample)
         parts = [
-            value_counts(t, column, col, where=where, dialect=dialect,
-                         sample=sample)
-            for t in source.tapes
+            value_counts(t, column, col, where=where, schema=wsch,
+                         dialect=dialect, sample=sample)
+            for t in source.device_tapes()
         ]
         acc: Dict = {}
         for p in parts:
@@ -649,7 +704,7 @@ def value_counts(source, column, spec=None, *, where=None, dialect=None,
         tape, names, field, sample)
     records = None
     if where is not None:
-        records = select_records(tape, where, names=names,
+        records = select_records(tape, where, names=names, schema=schema,
                                  dialect=dialect, sample=sample)
     if col.type in ("str", "bytes"):
         window = col.max_len or _true_window(tape, field, 16)
@@ -805,7 +860,8 @@ def group_aggregate(keys, vals, key_ok=None, val_ok=None):
 
 
 def _groupby_composite(tape, names, keys: List, value, key_spec,
-                       value_spec, where, dialect, sample: int) -> Dict:
+                       value_spec, where, schema, dialect,
+                       sample: int) -> Dict:
     """Multi-column GROUP BY: factorize each key column to dense codes,
     combine into one mixed-radix code, group once. Groups come back in
     lexicographic (col0, col1, ...) ascending order because np.unique
@@ -815,7 +871,7 @@ def _groupby_composite(tape, names, keys: List, value, key_spec,
 
     records = None
     if where is not None:
-        records = select_records(tape, where, names=names,
+        records = select_records(tape, where, names=names, schema=schema,
                                  dialect=dialect, sample=sample)
     vf = _field_index(names, value)
     vcol = (parse_spec(value_spec) if value_spec is not None
@@ -932,8 +988,9 @@ def _decode_key_array(uniq: np.ndarray, col: Col):
 
 
 def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
-                  where=None, dialect=None, backend: str = "auto",
-                  engine: str = "offsets", sample: int = 256) -> Dict:
+                  where=None, schema=None, dialect=None,
+                  backend: str = "auto", engine: str = "offsets",
+                  sample: int = 256) -> Dict:
     """End-to-end device group-by over a CSV: parse `key` and `value`
     columns on device, filter with `where`, group-aggregate, return the
     per-group host dict of group_aggregate. Value columns must be
@@ -966,18 +1023,19 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
         else:
             locked_k = _lock_corpus_spec(source, key, key_spec, sample)
         locked_v = _lock_corpus_spec(source, value, value_spec, sample)
+        wsch = _lock_where_schema(source, where, schema, sample)
         parts = [
             groupby_typed(t, key, value, key_spec=locked_k,
-                          value_spec=locked_v, where=where,
+                          value_spec=locked_v, where=where, schema=wsch,
                           dialect=dialect, sample=sample)
-            for t in source.tapes
+            for t in source.device_tapes()
         ]
         return _merge_groups(parts, composite)
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     if isinstance(key, (list, tuple)):
         return _groupby_composite(tape, names, list(key), value,
-                                  key_spec, value_spec, where, dialect,
-                                  sample)
+                                  key_spec, value_spec, where, schema,
+                                  dialect, sample)
     kf = _field_index(names, key)
     vf = _field_index(names, value)
     kcol = (parse_spec(key_spec) if key_spec is not None
@@ -988,7 +1046,7 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
                               sample=sample)[names[vf]])
     records = None
     if where is not None:
-        records = select_records(tape, where, names=names,
+        records = select_records(tape, where, names=names, schema=schema,
                                  dialect=dialect, sample=sample)
     vv, vok, vkind = _parse_column(tape, vf, vcol, dialect,
                                    records=records)

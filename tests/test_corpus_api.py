@@ -233,3 +233,61 @@ def test_corpus_serving_tape_and_join(tmp_path):
 
     f2 = join_typed(str(tmp_path / "dim.csv"), c, on="sym", how="left")
     assert len(f2) == 18  # every dim row matches 6 corpus rows
+
+
+def test_corpus_mixed_type_files_lock_corpus_wide(tmp_path):
+    """Inference locks ONE type from a cross-file sample: a file of
+    ints followed by a file of decimals must behave exactly like the
+    concatenated single file (predicates, stats, frames) — a type
+    locked from the first file alone would truncate decimal literals
+    and match the wrong rows."""
+    from csv_simd_tpu.frame import read_typed
+    from csv_simd_tpu.query import column_stats, select_records
+
+    (tmp_path / "A.csv").write_text("sym,qty\nAAPL,1\nGOOG,2\n")
+    (tmp_path / "B.csv").write_text("sym,qty\nGOOG,1.5\nAAPL,2.5\n")
+    (tmp_path / "one.csv").write_text(
+        "sym,qty\nAAPL,1\nGOOG,2\nGOOG,1.5\nAAPL,2.5\n"
+    )
+    c = CsvCorpus([str(tmp_path / "A.csv"), str(tmp_path / "B.csv")],
+                  backend="golden")
+    one = str(tmp_path / "one.csv")
+
+    assert list(select_records(c, [("qty", "==", 1.5)])) == [2]
+    assert (column_stats(c, "qty", where=[("qty", "<", 2)])
+            == column_stats(one, "qty", where=[("qty", "<", 2)]))
+    f_c, f_1 = read_typed(c), read_typed(one)
+    assert f_c.schema == f_1.schema
+    assert list(f_c["qty"]) == list(f_1["qty"])
+    # the result schema must not depend on the where clause
+    fa = read_typed(c, where=[("sym", "==", "AAPL")])
+    fg = read_typed(c, where=[("sym", "==", "GOOG")])
+    assert fa.schema == fg.schema
+    assert list(fa.records) == [0, 3] and list(fg.records) == [1, 2]
+
+
+def test_corpus_order_by_date_desc_and_hidden_key(tmp_path):
+    """Corpus ORDER BY: datetime64 keys sort descending without
+    crashing, and the key column need not be in the output columns."""
+    from csv_simd_tpu.frame import read_typed
+
+    (tmp_path / "D1.csv").write_text("d,v\n2024-01-02,1\n2024-03-01,2\n")
+    (tmp_path / "D2.csv").write_text("d,v\n2023-12-31,3\n2024-02-15,4\n")
+    c = CsvCorpus([str(tmp_path / "D1.csv"), str(tmp_path / "D2.csv")],
+                  backend="golden")
+    f = read_typed(c, order_by="d", descending=True)
+    assert [str(x) for x in f["d"]] == [
+        "2024-03-01", "2024-02-15", "2024-01-02", "2023-12-31"
+    ]
+    f2 = read_typed(c, columns=["v"], order_by="d", descending=True)
+    assert f2.names == ["v"] and list(f2["v"]) == [2, 4, 1, 3]
+
+
+def test_corpus_validate_utf8(tmp_path):
+    from csv_simd_tpu.errors import InvalidCsvFormat
+
+    (tmp_path / "ok.csv").write_text("a,b\n1,2\n")
+    (tmp_path / "bad.csv").write_bytes(b"a,b\n1,\xff\xfe\n")
+    with pytest.raises(InvalidCsvFormat):
+        CsvCorpus([str(tmp_path / "ok.csv"), str(tmp_path / "bad.csv")],
+                  backend="golden", validate_utf8=True)
