@@ -194,9 +194,13 @@ def _combine_stats(parts: List[Stats]) -> Stats:
 
 
 def _merge_groups(parts: List[Dict], composite: bool) -> Dict:
-    """Associative merge of per-file group_aggregate results: sums and
-    counts add, min/max fold, groups re-sorted ascending (lexicographic
-    for composite keys). The corpus-level GROUP BY reduce."""
+    """Associative merge of per-file group results: sums and counts
+    add, min/max fold, groups re-sorted ascending (lexicographic for
+    composite keys). Handles both the single-value shape
+    ({sum,min,max,count}) and the multi-value shape ({count, aggs:
+    {name: {sum,min,max,count}}}). The corpus-level GROUP BY reduce."""
+    multi = "aggs" in parts[0]
+    vnames = list(parts[0]["aggs"]) if multi else None
     acc: Dict = {}
     for p in parts:
         if composite:
@@ -204,6 +208,23 @@ def _merge_groups(parts: List[Dict], composite: bool) -> Dict:
         else:
             keys_iter = list(p["keys"])
         for i, k in enumerate(keys_iter):
+            if multi:
+                entry = acc.get(k)
+                if entry is None:
+                    entry = acc[k] = {
+                        "count": 0,
+                        "aggs": {n: [0, np.inf, -np.inf, 0]
+                                 for n in vnames},
+                    }
+                entry["count"] += int(p["count"][i])
+                for n in vnames:
+                    a = p["aggs"][n]
+                    e = entry["aggs"][n]
+                    e[0] += a["sum"][i]
+                    e[1] = min(e[1], a["min"][i])
+                    e[2] = max(e[2], a["max"][i])
+                    e[3] += int(a["count"][i])
+                continue
             s, mn, mx, c = (p["sum"][i], p["min"][i], p["max"][i],
                             int(p["count"][i]))
             if k in acc:
@@ -224,6 +245,24 @@ def _merge_groups(parts: List[Dict], composite: bool) -> Dict:
 
     out_keys = ([_key_arr(i) for i in range(n_cols)] if composite
                 else _key_arr(0))
+    if multi:
+        return {
+            "keys": out_keys,
+            "count": np.array([acc[k]["count"] for k in ks], np.int64),
+            "aggs": {
+                n: {
+                    "sum": np.array(
+                        [acc[k]["aggs"][n][0] for k in ks]),
+                    "min": np.array(
+                        [acc[k]["aggs"][n][1] for k in ks]),
+                    "max": np.array(
+                        [acc[k]["aggs"][n][2] for k in ks]),
+                    "count": np.array(
+                        [acc[k]["aggs"][n][3] for k in ks], np.int64),
+                }
+                for n in vnames
+            },
+        }
     sums = np.array([acc[k][0] for k in ks])
     return {
         "keys": out_keys,
@@ -734,11 +773,10 @@ def value_counts(source, column, spec=None, *, where=None, schema=None,
     if vals.shape[0] == 0:
         return {"keys": np.zeros(0, np.asarray(vals).dtype),
                 "count": np.zeros(0, np.int64)}
-    # _group_device directly: counts have no exactness ceiling, so the
+    # _group_order directly: counts have no exactness ceiling, so the
     # group_aggregate 2**20 sum-exactness assert must not apply here
-    gk, _, _, _, counts, n_groups = _group_device(
-        vals, jnp.zeros(vals.shape[0], jnp.int32),
-        jnp.asarray(ok, bool), False)
+    _o, _s, _sok, gk, counts, n_groups = _group_order(
+        vals, jnp.asarray(ok, bool))
     g = int(n_groups)
     return {"keys": np.asarray(gk)[:g],
             "count": np.asarray(counts)[:g].astype(np.int64)}
@@ -757,18 +795,20 @@ def distinct(source, column, spec=None, **kw) -> np.ndarray:
 _GROUP_SPLIT = (20, 10)
 
 
-@functools.partial(jax.jit, static_argnames=("is_float",))
-def _group_device(keys, vals, ok, is_float: bool):
-    """Stable-sort by key, segment by key change, reduce per segment.
-    Invalid rows sort last under the max sentinel and are excluded by
-    the returned valid-group count."""
+@jax.jit
+def _group_order(keys, ok):
+    """Grouping phase shared by every aggregate: stable-sort by key
+    (invalid rows to the tail under the max sentinel), segment by key
+    change. Returns (order, seg, sorted-ok, group keys, per-group
+    ok-row counts, valid-group count) — value columns then reduce
+    against (order, seg) without re-sorting (multi-aggregate GROUP BY
+    pays for ONE sort)."""
     n = keys.shape[0]
     big = (jnp.float32(jnp.inf) if keys.dtype == jnp.float32
            else jnp.int32(2**31 - 1))
     k = jnp.where(ok, keys, big)
     order = jnp.argsort(k, stable=True)
     sk = k[order]
-    sv = vals[order]
     sok = ok[order]
     change = jnp.concatenate(
         [jnp.zeros(1, bool), sk[1:] != sk[:-1]]
@@ -776,9 +816,21 @@ def _group_device(keys, vals, ok, is_float: bool):
     seg = jnp.cumsum(change.astype(jnp.int32))
     counts = jax.ops.segment_sum(sok.astype(jnp.int32), seg,
                                  num_segments=n)
-    n_groups = jnp.sum(
-        jnp.max(jnp.where(sok, seg, -1)) + 1
-    )
+    n_groups = jnp.max(jnp.where(sok, seg, -1)) + 1
+    # every row of a segment holds the same key, so any segment reduce
+    # recovers it
+    gkeys = jax.ops.segment_max(sk, seg, num_segments=n)
+    return order, seg, sok, gkeys, counts, n_groups
+
+
+@functools.partial(jax.jit, static_argnames=("is_float",))
+def _group_reduce(vals, vok, order, seg, is_float: bool):
+    """Per-segment reduce of one value column against a precomputed
+    group order: exact digit-split int sums (see _GROUP_SPLIT) or f32
+    sums, masked min/max, ok-value counts."""
+    n = vals.shape[0]
+    sv = vals[order]
+    sok = vok[order]
     zero = jnp.where(sok, sv, jnp.zeros((), sv.dtype))
     if is_float:
         sums = (jax.ops.segment_sum(zero, seg, num_segments=n),)
@@ -803,10 +855,21 @@ def _group_device(keys, vals, ok, is_float: bool):
                   jnp.asarray(-jnp.inf if is_float else -(2**31),
                               sv.dtype)),
         seg, num_segments=n)
-    # every row of a segment holds the same key, so any segment reduce
-    # recovers it
-    gkeys = jax.ops.segment_max(sk, seg, num_segments=n)
-    return gkeys, sums, mns, mxs, counts, n_groups
+    cnt = jax.ops.segment_sum(sok.astype(jnp.int32), seg,
+                              num_segments=n)
+    return sums, mns, mxs, cnt
+
+
+def _combine_digit_sums(sums, g: int, is_float: bool):
+    """Host recombination of _group_reduce's partial sums -> exact
+    per-group totals (int64 for ints, float64 for floats)."""
+    if is_float:
+        return np.asarray(sums[0])[:g].astype(np.float64)
+    d0, d1, d2 = (np.asarray(s)[:g].astype(np.int64) for s in sums)
+    w = _GROUP_SPLIT[1]
+    # d2 carries the sign bits (arithmetic >> 20 keeps them); d0/d1
+    # are unsigned digit fields, so the recomposition is exact
+    return d0 + (d1 << w) + (d2 << _GROUP_SPLIT[0])
 
 
 def group_aggregate(keys, vals, key_ok=None, val_ok=None):
@@ -833,123 +896,133 @@ def group_aggregate(keys, vals, key_ok=None, val_ok=None):
         return {"keys": empty_k, "sum": z, "min": z, "max": z,
                 "count": np.zeros(0, np.int64)}
     is_float = vals.dtype == jnp.float32
-    gk, sums, mns, mxs, counts, n_groups = _group_device(
-        keys, vals, ok, is_float
-    )
+    order, seg, _sok, gk, counts, n_groups = _group_order(keys, ok)
+    sums, mns, mxs, _cnt = _group_reduce(vals, ok, order, seg, is_float)
     g = int(n_groups)
     counts = np.asarray(counts)[:g].astype(np.int64)
     assert counts.max(initial=0) < 2**20, (
         "group larger than 2**20 rows: integer digit-split sum would "
         "not be exact — shard the input first"
     )
-    if is_float:
-        total = np.asarray(sums[0])[:g].astype(np.float64)
-    else:
-        d0, d1, d2 = (np.asarray(s)[:g].astype(np.int64) for s in sums)
-        w = _GROUP_SPLIT[1]
-        total = d0 + (d1 << w) + (d2 << _GROUP_SPLIT[0])
-        # d2 carries the sign bits (arithmetic >> 20 keeps them); d0/d1
-        # are unsigned digit fields, so the recomposition is exact
     return {
         "keys": np.asarray(gk)[:g],
-        "sum": total,
+        "sum": _combine_digit_sums(sums, g, is_float),
         "min": np.asarray(mns)[:g],
         "max": np.asarray(mxs)[:g],
         "count": counts,
     }
 
 
-def _groupby_composite(tape, names, keys: List, value, key_spec,
-                       value_spec, where, schema, dialect,
-                       sample: int) -> Dict:
-    """Multi-column GROUP BY: factorize each key column to dense codes,
-    combine into one mixed-radix code, group once. Groups come back in
-    lexicographic (col0, col1, ...) ascending order because np.unique
-    sorts each factorization and the radix combine preserves the
-    ordering."""
-    from .frame import _resolve_tape  # noqa: F401 (kept for symmetry)
+def _prepare_group_keys(tape, names, key, key_spec, records, dialect,
+                        sample: int):
+    """Unified GROUP BY key preparation for every key shape.
 
-    records = None
-    if where is not None:
-        records = select_records(tape, where, names=names, schema=schema,
-                                 dialect=dialect, sample=sample)
-    vf = _field_index(names, value)
-    vcol = (parse_spec(value_spec) if value_spec is not None
-            else infer_col(tape, names, vf, sample))
-    vv, vok, vkind = _parse_column(tape, vf, vcol, dialect,
-                                   records=records)
-    if vkind == "i64host":
-        raise ValueError(
-            f"value column {names[vf]!r} is {vcol.type}: its values "
-            "only exist as host int64 — aggregate on host instead"
-        )
-    specs = (list(key_spec) if key_spec is not None
-             else [None] * len(keys))
-    if len(specs) != len(keys):
-        raise ValueError(
-            f"key_spec has {len(specs)} entries for {len(keys)} key "
-            "columns"
-        )
-    uniqs, cols_meta = [], []
-    combo = None
-    ok_all = None
-    for k, spec in zip(keys, specs):
-        f = _field_index(names, k)
-        col = (parse_spec(spec) if spec is not None
-               else infer_col(tape, names, f, sample))
-        vals, ok, _ = _host_key_column(tape, names, f, col, dialect,
-                                       records, sample)
-        ok_all = ok if ok_all is None else (ok_all & ok)
-        uniq, inv = np.unique(vals, return_inverse=True)
-        uniqs.append(uniq)
-        cols_meta.append(col)
-        inv = inv.astype(np.int64)
-        combo = inv if combo is None else combo * len(uniq) + inv
-        if combo.max(initial=0) >= 2**62:
+    Returns (kind, keys, kok, decode):
+    - kind "device": keys (N,) int32/float32 jnp codes/values + jnp
+      bool validity — segment-groupable on device;
+    - kind "host": keys (N,) int64 np + np bool (decimal/datetime
+      values, or composite code spaces beyond int32);
+    - decode maps the ascending per-group key values back to the
+      user-facing representation (categorical text via the
+      factorization table, composite radix codes back to per-column
+      arrays, identity otherwise).
+    """
+    if isinstance(key, (list, tuple)):
+        # composite: factorize each column to dense codes, combine into
+        # one mixed-radix code; np.unique sorts each factorization so
+        # the combined order is lexicographic (col0, col1, ...)
+        specs = (list(key_spec) if key_spec is not None
+                 else [None] * len(key))
+        if len(specs) != len(key):
             raise ValueError(
-                "composite key space too large to radix-combine"
+                f"key_spec has {len(specs)} entries for {len(key)} key "
+                "columns"
             )
-    ok_all = ok_all & np.asarray(vok, bool)
-    if combo is None or combo.shape[0] == 0:
-        empty = {"keys": [np.zeros(0, u.dtype) for u in uniqs],
-                 "sum": np.zeros(0, np.int64),
-                 "min": np.zeros(0, np.int64),
-                 "max": np.zeros(0, np.int64),
-                 "count": np.zeros(0, np.int64)}
-        return empty
-    if combo.max(initial=0) < 2**31 - 1:
-        g = group_aggregate(jnp.asarray(combo.astype(np.int32)), vv,
-                            jnp.asarray(ok_all), vok)
-        codes = np.asarray(g["keys"], np.int64)
-    else:
-        # combination space exceeds int32: host grouping on the int64
-        # codes, values pulled once
-        vh = np.asarray(vv)[ok_all]
-        ch = combo[ok_all]
-        uk, inv2 = np.unique(ch, return_inverse=True)
-        sums = np.zeros(uk.shape[0],
-                        np.float64 if vkind == "float" else object)
-        np.add.at(sums, inv2, vh.astype(sums.dtype))
-        mins = np.full(uk.shape[0], np.inf)
-        maxs = np.full(uk.shape[0], -np.inf)
-        np.minimum.at(mins, inv2, vh.astype(np.float64))
-        np.maximum.at(maxs, inv2, vh.astype(np.float64))
-        g = {"sum": sums, "min": mins, "max": maxs,
-             "count": np.bincount(
-                 inv2, minlength=uk.shape[0]).astype(np.int64)}
-        codes = uk
-    out_keys = []
-    rem = codes
-    for uniq in reversed(uniqs):
-        rem, idx = np.divmod(rem, len(uniq))
-        out_keys.append(uniq[idx])
-    out_keys.reverse()
-    out_keys = [
-        _decode_key_array(arr, col)
-        for arr, col in zip(out_keys, cols_meta)
-    ]
-    return {"keys": out_keys, "sum": g["sum"], "min": g["min"],
-            "max": g["max"], "count": g["count"]}
+        uniqs, cols_meta = [], []
+        combo = None
+        ok_all = None
+        for k, spec in zip(key, specs):
+            f = _field_index(names, k)
+            col = (parse_spec(spec) if spec is not None
+                   else infer_col(tape, names, f, sample))
+            vals, ok, _ = _host_key_column(tape, names, f, col, dialect,
+                                           records, sample)
+            ok_all = ok if ok_all is None else (ok_all & ok)
+            uniq, inv = np.unique(vals, return_inverse=True)
+            uniqs.append(uniq)
+            cols_meta.append(col)
+            inv = inv.astype(np.int64)
+            combo = inv if combo is None else combo * len(uniq) + inv
+            if combo.max(initial=0) >= 2**62:
+                raise ValueError(
+                    "composite key space too large to radix-combine"
+                )
+        if combo is None:
+            combo = np.zeros(0, np.int64)
+            ok_all = np.zeros(0, bool)
+
+        def decode(codes):
+            out_keys = []
+            rem = np.asarray(codes, np.int64)
+            for uniq in reversed(uniqs):
+                rem, idx = np.divmod(rem, len(uniq))
+                out_keys.append(uniq[idx])
+            out_keys.reverse()
+            return [
+                _decode_key_array(arr, col)
+                for arr, col in zip(out_keys, cols_meta)
+            ]
+
+        if combo.shape[0] and combo.max(initial=0) < 2**31 - 1:
+            return ("device", jnp.asarray(combo.astype(np.int32)),
+                    jnp.asarray(ok_all), decode)
+        return ("host", combo, np.asarray(ok_all, bool), decode)
+
+    kf = _field_index(names, key)
+    kcol = (parse_spec(key_spec) if key_spec is not None
+            else infer_col(tape, names, kf, sample))
+    if kcol.type in ("str", "bytes"):
+        # categorical key: factorize the DECODED column on host into
+        # dense int32 codes (np.unique sorts, so code order == key
+        # order), then the device segment grouping runs on the codes
+        from .frame import _true_window
+
+        window = kcol.max_len or _true_window(tape, kf, 16)
+        recs = (np.asarray(records, np.int32) if records is not None
+                else np.arange(
+                    int(getattr(tape, "num_data_records",
+                                int(tape.record_cnt) - 1)),
+                    dtype=np.int32))
+        out, ln, v = tape.gather_decoded(
+            recs, np.full(recs.shape, kf, np.int32), max_len=window,
+            dialect=dialect, trim=kcol.trim,
+        )
+        raw = tape.to_host_lists(out, ln, v)
+        kok_h = np.array([b is not None for b in raw], bool)
+        keys_b = np.array([b"" if b is None else b for b in raw],
+                          dtype=object)
+        # object-dtype unique: Python-bytes compare, so embedded NULs
+        # and length ties sort correctly (|S dtype would strip NULs)
+        uniq, inv = np.unique(keys_b[kok_h], return_inverse=True)
+        codes = np.zeros(recs.shape[0], np.int32)
+        codes[kok_h] = inv.astype(np.int32)
+
+        def decode(code_vals):
+            gk = uniq[np.asarray(code_vals, np.int64)]
+            if kcol.type == "str":
+                gk = np.array(
+                    [b.decode("utf-8", "replace") for b in gk],
+                    dtype=object,
+                )
+            return gk
+
+        return ("device", jnp.asarray(codes), jnp.asarray(kok_h), decode)
+    kv, kok, kkind = _parse_column(tape, kf, kcol, dialect,
+                                   records=records)
+    if kkind == "i64host":
+        return ("host", np.asarray(kv), np.asarray(kok, bool),
+                lambda c: c)
+    return ("device", kv, jnp.asarray(kok, bool), lambda c: c)
 
 
 def _host_key_column(tape, names, field: int, col: Col, dialect,
@@ -987,16 +1060,122 @@ def _decode_key_array(uniq: np.ndarray, col: Col):
     return uniq
 
 
+def _empty_keys(decode):
+    """decode of zero groups — yields correctly-typed empty key
+    arrays (or list of arrays for composite keys)."""
+    return decode(np.zeros(0, np.int64))
+
+
+def _host_reduce(n_groups: int, inv, sel, is_float: bool):
+    """Host per-group sum/min/max. Integer values reduce in object
+    arrays (Python ints — EXACT at any magnitude, incl. 18-digit
+    decimals past float64's 2**53); floats in float64."""
+    if is_float:
+        sums = np.zeros(n_groups, np.float64)
+        np.add.at(sums, inv, sel.astype(np.float64))
+        mins = np.full(n_groups, np.inf)
+        maxs = np.full(n_groups, -np.inf)
+        np.minimum.at(mins, inv, sel.astype(np.float64))
+        np.maximum.at(maxs, inv, sel.astype(np.float64))
+        return sums, mins, maxs
+    sums = np.zeros(n_groups, object)
+    mins = np.full(n_groups, np.inf, object)
+    maxs = np.full(n_groups, -np.inf, object)
+    selo = sel.astype(object)
+    np.add.at(sums, inv, selo)
+    np.minimum.at(mins, inv, selo)
+    np.maximum.at(maxs, inv, selo)
+    return sums, mins, maxs
+
+
+def _group_single(kind, kv, kok, decode, vv, vok, is_float) -> Dict:
+    """One value column against prepared keys (device or host)."""
+    if kind == "device":
+        g = group_aggregate(kv, vv, kok, vok)
+        g["keys"] = decode(g["keys"])
+        return g
+    okh = kok & np.asarray(vok, bool)
+    vh = np.asarray(vv)
+    uk, inv = np.unique(np.asarray(kv)[okh], return_inverse=True)
+    sel = vh[okh]
+    sums, mins, maxs = _host_reduce(uk.shape[0], inv, sel, is_float)
+    cnts = np.bincount(inv, minlength=uk.shape[0]).astype(np.int64)
+    return {"keys": decode(uk), "sum": sums, "min": mins, "max": maxs,
+            "count": cnts}
+
+
+def _group_multi(kind, kv, kok, decode, values: Dict) -> Dict:
+    """Several value columns against prepared keys — ONE key sort, one
+    segment reduce per value. `values` is an ordered
+    {name: (vals, ok, is_float)}. Result: {"keys", "count" (rows with
+    valid key), "aggs": {name: {"sum","min","max","count"}}} where each
+    per-value count tallies rows whose value parsed ok (SQL
+    COUNT(col)); min/max of a group with count 0 are sentinels —
+    check the count."""
+    n = int(np.asarray(kv).shape[0])
+    if n == 0:
+        return {
+            "keys": _empty_keys(decode),
+            "count": np.zeros(0, np.int64),
+            "aggs": {
+                name: {"sum": np.zeros(0, np.int64),
+                       "min": np.zeros(0, np.int64),
+                       "max": np.zeros(0, np.int64),
+                       "count": np.zeros(0, np.int64)}
+                for name in values
+            },
+        }
+    if kind == "device":
+        order, seg, _sok, gk, counts, n_groups = _group_order(kv, kok)
+        g = int(n_groups)
+        counts_h = np.asarray(counts)[:g].astype(np.int64)
+        assert counts_h.max(initial=0) < 2**20, (
+            "group larger than 2**20 rows: integer digit-split sum "
+            "would not be exact — shard the input first"
+        )
+        aggs = {}
+        for name, (vv, vok, isf) in values.items():
+            vok2 = jnp.asarray(vok, bool) & kok
+            sums, mns, mxs, cnt = _group_reduce(
+                jnp.asarray(vv), vok2, order, seg, isf
+            )
+            aggs[name] = {
+                "sum": _combine_digit_sums(sums, g, isf),
+                "min": np.asarray(mns)[:g],
+                "max": np.asarray(mxs)[:g],
+                "count": np.asarray(cnt)[:g].astype(np.int64),
+            }
+        return {"keys": decode(np.asarray(gk)[:g]), "count": counts_h,
+                "aggs": aggs}
+    okh = np.asarray(kok, bool)
+    uk, inv = np.unique(np.asarray(kv)[okh], return_inverse=True)
+    counts_h = np.bincount(inv, minlength=uk.shape[0]).astype(np.int64)
+    aggs = {}
+    for name, (vv, vok, isf) in values.items():
+        vh = np.asarray(vv)[okh]
+        vo = np.asarray(vok, bool)[okh]
+        sums, mins, maxs = _host_reduce(uk.shape[0], inv[vo], vh[vo],
+                                        isf)
+        aggs[name] = {
+            "sum": sums, "min": mins, "max": maxs,
+            "count": np.bincount(
+                inv[vo], minlength=uk.shape[0]).astype(np.int64),
+        }
+    return {"keys": decode(uk), "count": counts_h, "aggs": aggs}
+
+
 def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
                   where=None, schema=None, dialect=None,
                   backend: str = "auto", engine: str = "offsets",
                   sample: int = 256) -> Dict:
     """End-to-end device group-by over a CSV: parse `key` and `value`
-    columns on device, filter with `where`, group-aggregate, return the
-    per-group host dict of group_aggregate. Value columns must be
-    typed int32/float/float32/date. Group keys may additionally be
-    str/bytes (factorized to dense codes, device-grouped, groups keyed
-    by the decoded text) or decimal/datetime (host grouping).
+    columns on device, filter with `where`, group-aggregate, return a
+    per-group host dict. Value columns may be any typed column —
+    int32/float/float32/date reduce on device; decimal/datetime values
+    group on host with EXACT object-int arithmetic (sums and extrema
+    never round, even past float64's 2**53). Group keys may additionally be str/bytes
+    (factorized to dense codes, device-grouped, groups keyed by the
+    decoded text) or decimal/datetime (host grouping).
 
     `key` may be a LIST of columns (composite GROUP BY): each key
     column factorizes independently, the dense codes combine into one
@@ -1005,13 +1184,21 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
     arrays, groups in lexicographic key order. `key_spec`, when given
     for a composite key, is a matching list of specs.
 
-    A CsvCorpus source groups per file under one locked schema and
-    merges the per-file results (sums/counts add, min/max fold) —
+    `value` may ALSO be a list of columns: the key sorts ONCE and each
+    value column segment-reduces against the shared order. The result
+    is then {"keys", "count" (rows with a valid key), "aggs":
+    {column: {"sum","min","max","count"}}} — per-value counts tally
+    rows whose value parsed ok (SQL COUNT(col)); a group's min/max are
+    sentinels when its count is 0. `value_spec` is a matching list.
+
+    A CsvCorpus source groups per file under one corpus-locked schema
+    and merges the per-file results (sums/counts add, min/max fold) —
     the associative reduce also lifts the per-group 2**20-row sum
     exactness ceiling to per-file granularity."""
     from .corpus_api import CsvCorpus
-    from .frame import _resolve_tape, infer_schema
+    from .frame import _resolve_tape
 
+    multi = isinstance(value, (list, tuple))
     if isinstance(source, CsvCorpus):
         composite = isinstance(key, (list, tuple))
         if composite:
@@ -1022,7 +1209,14 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
                         for k, s in zip(ks, kspecs)]
         else:
             locked_k = _lock_corpus_spec(source, key, key_spec, sample)
-        locked_v = _lock_corpus_spec(source, value, value_spec, sample)
+        if multi:
+            vspecs = (list(value_spec) if value_spec is not None
+                      else [None] * len(value))
+            locked_v = [_lock_corpus_spec(source, v, s, sample)
+                        for v, s in zip(value, vspecs)]
+        else:
+            locked_v = _lock_corpus_spec(source, value, value_spec,
+                                         sample)
         wsch = _lock_where_schema(source, where, schema, sample)
         parts = [
             groupby_typed(t, key, value, key_spec=locked_k,
@@ -1032,79 +1226,55 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
         ]
         return _merge_groups(parts, composite)
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
-    if isinstance(key, (list, tuple)):
-        return _groupby_composite(tape, names, list(key), value,
-                                  key_spec, value_spec, where, schema,
-                                  dialect, sample)
-    kf = _field_index(names, key)
-    vf = _field_index(names, value)
-    kcol = (parse_spec(key_spec) if key_spec is not None
-            else infer_schema(tape, names, columns=[kf],
-                              sample=sample)[names[kf]])
-    vcol = (parse_spec(value_spec) if value_spec is not None
-            else infer_schema(tape, names, columns=[vf],
-                              sample=sample)[names[vf]])
     records = None
     if where is not None:
         records = select_records(tape, where, names=names, schema=schema,
                                  dialect=dialect, sample=sample)
-    vv, vok, vkind = _parse_column(tape, vf, vcol, dialect,
-                                   records=records)
-    if vkind == "i64host":
-        raise ValueError(
-            f"value column {names[vf]!r} is {vcol.type}: its values "
-            "only exist as host int64 — aggregate on host instead"
-        )
-    if kcol.type in ("str", "bytes"):
-        # categorical key: factorize the DECODED column on host into
-        # dense int32 codes (np.unique sorts, so code order == key
-        # order), then reuse the device segment grouping on the codes
-        from .frame import _true_window
+    kind, kv, kok, decode = _prepare_group_keys(
+        tape, names, key, key_spec, records, dialect, sample
+    )
 
-        window = kcol.max_len or _true_window(tape, kf, 16)
-        recs = (np.asarray(records, np.int32) if records is not None
-                else np.arange(
-                    int(getattr(tape, "num_data_records",
-                                int(tape.record_cnt) - 1)),
-                    dtype=np.int32))
-        out, ln, v = tape.gather_decoded(
-            recs, np.full(recs.shape, kf, np.int32), max_len=window,
-            dialect=dialect, trim=kcol.trim,
-        )
-        raw = tape.to_host_lists(out, ln, v)
-        kok_h = np.array([b is not None for b in raw], bool)
-        keys_b = np.array([b"" if b is None else b for b in raw],
-                          dtype=object)
-        # object-dtype unique: Python-bytes compare, so embedded NULs
-        # and length ties sort correctly (|S dtype would strip NULs)
-        uniq, inv = np.unique(keys_b[kok_h], return_inverse=True)
-        codes = np.zeros(recs.shape[0], np.int32)
-        codes[kok_h] = inv.astype(np.int32)
-        g = group_aggregate(jnp.asarray(codes), vv,
-                            jnp.asarray(kok_h), vok)
-        gk = uniq[np.asarray(g["keys"], np.int64)]
-        if kcol.type == "str":
-            gk = np.array([b.decode("utf-8", "replace") for b in gk],
-                          dtype=object)
-        g["keys"] = gk
-        return g
-    kv, kok, kkind = _parse_column(tape, kf, kcol, dialect,
-                                   records=records)
-    if kkind == "i64host":
-        # host grouping path: int64 keys, device values pulled once
-        kh = np.asarray(kv)
-        okh = np.asarray(kok, bool) & np.asarray(vok, bool)
-        vh = np.asarray(vv)
-        uk, inv = np.unique(kh[okh], return_inverse=True)
-        sel = vh[okh]
-        sums = np.zeros(uk.shape[0], np.float64 if vkind == "float"
-                        else object)
-        np.add.at(sums, inv, sel.astype(sums.dtype))
-        mins = np.full(uk.shape[0], np.inf)
-        maxs = np.full(uk.shape[0], -np.inf)
-        np.minimum.at(mins, inv, sel.astype(np.float64))
-        np.maximum.at(maxs, inv, sel.astype(np.float64))
-        cnts = np.bincount(inv, minlength=uk.shape[0]).astype(np.int64)
-        return {"keys": uk, "sum": sums, "min": mins, "max": maxs,
-                "count": cnts}
-    return group_aggregate(kv, vv, kok, vok)
+    def _parse_value(v, spec):
+        vf = _field_index(names, v)
+        vcol = (parse_spec(spec) if spec is not None
+                else infer_col(tape, names, vf, sample))
+        vv, vok, vkind = _parse_column(tape, vf, vcol, dialect,
+                                       records=records)
+        return vv, vok, vkind
+
+    def _to_host_keys():
+        return "host", np.asarray(kv), np.asarray(kok, bool)
+
+    if multi:
+        vspecs = (list(value_spec) if value_spec is not None
+                  else [None] * len(value))
+        if len(vspecs) != len(value):
+            raise ValueError(
+                f"value_spec has {len(vspecs)} entries for "
+                f"{len(value)} value columns"
+            )
+        parsed = {
+            names[_field_index(names, v)]: _parse_value(v, s)
+            for v, s in zip(value, vspecs)
+        }
+        if any(k == "i64host" for _, _, k in parsed.values()):
+            # decimal/datetime values exist only as host int64: group
+            # on host (object arithmetic keeps the sums/extrema exact)
+            kind, kv, kok = _to_host_keys()
+        vals = {
+            name: (vv, vok, vkind == "float")
+            for name, (vv, vok, vkind) in parsed.items()
+        }
+        return _group_multi(kind, kv, kok, decode, vals)
+    n = int(np.asarray(kv).shape[0])
+    if n == 0:
+        return {"keys": _empty_keys(decode),
+                "sum": np.zeros(0, np.int64),
+                "min": np.zeros(0, np.int64),
+                "max": np.zeros(0, np.int64),
+                "count": np.zeros(0, np.int64)}
+    vv, vok, vkind = _parse_value(value, value_spec)
+    if vkind == "i64host":
+        kind, kv, kok = _to_host_keys()
+    return _group_single(kind, kv, kok, decode, vv, vok,
+                         vkind == "float")

@@ -427,9 +427,23 @@ def test_groupby_decimal_key_host_fallback():
     assert g["sum"][0] == int(v[ok & (cents == first)].sum())
 
 
-def test_groupby_float_value_rejected_as_i64():
-    with pytest.raises(ValueError, match="host int64"):
-        groupby_typed(CSV, "qty", "price")  # price infers decimal
+def test_groupby_decimal_value_exact_on_host():
+    """decimal values (host int64) now group exactly (object-int host
+    combine) instead of being rejected."""
+    g = groupby_typed(CSV, "sym", "price")  # price infers decimal:2
+    rows = ROWS
+    import collections
+    from decimal import Decimal
+
+    acc = collections.defaultdict(list)
+    for r in rows:
+        acc[r[0]].append(int(Decimal(r[2]).scaleb(2)))
+    keys = sorted(acc)
+    assert list(g["keys"]) == keys
+    assert [int(s) for s in g["sum"]] == [sum(acc[k]) for k in keys]
+    assert [int(m) for m in g["min"]] == [min(acc[k]) for k in keys]
+    assert [int(m) for m in g["max"]] == [max(acc[k]) for k in keys]
+    assert [int(c) for c in g["count"]] == [len(acc[k]) for k in keys]
 
 
 def test_group_aggregate_direct_negative_sums():
@@ -694,3 +708,59 @@ def test_cli_multi_file_corpus(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "records=3" in out
     assert str(int(qty.max())) in out
+
+
+# ------------------------------------------------- multi-value GROUP BY
+
+def test_groupby_multi_values_device():
+    """One key sort, several value columns: sums/extrema/counts match
+    per-column single groupbys; per-value counts tally parse-ok rows
+    only (SQL COUNT(col)) while the top-level count tallies key rows."""
+    g = groupby_typed(CSV, "sym", ["qty", "ratio"])
+    g_qty = groupby_typed(CSV, "sym", "qty")
+    g_ratio = groupby_typed(CSV, "sym", "ratio")
+    assert list(g["keys"]) == list(g_qty["keys"])
+    # single-value groupby excludes rows whose value failed its parse
+    # from the group entirely, so compare against the ok-only entries
+    aq = g["aggs"]["qty"]
+    assert [int(x) for x in aq["sum"]] == [int(x) for x in g_qty["sum"]]
+    assert [int(x) for x in aq["count"]] == [
+        int(x) for x in g_qty["count"]
+    ]
+    ar = g["aggs"]["ratio"]
+    # "ratio" infers decimal -> host object-int sums; compare as floats
+    np.testing.assert_allclose(
+        np.asarray(ar["sum"], np.float64),
+        np.asarray(g_ratio["sum"], np.float64), rtol=1e-6,
+    )
+    # the bad qty rows ("x!") keep their key row in count but are
+    # missing from qty's per-value count
+    total_rows = sum(int(c) for c in g["count"])
+    ok_qty = sum(int(c) for c in aq["count"])
+    assert total_rows == len(ROWS)
+    assert total_rows - ok_qty == 2  # bad_rows={5, 77}
+
+
+def test_groupby_multi_composite_and_corpus(tmp_path):
+    data = CSV
+    g1 = groupby_typed(data, ["sym", "day"], ["qty", "ratio"])
+    assert isinstance(g1["keys"], list) and len(g1["keys"]) == 2
+    assert set(g1["aggs"]) == {"qty", "ratio"}
+    # corpus: same table split in two files must merge identically
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    rows = data.decode().strip().split("\n")
+    head, body = rows[0], rows[1:]
+    (tmp_path / "a.csv").write_text("\n".join([head] + body[:301]) + "\n")
+    (tmp_path / "b.csv").write_text("\n".join([head] + body[301:]) + "\n")
+    c = CsvCorpus([str(tmp_path / "a.csv"), str(tmp_path / "b.csv")],
+                  backend="golden")
+    g2 = groupby_typed(c, "sym", ["qty", "ratio"])
+    g0 = groupby_typed(data, "sym", ["qty", "ratio"])
+    assert list(g2["keys"]) == list(g0["keys"])
+    assert list(g2["count"]) == list(g0["count"])
+    for n in ("qty", "ratio"):
+        for f in ("sum", "min", "max", "count"):
+            a = np.asarray(g2["aggs"][n][f], np.float64)
+            b = np.asarray(g0["aggs"][n][f], np.float64)
+            np.testing.assert_allclose(a, b, rtol=1e-6)
