@@ -61,6 +61,12 @@ def _parse_where(exprs):
                 (_col_key(m.group(1)), "in", m.group(2).split("|"))
             )
             continue
+        m = re.match(
+            r"^\s*(\S+)\s+(startswith|endswith|contains)\s+(.+?)\s*$", e
+        )
+        if m:
+            preds.append((_col_key(m.group(1)), m.group(2), m.group(3)))
+            continue
         m = re.match(r"^\s*(\S+?)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$", e)
         if m:
             preds.append((_col_key(m.group(1)), m.group(2), m.group(3)))
@@ -185,8 +191,9 @@ def main(argv=None) -> int:
     sp.add_argument(
         "--where", action="append", default=None, metavar="EXPR",
         help="row filter, repeatable (AND): 'col OP value' with OP in "
-        "== != < <= > >=, or 'col between LO HI', or 'col in A|B|C'; "
-        "evaluated on device before materialization",
+        "== != < <= > >=, or 'col between LO HI', 'col in A|B|C', "
+        "'col startswith|endswith|contains TEXT'; evaluated on device "
+        "before materialization",
     )
     sp.add_argument(
         "--order-by", default=None, metavar="COL",

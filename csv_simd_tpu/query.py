@@ -24,10 +24,12 @@ device parsers (device_tape.py). Three layers:
 
 Predicate grammar (the `where` argument): a single predicate or a list
 (AND semantics). Each predicate is `(column, op, value)` with op one of
-`== != < <= > >= between in`; `between` takes `(lo, hi)` inclusive,
-`in` a list of values. String predicates compare against the stage-2
-DECODED field (trim/unquote/unescape), so `("sym", "==", "AAPL")`
-matches `"AAPL"`-quoted fields too. Rows whose predicate column fails
+`== != < <= > >= between in startswith endswith contains`; `between`
+takes `(lo, hi)` inclusive, `in` a list of values.
+startswith/endswith/contains match str/bytes columns on device (all
+window alignments compare in one gathered tensor). String predicates
+compare against the stage-2 DECODED field (trim/unquote/unescape), so
+`("sym", "==", "AAPL")` matches `"AAPL"`-quoted fields too. Rows whose predicate column fails
 its typed parse are excluded (they cannot satisfy a typed comparison).
 """
 
@@ -46,7 +48,9 @@ from .frame import Col, parse_spec
 
 _CHUNK = 8192  # 16-bit half sums: 8192 * 65535 < 2**31 — int32-exact
 
-_OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in")
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in",
+        "startswith", "endswith", "contains")
+_STR_OPS = ("startswith", "endswith", "contains")
 
 _PY_OPS = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le,
            ">": _op.gt, ">=": _op.ge}
@@ -438,6 +442,77 @@ def _decoded_eq_mask(tape, field: int, value, dialect, window: int):
                           len(value))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def _substr_mask(out, lengths, valid, needle, k: int, mode: str):
+    """Device substring predicates over decoded fields.
+
+    out (N, W) uint8, lengths true decoded lengths, needle (W,) uint8
+    zero-padded, k the needle length. mode:
+    - "startswith": bytes [0, k) equal the needle;
+    - "endswith": bytes [len-k, len) equal the needle;
+    - "contains": ANY alignment s with s + k <= len matches (all
+      alignments compare in one (N, W-k+1, k) windowed gather — W is
+      a small gather window, so the cube stays tiny)."""
+    n, w = out.shape
+    o32 = out.astype(jnp.int32)
+    nd = needle[:k].astype(jnp.int32)[None, :]
+    if mode == "startswith":
+        m = jnp.all(o32[:, :k] == nd, axis=1) & (lengths >= k)
+    elif mode == "endswith":
+        start = jnp.maximum(lengths - k, 0)
+        idx = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+        tail = jnp.take_along_axis(o32, jnp.minimum(idx, w - 1), axis=1)
+        m = jnp.all(tail == nd, axis=1) & (lengths >= k)
+    else:  # contains
+        n_starts = w - k + 1
+        starts = jnp.arange(n_starts, dtype=jnp.int32)
+        idx = starts[None, :, None] + jnp.arange(k, dtype=jnp.int32)[
+            None, None, :
+        ]
+        wins = jnp.take_along_axis(
+            jnp.broadcast_to(o32[:, None, :], (n, n_starts, w)),
+            jnp.broadcast_to(idx, (n, n_starts, k)),
+            axis=2,
+        )
+        hit = jnp.all(wins == nd[None, :, :], axis=2)
+        in_range = starts[None, :] + k <= lengths[:, None]
+        m = jnp.any(hit & in_range, axis=1)
+    return valid & m
+
+
+def _decoded_match_mask(tape, field: int, value, dialect, window: int,
+                        mode: str):
+    """Device mask for startswith/endswith/contains over the stage-2
+    DECODED field text."""
+    if isinstance(value, str):
+        value = value.encode()
+    k = len(value)
+    if k == 0:
+        # every valid row contains/starts/ends with the empty string
+        n = int(getattr(tape, "num_data_records",
+                        int(tape.record_cnt) - 1))
+        out, lengths, valid = tape.gather_decoded(
+            jnp.arange(n, dtype=jnp.int32),
+            jnp.full((n,), field, jnp.int32),
+            max_len=window, dialect=dialect,
+        )
+        return np.asarray(valid)
+    window = max(window, k)
+    n = int(getattr(tape, "num_data_records",
+                    int(tape.record_cnt) - 1))
+    out, lengths, valid = tape.gather_decoded(
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.full((n,), field, jnp.int32),
+        max_len=window, dialect=dialect,
+    )
+    needle = np.zeros(window, np.uint8)
+    needle[:k] = np.frombuffer(bytes(value), np.uint8)
+    return np.asarray(
+        _substr_mask(out, jnp.asarray(lengths), jnp.asarray(valid),
+                     jnp.asarray(needle), k, mode)
+    )
+
+
 def _typed_literal(col: Col, value):
     """Host conversion of a predicate literal to the column's device
     value domain (days / epoch units / scaled decimal)."""
@@ -498,6 +573,10 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
             return m if m is not None else np.zeros(
                 int(getattr(tape, "num_data_records",
                             int(tape.record_cnt) - 1)), bool)
+        if op in _STR_OPS:
+            window = col.max_len or _true_window(tape, field, 16)
+            return _decoded_match_mask(tape, field, value, dialect,
+                                       window, op)
         if op not in ("==", "!="):
             raise ValueError(
                 f"op {op!r} needs a typed column; {name!r} is "
@@ -510,6 +589,11 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
                                         window))
         return ~m if op == "!=" else m
 
+    if op in _STR_OPS:
+        raise ValueError(
+            f"op {op!r} matches decoded text; {name!r} is {col.type} "
+            "(give an explicit str/bytes schema for this column)"
+        )
     vals, ok, kind = _parse_column(tape, field, col, dialect)
     if kind == "i64host":
         vals = np.asarray(vals)

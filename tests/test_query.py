@@ -764,3 +764,39 @@ def test_groupby_multi_composite_and_corpus(tmp_path):
             a = np.asarray(g2["aggs"][n][f], np.float64)
             b = np.asarray(g0["aggs"][n][f], np.float64)
             np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_string_predicates_device(engine):
+    """startswith/endswith/contains match the DECODED text on device,
+    differential vs Python string ops over the oracle rows."""
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, _ = _resolve_tape(CSV, None, "auto", engine, False)
+    for op, pyf in [
+        ("startswith", lambda s, n: s.startswith(n)),
+        ("endswith", lambda s, n: s.endswith(n)),
+        ("contains", lambda s, n: n in s),
+    ]:
+        for needle in ("AA", "PL", "A,P", "OOG", "MSFT", "Z", ""):
+            ids = select_records(tape, [("sym", op, needle)])
+            expect = [i for i, r in enumerate(ROWS) if pyf(r[0], needle)]
+            assert list(ids) == expect, (op, needle)
+
+
+def test_string_predicate_on_typed_column_raises(engine):
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, _ = _resolve_tape(CSV, None, "auto", engine, False)
+    with pytest.raises(ValueError, match="decoded text"):
+        select_records(tape, [("qty", "contains", "1")])
+
+
+def test_cli_where_contains(tmp_path, capsys):
+    from csv_simd_tpu.__main__ import main
+
+    f = tmp_path / "t.csv"
+    f.write_bytes(CSV)
+    assert main(["frame", str(f), "--where", "sym contains A,P",
+                 "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "AA,PL" in out
