@@ -260,7 +260,11 @@ def main(argv=None) -> int:
         help="key column (name or index); comma list for a composite "
         "key, e.g. sym,day",
     )
-    sp.add_argument("value", help="value column name or index")
+    sp.add_argument(
+        "value",
+        help="value column (name or index); comma list aggregates "
+        "several columns against ONE key sort",
+    )
     sp.add_argument("--where", action="append", default=None,
                     metavar="EXPR", help="row filter (see frame --where)")
     sp.add_argument("--limit", type=int, default=20)
@@ -342,10 +346,11 @@ def main(argv=None) -> int:
             from .query import groupby_typed
 
             key_cols = [_col_key(k) for k in args.key.split(",")]
+            val_cols = [_col_key(v) for v in args.value.split(",")]
             g = groupby_typed(
                 _source(args.file),
                 key_cols if len(key_cols) > 1 else key_cols[0],
-                _col_key(args.value),
+                val_cols if len(val_cols) > 1 else val_cols[0],
                 backend=args.backend, engine=args.engine,
                 where=_parse_where(args.where),
             )
@@ -355,11 +360,19 @@ def main(argv=None) -> int:
             for i in range(min(n, args.limit)):
                 k = (",".join(str(a[i]) for a in g["keys"])
                      if composite else g["keys"][i])
-                print(
-                    f"  {k}: sum={g['sum'][i]} "
-                    f"min={g['min'][i]} max={g['max'][i]} "
-                    f"count={g['count'][i]}"
-                )
+                if "aggs" in g:
+                    parts = " ".join(
+                        f"{name}(sum={a['sum'][i]} min={a['min'][i]} "
+                        f"max={a['max'][i]} n={a['count'][i]})"
+                        for name, a in g["aggs"].items()
+                    )
+                    print(f"  {k}: rows={g['count'][i]} {parts}")
+                else:
+                    print(
+                        f"  {k}: sum={g['sum'][i]} "
+                        f"min={g['min'][i]} max={g['max'][i]} "
+                        f"count={g['count'][i]}"
+                    )
             return 0
         if args.cmd == "join":
             from .join import join_typed
