@@ -105,6 +105,30 @@ def main():
     want = [tape.seek_field(int(r), int(f)) for r, f in zip(recs, flds)]
     assert vals == want, (vals, want)
     print("ShardedPackedTape compiled serve on 1-chip mesh: OK")
+
+    # the RELATIONAL stack compiled on the chip: typed parse ->
+    # predicate pushdown -> segment group-by, vs a Python oracle
+    from csv_simd_tpu.frame import read_typed
+    from csv_simd_tpu.offsetfree import PackedDeviceTape
+    from csv_simd_tpu.query import column_stats, groupby_typed
+
+    rows = [("AA", 3 * i - 700) for i in range(400)]
+    rows += [("BB", 5 * i) for i in range(300)]
+    rel_csv = ("sym,qty\n" + "".join(
+        f"{s},{q}\n" for s, q in rows
+    )).encode()
+    pt = PackedDeviceTape(rel_csv)
+    s = column_stats(pt, "qty", where=[("qty", ">", 0)])
+    want_vals = [q for _s, q in rows if q > 0]
+    assert s.ok_count == len(want_vals) and s.sum == sum(want_vals), s
+    g = groupby_typed(pt, "sym", "qty")
+    for i, key in enumerate(g["keys"]):
+        grp = [q for s2, q in rows if s2 == key]
+        assert int(g["sum"][i]) == sum(grp) and int(g["count"][i]) == len(grp)
+    fr = read_typed(pt, order_by="qty", descending=True, limit=5)
+    assert list(fr["qty"]) == sorted(
+        (q for _s, q in rows), reverse=True)[:5]
+    print("relational stack (parse/filter/group/sort) on chip: OK")
     print("ALL ON-HARDWARE CHECKS PASSED")
 
 
