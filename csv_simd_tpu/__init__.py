@@ -43,7 +43,9 @@ from .frame import Col, Frame, infer_schema, read_typed, write_csv
 from .join import join_records, join_typed
 from .query import (
     Stats,
+    column_quantiles,
     column_stats,
+    describe,
     distinct,
     group_aggregate,
     groupby_typed,
@@ -93,7 +95,9 @@ __all__ = [
     "read_typed",
     "write_csv",
     "Stats",
+    "column_quantiles",
     "column_stats",
+    "describe",
     "distinct",
     "group_aggregate",
     "groupby_typed",

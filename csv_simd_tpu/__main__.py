@@ -249,6 +249,21 @@ def main(argv=None) -> int:
     )
 
     sp = sub.add_parser(
+        "describe",
+        help="per-column summary: count/sum/min/max/mean/std + "
+        "quantiles for numeric columns, distinct counts for text",
+    )
+    sp.add_argument("file", nargs="+",
+                    help="CSV file(s); several files form one corpus")
+    sp.add_argument("--columns", default=None,
+                    help="comma list of columns (default all)")
+    sp.add_argument("--where", action="append", default=None,
+                    metavar="EXPR", help="row filter (see frame --where)")
+    sp.add_argument(
+        "--engine", default="offsets", choices=["offsets", "packed"],
+    )
+
+    sp = sub.add_parser(
         "groupby",
         help="device group-by: sort + segment-reduce a value column by "
         "a key column; only per-group results leave the device",
@@ -341,6 +356,33 @@ def main(argv=None) -> int:
                 "ok_count": st.ok_count, "sum": st.sum,
                 "min": st.min, "max": st.max, "mean": st.mean,
             }))
+            return 0
+        if args.cmd == "describe":
+            from .query import describe
+
+            cols = ([_col_key(c) for c in args.columns.split(",")]
+                    if args.columns else None)
+            rep = describe(
+                _source(args.file), columns=cols,
+                backend=args.backend, engine=args.engine,
+                where=_parse_where(args.where),
+            )
+            for name, e in rep.items():
+                st = e["stats"]
+                if "quantiles" in e:
+                    q25, q50, q75 = e["quantiles"]
+                    print(
+                        f"  {name} [{e['type']}]: n={st.count} "
+                        f"ok={st.ok_count} mean={st.mean} "
+                        f"std={st.std and round(st.std, 6)} "
+                        f"min={st.min} p25={q25} p50={q50} p75={q75} "
+                        f"max={st.max}"
+                    )
+                else:
+                    print(
+                        f"  {name} [{e['type']}]: n={st.count} "
+                        f"distinct={e['distinct']}"
+                    )
             return 0
         if args.cmd == "groupby":
             from .query import groupby_typed

@@ -63,19 +63,39 @@ class Stats:
     """Column aggregate result. `count` is the number of rows examined,
     `ok_count` how many passed the typed parse (aggregates cover only
     those). sum/min/max/mean are None when the type has no numeric
-    aggregate (str/bytes) or ok_count == 0. Integer sums are exact."""
+    aggregate (str/bytes) or ok_count == 0. Integer sums are exact.
+    `sum_sq` (when computed) is the sum of squared values in float64 —
+    squares accumulate in f32 chunks on device, so var/std carry ~1e-7
+    relative error (the values themselves stay exact)."""
 
     count: int
     ok_count: int
     sum: Optional[Union[int, float]]
     min: Optional[Union[int, float]]
     max: Optional[Union[int, float]]
+    # compare=False: f32 chunk sums are not bit-stable across different
+    # partitionings, and exact-field equality is the API contract
+    sum_sq: Optional[float] = dataclasses.field(default=None,
+                                                compare=False)
 
     @property
     def mean(self) -> Optional[float]:
         if self.sum is None or self.ok_count == 0:
             return None
         return self.sum / self.ok_count
+
+    @property
+    def var(self) -> Optional[float]:
+        """Population variance (ddof=0); None without sum_sq."""
+        if self.sum_sq is None or self.sum is None or self.ok_count == 0:
+            return None
+        m = float(self.sum) / self.ok_count
+        return max(self.sum_sq / self.ok_count - m * m, 0.0)
+
+    @property
+    def std(self) -> Optional[float]:
+        v = self.var
+        return None if v is None else float(np.sqrt(v))
 
 
 def _pad_chunks(x: jnp.ndarray, fill) -> jnp.ndarray:
@@ -89,14 +109,17 @@ def _pad_chunks(x: jnp.ndarray, fill) -> jnp.ndarray:
 @jax.jit
 def _stats_int_device(vals: jnp.ndarray, ok: jnp.ndarray):
     """(N,) int32 + ok -> per-chunk partial sums of the 16-bit halves
-    (both int32-exact by construction), masked min/max, ok count."""
+    (both int32-exact by construction), masked min/max, ok count, plus
+    f32 per-chunk square sums (for var/std)."""
     v = jnp.where(ok, vals, 0)
     lo = _pad_chunks(v & 0xFFFF, 0).sum(axis=1, dtype=jnp.int32)
     hi = _pad_chunks(v >> 16, 0).sum(axis=1, dtype=jnp.int32)
     mn = jnp.min(jnp.where(ok, vals, jnp.int32(2**31 - 1)))
     mx = jnp.max(jnp.where(ok, vals, jnp.int32(-(2**31))))
     cnt = jnp.sum(ok, dtype=jnp.int32)
-    return lo, hi, mn, mx, cnt
+    vf = v.astype(jnp.float32)
+    sq = _pad_chunks(vf * vf, 0.0).sum(axis=1, dtype=jnp.float32)
+    return lo, hi, mn, mx, cnt, sq
 
 
 @jax.jit
@@ -106,21 +129,25 @@ def _stats_float_device(vals: jnp.ndarray, ok: jnp.ndarray):
     mn = jnp.min(jnp.where(ok, vals, jnp.float32(jnp.inf)))
     mx = jnp.max(jnp.where(ok, vals, jnp.float32(-jnp.inf)))
     cnt = jnp.sum(ok, dtype=jnp.int32)
-    return part, mn, mx, cnt
+    sq = _pad_chunks(v * v, 0.0).sum(axis=1, dtype=jnp.float32)
+    return part, mn, mx, cnt, sq
 
 
 def stats_int(vals: jnp.ndarray, ok: jnp.ndarray) -> Stats:
     """Exact Stats over an int32 device column + ok mask."""
     if vals.shape[0] == 0:
         return Stats(0, 0, None, None, None)
-    lo, hi, mn, mx, cnt = _stats_int_device(vals, jnp.asarray(ok, bool))
+    lo, hi, mn, mx, cnt, sq = _stats_int_device(
+        vals, jnp.asarray(ok, bool))
     n_ok = int(cnt)
     if n_ok == 0:
         return Stats(int(vals.shape[0]), 0, None, None, None)
     total = sum(int(x) for x in np.asarray(hi)) * 65536 + sum(
         int(x) for x in np.asarray(lo)
     )
-    return Stats(int(vals.shape[0]), n_ok, total, int(mn), int(mx))
+    sum_sq = float(np.sum(np.asarray(sq), dtype=np.float64))
+    return Stats(int(vals.shape[0]), n_ok, total, int(mn), int(mx),
+                 sum_sq)
 
 
 def stats_float(vals: jnp.ndarray, ok: jnp.ndarray) -> Stats:
@@ -128,12 +155,15 @@ def stats_float(vals: jnp.ndarray, ok: jnp.ndarray) -> Stats:
     combined on host in f64)."""
     if vals.shape[0] == 0:
         return Stats(0, 0, None, None, None)
-    part, mn, mx, cnt = _stats_float_device(vals, jnp.asarray(ok, bool))
+    part, mn, mx, cnt, sq = _stats_float_device(
+        vals, jnp.asarray(ok, bool))
     n_ok = int(cnt)
     if n_ok == 0:
         return Stats(int(vals.shape[0]), 0, None, None, None)
     total = float(np.sum(np.asarray(part), dtype=np.float64))
-    return Stats(int(vals.shape[0]), n_ok, total, float(mn), float(mx))
+    sum_sq = float(np.sum(np.asarray(sq), dtype=np.float64))
+    return Stats(int(vals.shape[0]), n_ok, total, float(mn), float(mx),
+                 sum_sq)
 
 
 def _stats_host_i64(vals: np.ndarray, ok: np.ndarray) -> Stats:
@@ -143,8 +173,9 @@ def _stats_host_i64(vals: np.ndarray, ok: np.ndarray) -> Stats:
     if sel.size == 0:
         return Stats(int(len(vals)), 0, None, None, None)
     total = int(np.sum(sel.astype(object)))  # Python ints: no overflow
+    sum_sq = float(np.sum(sel.astype(np.float64) ** 2))
     return Stats(int(len(vals)), int(sel.size), total,
-                 int(sel.min()), int(sel.max()))
+                 int(sel.min()), int(sel.max()), sum_sq)
 
 
 def _parse_column(tape, field: int, col: Col, dialect, records=None):
@@ -189,11 +220,13 @@ def _combine_stats(parts: List[Stats]) -> Stats:
     sums = [p.sum for p in parts if p.sum is not None]
     mins = [p.min for p in parts if p.min is not None]
     maxs = [p.max for p in parts if p.max is not None]
+    sqs = [p.sum_sq for p in parts if p.sum_sq is not None]
     return Stats(
         count, ok_count,
         sum(sums) if sums else None,
         min(mins) if mins else None,
         max(maxs) if maxs else None,
+        sum(sqs) if sqs else None,
     )
 
 
@@ -385,6 +418,137 @@ def column_stats(source, column, spec=None, *, where=None, schema=None,
     if kind == "float":
         return stats_float(vals, ok)
     return _stats_host_i64(vals, ok)
+
+
+@jax.jit
+def _sorted_valid(vals, ok):
+    """Ascending sort with invalid rows pushed past the valid count
+    under the max sentinel; quantile reads then index [0, n_ok)."""
+    big = (jnp.float32(jnp.inf) if vals.dtype == jnp.float32
+           else jnp.int32(2**31 - 1))
+    return jnp.sort(jnp.where(ok, vals, big)), jnp.sum(ok, dtype=jnp.int32)
+
+
+def _quantiles_from_sorted(take_fn, n_ok: int, qs) -> np.ndarray:
+    """np.quantile(method="linear") over an ascending device array read
+    through take_fn(index)->scalar; only 2 elements per quantile leave
+    the device."""
+    out = np.empty(len(qs), np.float64)
+    for j, q in enumerate(qs):
+        pos = float(q) * (n_ok - 1)
+        i0 = int(np.floor(pos))
+        i1 = min(i0 + 1, n_ok - 1)
+        frac = pos - i0
+        v0 = float(take_fn(i0))
+        v1 = float(take_fn(i1))
+        out[j] = v0 + (v1 - v0) * frac
+    return out
+
+
+def column_quantiles(source, column, qs=(0.25, 0.5, 0.75), spec=None, *,
+                     where=None, schema=None, dialect=None,
+                     backend: str = "auto", engine: str = "offsets",
+                     sample: int = 256) -> np.ndarray:
+    """Quantiles of a typed column (np.quantile "linear" semantics over
+    the parse-ok values). int32/float/date columns sort on device and
+    only the two neighbors of each quantile position leave HBM;
+    decimal/datetime values sort as host int64 (decimal results are in
+    SCALED units, like every decimal aggregate). Returns (len(qs),)
+    float64; NaNs when no value parses. A CsvCorpus pulls each file's
+    parsed values once and combines on host (order statistics are not
+    associative)."""
+    from .corpus_api import CsvCorpus
+    from .frame import _resolve_tape
+
+    if isinstance(source, CsvCorpus):
+        col = _lock_corpus_spec(source, column, spec, sample)
+        wsch = _lock_where_schema(source, where, schema, sample)
+        names = source.header_names()
+        field = _field_index(names, column)
+        parts_v, parts_ok = [], []
+        for dt in source.device_tapes():
+            recs = (select_records(dt, where, names=names, schema=wsch,
+                                   dialect=dialect, sample=sample)
+                    if where is not None else None)
+            v, ok, _k = _parse_column(dt, field, col, dialect,
+                                      records=recs)
+            parts_v.append(np.asarray(v))
+            parts_ok.append(np.asarray(ok, bool))
+        vals = np.concatenate(parts_v) if parts_v else np.zeros(0)
+        okm = (np.concatenate(parts_ok) if parts_ok
+               else np.zeros(0, bool))
+        sel = vals[okm]
+        if sel.size == 0:
+            return np.full(len(qs), np.nan)
+        return np.quantile(sel.astype(np.float64), list(qs))
+    tape, names = _resolve_tape(source, dialect, backend, engine, False)
+    field = _field_index(names, column)
+    col = (parse_spec(spec) if spec is not None
+           else infer_col(tape, names, field, sample))
+    records = None
+    if where is not None:
+        records = select_records(tape, where, names=names, schema=schema,
+                                 dialect=dialect, sample=sample)
+    if col.type in ("str", "bytes"):
+        raise ValueError(f"column {column!r} is {col.type}: quantiles "
+                         "need a numeric column")
+    vals, ok, kind = _parse_column(tape, field, col, dialect,
+                                   records=records)
+    if kind == "i64host":
+        sel = np.asarray(vals)[np.asarray(ok, bool)]
+        if sel.size == 0:
+            return np.full(len(qs), np.nan)
+        return np.quantile(sel.astype(np.float64), list(qs))
+    srt, n_ok = _sorted_valid(vals, jnp.asarray(ok, bool))
+    n_ok = int(n_ok)
+    if n_ok == 0:
+        return np.full(len(qs), np.nan)
+    return _quantiles_from_sorted(lambda i: srt[i], n_ok, qs)
+
+
+def describe(source, columns=None, qs=(0.25, 0.5, 0.75), *, where=None,
+             schema=None, dialect=None, backend: str = "auto",
+             engine: str = "offsets", sample: int = 256) -> Dict:
+    """Per-column summary of a CSV (or corpus): for numeric columns a
+    Stats (count/ok/sum/min/max/mean/std) plus `qs` quantiles; for
+    str/bytes columns count and distinct-value count. Returns
+    {name: {"type": spec-type, "stats": Stats, "quantiles": (Q,) f64}}
+    (quantiles/stats-extras absent for text columns)."""
+    from .corpus_api import CsvCorpus
+    from .frame import _resolve_tape
+
+    if isinstance(source, CsvCorpus):
+        names = source.header_names()
+        resolve = lambda f: _lock_corpus_spec(source, f, None, sample)
+        src_obj = source
+    else:
+        tape, names = _resolve_tape(source, dialect, backend, engine,
+                                    False)
+        resolve = lambda f: infer_col(tape, names, f, sample)
+        src_obj = tape
+    sel = (list(range(len(names))) if columns is None
+           else [_field_index(names, c) for c in columns])
+    out: Dict = {}
+    for f in sel:
+        name = names[f]
+        col = resolve(f)
+        entry: Dict = {"type": col.type}
+        if col.type in ("str", "bytes"):
+            vc = value_counts(src_obj, f, col, where=where,
+                              schema=schema, dialect=dialect,
+                              sample=sample)
+            n = int(np.sum(vc["count"]))
+            entry["stats"] = Stats(n, n, None, None, None)
+            entry["distinct"] = int(len(vc["keys"]))
+        else:
+            entry["stats"] = column_stats(src_obj, f, col, where=where,
+                                          schema=schema, dialect=dialect,
+                                          sample=sample)
+            entry["quantiles"] = column_quantiles(
+                src_obj, f, qs, col, where=where, schema=schema,
+                dialect=dialect, sample=sample)
+        out[name] = entry
+    return out
 
 
 # ------------------------------------------------------------ predicates

@@ -800,3 +800,51 @@ def test_cli_where_contains(tmp_path, capsys):
                  "--limit", "3"]) == 0
     out = capsys.readouterr().out
     assert "AA,PL" in out
+
+
+# --------------------------------------------- quantiles / describe
+
+def test_quantiles_match_numpy(engine):
+    v, ok = _oracle_qty()
+    qs = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    got = cst.column_quantiles(CSV, "qty", qs, engine=engine)
+    want = np.quantile(v[ok].astype(np.float64), list(qs))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_quantiles_where_and_decimal():
+    v, ok = _oracle_qty()
+    got = cst.column_quantiles(CSV, "qty", (0.5,),
+                               where=[("qty", ">", 0)])
+    want = np.quantile(v[ok & (v > 0)].astype(np.float64), [0.5])
+    np.testing.assert_allclose(got, want)
+    # decimal column: host int64 path, SCALED units
+    cents = np.array([int(r[2].replace(".", "")) for r in ROWS],
+                     np.int64)
+    got_d = cst.column_quantiles(CSV, "price", (0.5,))
+    np.testing.assert_allclose(
+        got_d, np.quantile(cents.astype(np.float64), [0.5]))
+
+
+def test_describe_and_corpus_quantiles(tmp_path):
+    d = cst.describe(CSV, columns=["qty", "sym"])
+    v, ok = _oracle_qty()
+    assert d["qty"]["stats"].sum == int(v[ok].sum())
+    assert abs(d["qty"]["stats"].std
+               - float(np.std(v[ok].astype(np.float64)))) < 1e-3
+    assert d["sym"]["distinct"] == len({r[0] for r in ROWS})
+    # corpus: same quantiles as the single file
+    rows = CSV.decode().strip().split("\n")
+    (tmp_path / "a.csv").write_text("\n".join(rows[:250]) + "\n")
+    (tmp_path / "b.csv").write_text(
+        "\n".join([rows[0]] + rows[250:]) + "\n")
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    c = CsvCorpus([str(tmp_path / "a.csv"), str(tmp_path / "b.csv")],
+                  backend="golden")
+    # explicit spec: the corpus' denser inference sample sees the bad
+    # "x!" rows and would (correctly) classify qty as str
+    np.testing.assert_allclose(
+        cst.column_quantiles(c, "qty", (0.25, 0.5, 0.75), "int32"),
+        cst.column_quantiles(CSV, "qty", (0.25, 0.5, 0.75), "int32"),
+    )
