@@ -295,8 +295,11 @@ def main(argv=None) -> int:
     sp.add_argument("left")
     sp.add_argument("right")
     sp.add_argument("on", help="key column (left name; also right "
-                    "unless --right-on)")
-    sp.add_argument("--right-on", default=None)
+                    "unless --right-on); comma list for a composite "
+                    "key, e.g. sym,day")
+    sp.add_argument("--right-on", default=None,
+                    help="right-side key column(s), comma list for "
+                    "composite")
     sp.add_argument("--how", default="inner", choices=["inner", "left"])
     sp.add_argument("--columns", default=None,
                     help="comma list of left columns (default all)")
@@ -419,10 +422,16 @@ def main(argv=None) -> int:
         if args.cmd == "join":
             from .join import join_typed
 
+            on_cols = [_col_key(k) for k in args.on.split(",")]
+            ron_cols = ([_col_key(k) for k in args.right_on.split(",")]
+                        if args.right_on else None)
             fr = join_typed(
-                args.left, args.right, _col_key(args.on),
-                right_on=(_col_key(args.right_on)
-                          if args.right_on else None),
+                args.left, args.right,
+                on_cols if len(on_cols) > 1 else on_cols[0],
+                right_on=(
+                    None if ron_cols is None
+                    else (ron_cols if len(on_cols) > 1 else ron_cols[0])
+                ),
                 how=args.how,
                 columns=(args.columns.split(",") if args.columns
                          else None),

@@ -84,6 +84,48 @@ def _expand_pairs(l_ids, starts, counts, sorted_right_ids, how: str):
     return out_l.astype(np.int32), out_r.astype(np.int32)
 
 
+def _composite_join_keys(left_tape, right_tape, ln, rn, lfs, rfs,
+                         lcols, rcols, left_records, right_records,
+                         dialect, sample: int):
+    """Composite equi-join keys: factorize each key-column PAIR jointly
+    across both sides (equal value <=> equal code, any type mix per
+    column), then mixed-radix combine into one int64 code per row.
+    Returns (l_codes, l_ok, r_codes, r_ok) as host arrays."""
+    from .query import _host_key_column
+
+    l_combo = r_combo = None
+    l_ok = r_ok = None
+    for lf, rf, lcol, rcol in zip(lfs, rfs, lcols, rcols):
+        text_l = lcol.type in ("str", "bytes")
+        text_r = rcol.type in ("str", "bytes")
+        if text_l != text_r:
+            raise ValueError(
+                f"join key types disagree on column pair "
+                f"({ln[lf]!r}, {rn[rf]!r}): {lcol.type!r} vs "
+                f"{rcol.type!r}"
+            )
+        lv, lo, _ = _host_key_column(left_tape, ln, lf, lcol, dialect,
+                                     left_records, sample)
+        rv, ro, _ = _host_key_column(right_tape, rn, rf, rcol, dialect,
+                                     right_records, sample)
+        uniq, inv = np.unique(np.concatenate([lv, rv]),
+                              return_inverse=True)
+        inv = inv.astype(np.int64)
+        li, ri = inv[: lv.shape[0]], inv[lv.shape[0]:]
+        l_ok = lo if l_ok is None else (l_ok & lo)
+        r_ok = ro if r_ok is None else (r_ok & ro)
+        if l_combo is None:
+            l_combo, r_combo = li, ri
+        else:
+            l_combo = l_combo * len(uniq) + li
+            r_combo = r_combo * len(uniq) + ri
+        if max(l_combo.max(initial=0), r_combo.max(initial=0)) >= 2**62:
+            raise ValueError(
+                "composite join-key space too large to radix-combine"
+            )
+    return l_combo, l_ok, r_combo, r_ok
+
+
 def join_records(
     left_tape, right_tape, on, *, right_on=None, how: str = "inner",
     left_names=None, right_names=None, left_spec=None, right_spec=None,
@@ -92,8 +134,10 @@ def join_records(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Matched (left_ids, right_ids) record-id pairs for an equi-join.
 
-    `on` — key column of the left tape (name or index); `right_on`
-    defaults to the same name. Pairs come back grouped by left row in
+    `on` — key column of the left tape (name or index), or a LIST of
+    columns (composite equi-join: per-column joint factorization,
+    mixed-radix codes, same sort-merge); `right_on`
+    defaults to the same name(s). Pairs come back grouped by left row in
     left-record order, right matches in right-key sort order within a
     group. `how` is "inner" or "left" (unmatched left rows keep one
     pair with right id -1). `left_records`/`right_records` restrict
@@ -112,18 +156,46 @@ def join_records(
 
     ln = _names(left_tape, left_names)
     rn = _names(right_tape, right_names)
-    lf = _field_index(ln, on)
-    rf = _field_index(rn, right_on if right_on is not None else on)
-    lcol = (parse_spec(left_spec) if left_spec is not None
-            else infer_col(left_tape, ln, lf, sample))
-    rcol = (parse_spec(right_spec) if right_spec is not None
-            else infer_col(right_tape, rn, rf, sample))
     l_ids = (np.asarray(left_records, np.int32)
              if left_records is not None
              else np.arange(_n(left_tape), dtype=np.int32))
     r_ids = (np.asarray(right_records, np.int32)
              if right_records is not None
              else np.arange(_n(right_tape), dtype=np.int32))
+    if isinstance(on, (list, tuple)):
+        # composite join key: per-column joint factorization ->
+        # mixed-radix codes -> the same single-key sort-merge
+        ron = (list(right_on) if right_on is not None else list(on))
+        if len(ron) != len(on):
+            raise ValueError(
+                f"right_on has {len(ron)} columns for {len(on)} left "
+                "key columns"
+            )
+        lfs = [_field_index(ln, k) for k in on]
+        rfs = [_field_index(rn, k) for k in ron]
+        lspecs = (list(left_spec) if left_spec is not None
+                  else [None] * len(on))
+        rspecs = (list(right_spec) if right_spec is not None
+                  else [None] * len(on))
+        lcols = [parse_spec(s) if s is not None
+                 else infer_col(left_tape, ln, f, sample)
+                 for s, f in zip(lspecs, lfs)]
+        rcols = [parse_spec(s) if s is not None
+                 else infer_col(right_tape, rn, f, sample)
+                 for s, f in zip(rspecs, rfs)]
+        lc, lok, rc, rok = _composite_join_keys(
+            left_tape, right_tape, ln, rn, lfs, rfs, lcols, rcols,
+            left_records, right_records, dialect, sample,
+        )
+        return _join_host_i64(lc, np.asarray(lok, bool),
+                              rc, np.asarray(rok, bool),
+                              l_ids, r_ids, how)
+    lf = _field_index(ln, on)
+    rf = _field_index(rn, right_on if right_on is not None else on)
+    lcol = (parse_spec(left_spec) if left_spec is not None
+            else infer_col(left_tape, ln, lf, sample))
+    rcol = (parse_spec(right_spec) if right_spec is not None
+            else infer_col(right_tape, rn, rf, sample))
 
     text = lcol.type in ("str", "bytes") or rcol.type in ("str", "bytes")
     if text:
@@ -226,12 +298,21 @@ def join_typed(
                 return parse_spec(v)
         return None
 
-    lf = _field_index(ln, on)
-    rf = _field_index(rn, right_on if right_on is not None else on)
+    if isinstance(on, (list, tuple)):
+        ron = list(right_on) if right_on is not None else list(on)
+        l_spec = [_override(ln, schema, _field_index(ln, k))
+                  for k in on]
+        r_spec = [_override(rn, right_schema, _field_index(rn, k))
+                  for k in ron]
+    else:
+        l_spec = _override(ln, schema, _field_index(ln, on))
+        r_spec = _override(
+            rn, right_schema,
+            _field_index(rn, right_on if right_on is not None else on),
+        )
     l_ids, r_ids = join_records(
         lt, rt, on, right_on=right_on, how=how, left_names=ln,
-        right_names=rn, left_spec=_override(ln, schema, lf),
-        right_spec=_override(rn, right_schema, rf),
+        right_names=rn, left_spec=l_spec, right_spec=r_spec,
         left_records=l_records, right_records=r_records,
         dialect=dialect, sample=sample,
     )

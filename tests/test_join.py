@@ -199,3 +199,43 @@ def test_cli_join(tmp_path, capsys):
     assert main(["join", str(lp), str(rp), "sym", "--limit", "3"]) == 0
     out = capsys.readouterr().out
     assert "sym_right" in out and "price" in out
+
+
+# ------------------------------------------------- composite join keys
+
+def test_composite_join_matches_python_oracle():
+    import itertools
+
+    rng = np.random.default_rng(21)
+    lrows = [("AB"[int(rng.integers(0, 2))] * 2,
+              int(rng.integers(1, 4)), i) for i in range(40)]
+    rrows = [("AB"[int(rng.integers(0, 2))] * 2,
+              int(rng.integers(1, 4)), 100 + j) for j in range(25)]
+    left = ("sym,day,qty\n" + "".join(
+        f"{s},{d},{q}\n" for s, d, q in lrows)).encode()
+    right = ("sym,day,px\n" + "".join(
+        f"{s},{d},{p}\n" for s, d, p in rrows)).encode()
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lt, _ = _resolve_tape(left, None, "auto", "offsets", False)
+    rt, _ = _resolve_tape(right, None, "auto", "offsets", False)
+    l_ids, r_ids = join_records(lt, rt, ["sym", "day"])
+    got = sorted(zip(l_ids.tolist(), r_ids.tolist()))
+    want = sorted(
+        (i, j)
+        for (i, (ls, ld, _)), (j, (rs, rd, _))
+        in itertools.product(enumerate(lrows), enumerate(rrows))
+        if ls == rs and ld == rd
+    )
+    assert got == want
+
+
+def test_composite_join_typed_left_and_right_on():
+    left = b"s,d,qty\nAA,1,10\nBB,2,20\nAA,3,30\n"
+    right = b"ticker,dd,px\nAA,1,111\nAA,3,333\nBB,9,999\n"
+    f = join_typed(left, right, on=["s", "d"],
+                   right_on=["ticker", "dd"], how="left")
+    assert len(f) == 3
+    okm = f.ok("px")
+    assert list(okm) == [True, False, True]
+    assert list(f["qty"]) == [10, 20, 30]
