@@ -235,7 +235,7 @@ def _stage1_seq_kernel(
     inq = p_in ^ swar_broadcast_flag(base)
     masked = sf & ~inq
 
-    u = (masked >> 7) & 0x01010101
+    u = jax.lax.shift_right_logical(masked, 7)
     v = ((u * 0x01020408) >> 24).astype(jnp.bfloat16)
     lo = jax.lax.dot_general(
         v, wlo_ref[:], (((1,), (0,)), ((), ())),
@@ -344,7 +344,10 @@ def stage1_seq_xla(
     Returns (packed_seq, parity_out)."""
     rows, lanes = w2d.shape
     masked, parity = _scan_masked(w2d, carry_in, dialect)
-    u = (masked >> 7) & 0x01010101
+    # masked has ONLY bit-7 positions set -> one logical shift gives
+    # clean 0x01 flags (no clear-AND; same construction as the v4
+    # kernel's mask chain)
+    u = jax.lax.shift_right_logical(masked, 7)
     v = (u * 0x01020408) >> 24  # bit b of v = byte b's flag (swar proof)
     w3 = v.reshape(rows, 16, 8)
     shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None, :]

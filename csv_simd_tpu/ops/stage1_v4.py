@@ -10,11 +10,12 @@ What changed vs the round-1 pair (stage1_v3.stage1_fused +
 stage1_fused_seq), per tools/ablate2.py measurements:
 
 - classify uses the shared-subexpression SWAR detector
-  (swar_classify_su_q80): the low-7 mask and bit-7 test are computed
+  (swar_classify_s80_q80): the low-7 mask and bit-7 test are computed
   once for all four target chars (~20% kernel time saved);
-- structural flags stay in 0x01 form end-to-end: the mask application
-  AND the pack prep consume them directly, skipping the 0x80->0x01
-  conversion the old seq kernel paid after masking;
+- masking runs in the 0x80 flag domain (one AND — sf has only bit-7
+  positions set) and ONE logical right shift yields clean 0x01 flags
+  for the pack; this replaced a 0x01-form classify + 3-op mask chain
+  for +10-13% same-batch (PERF_NOTES round-2-late);
 - the quote-parity machinery is v3's proven full-width chain (in-word
   prefix-XOR + int8 MXU lane/row scans) — measured ablations showed
   scan/mask work on narrow (T,16) packed tensors lowers ~10x worse
@@ -42,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_DIALECT, Dialect
 from .swar import (
-    swar_classify_su_q80,
+    swar_classify_s80_q80,
+    swar_eq,
     swar_prefix_xor_bytes,
 )
 
@@ -80,9 +82,14 @@ def _stage1_v4_kernel(
         carry_sm[1] = 0
 
     x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
-    us, qf = swar_classify_su_q80(
-        x, dialect.newlines + (dialect.delimiter,), dialect.quote
-    )
+    chars = dialect.newlines + (dialect.delimiter,)
+    if dialect.quote < 0x80 and all(c < 0x80 for c in chars):
+        sf, qf = swar_classify_s80_q80(x, chars, dialect.quote)
+    else:
+        qf = swar_eq(x, dialect.quote)
+        sf = swar_eq(x, dialect.delimiter)
+        for nl in dialect.newlines:
+            sf = sf | swar_eq(x, nl)
     if count_nonascii:
         # fused non-ASCII detection: the high-bit mask is a classify
         # intermediate for ASCII dialects, so UTF-8's fast path
@@ -109,7 +116,11 @@ def _stage1_v4_kernel(
     rowcol = row_excl[:, :1] + carry_sm[0]
     base = (lane_excl + rowcol) & 1
     inq = p_in ^ (base * _HI1)                # 0x80 in-quote per byte
-    masked_u = us & ((~inq >> 7) & _ONES)     # kept structurals, 0x01
+    # mask in the 0x80 domain (sf has ONLY bit-7 positions set, so one
+    # AND keeps exactly the surviving flags), then one LOGICAL shift
+    # yields clean 0x01 flags — 2 full-width ops fewer than the old
+    # 0x01-form classify + 3-op mask chain
+    masked_u = jax.lax.shift_right_logical(sf & ~inq, 7)
 
     # 4 flag bits per word; bits 28..31 are provably zero so no & 0xF
     # (see swar.swar_nibble_compress's proof)
