@@ -425,12 +425,17 @@ def main(argv=None) -> int:
             on_cols = [_col_key(k) for k in args.on.split(",")]
             ron_cols = ([_col_key(k) for k in args.right_on.split(",")]
                         if args.right_on else None)
+            # composite whenever EITHER side lists several columns, so
+            # a mismatched count reaches join_records's check instead
+            # of silently joining on the first right column only
+            composite = (len(on_cols) > 1
+                         or (ron_cols is not None and len(ron_cols) > 1))
             fr = join_typed(
                 args.left, args.right,
-                on_cols if len(on_cols) > 1 else on_cols[0],
+                on_cols if composite else on_cols[0],
                 right_on=(
                     None if ron_cols is None
-                    else (ron_cols if len(on_cols) > 1 else ron_cols[0])
+                    else (ron_cols if composite else ron_cols[0])
                 ),
                 how=args.how,
                 columns=(args.columns.split(",") if args.columns

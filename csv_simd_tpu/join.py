@@ -84,6 +84,23 @@ def _expand_pairs(l_ids, starts, counts, sorted_right_ids, how: str):
     return out_l.astype(np.int32), out_r.astype(np.int32)
 
 
+def _join_domain(col):
+    """The value domain a key column's host values live in. Joint
+    factorization compares raw host values, so both sides of a key
+    pair must share a domain: decimals are scale-shifted int64,
+    datetimes are unit-scaled epochs, dates are epoch days — none of
+    which compare meaningfully against face-value ints/floats."""
+    if col.type in ("str", "bytes"):
+        return ("text",)
+    if col.type == "decimal":
+        return ("decimal", col.scale)
+    if col.type == "datetime":
+        return ("datetime", col.unit)
+    if col.type == "date":
+        return ("date",)
+    return ("number",)  # int32 / float32 / float: face-value compare
+
+
 def _composite_join_keys(left_tape, right_tape, ln, rn, lfs, rfs,
                          lcols, rcols, left_records, right_records,
                          dialect, sample: int):
@@ -95,10 +112,9 @@ def _composite_join_keys(left_tape, right_tape, ln, rn, lfs, rfs,
 
     l_combo = r_combo = None
     l_ok = r_ok = None
+    space = 1  # exact Python-int key-space size (no int64 wraparound)
     for lf, rf, lcol, rcol in zip(lfs, rfs, lcols, rcols):
-        text_l = lcol.type in ("str", "bytes")
-        text_r = rcol.type in ("str", "bytes")
-        if text_l != text_r:
+        if _join_domain(lcol) != _join_domain(rcol):
             raise ValueError(
                 f"join key types disagree on column pair "
                 f"({ln[lf]!r}, {rn[rf]!r}): {lcol.type!r} vs "
@@ -114,15 +130,16 @@ def _composite_join_keys(left_tape, right_tape, ln, rn, lfs, rfs,
         li, ri = inv[: lv.shape[0]], inv[lv.shape[0]:]
         l_ok = lo if l_ok is None else (l_ok & lo)
         r_ok = ro if r_ok is None else (r_ok & ro)
+        space *= max(len(uniq), 1)
+        if space >= 2**62:
+            raise ValueError(
+                "composite join-key space too large to radix-combine"
+            )
         if l_combo is None:
             l_combo, r_combo = li, ri
         else:
             l_combo = l_combo * len(uniq) + li
             r_combo = r_combo * len(uniq) + ri
-        if max(l_combo.max(initial=0), r_combo.max(initial=0)) >= 2**62:
-            raise ValueError(
-                "composite join-key space too large to radix-combine"
-            )
     return l_combo, l_ok, r_combo, r_ok
 
 
@@ -197,14 +214,13 @@ def join_records(
     rcol = (parse_spec(right_spec) if right_spec is not None
             else infer_col(right_tape, rn, rf, sample))
 
-    text = lcol.type in ("str", "bytes") or rcol.type in ("str", "bytes")
+    if _join_domain(lcol) != _join_domain(rcol):
+        raise ValueError(
+            "join key types disagree: "
+            f"left {lcol.type!r} vs right {rcol.type!r}"
+        )
+    text = lcol.type in ("str", "bytes")
     if text:
-        if not (lcol.type in ("str", "bytes")
-                and rcol.type in ("str", "bytes")):
-            raise ValueError(
-                "join key types disagree: "
-                f"left {lcol.type!r} vs right {rcol.type!r}"
-            )
         lv, lok, _ = _host_key_column(left_tape, ln, lf, lcol, dialect,
                                       left_records, sample)
         rv, rok, _ = _host_key_column(right_tape, rn, rf, rcol, dialect,

@@ -76,24 +76,6 @@ def swar_classify_s80_q80(
     return ~(ts | xh) & _HI1, ~(tq | xh) & _HI1
 
 
-def swar_classify_su_q80(
-    x: jnp.ndarray, structural: tuple, quote: int
-) -> tuple:
-    """Classify for the seq-pack kernel: structural flags in 0x01 form
-    (feeding the nibble compress) and quote flags in 0x80 form (feeding
-    the prefix-XOR scan). Falls back to the independent exact detectors
-    when any target byte is >= 0x80 (the shared low-7 trick assumes
-    ASCII targets)."""
-    if quote < 0x80 and all(c < 0x80 for c in structural):
-        ts, tq, xh = _classify_parts(x, structural, quote)
-        return (~(ts | xh) >> 7) & _ONES, ~(tq | xh) & _HI1
-    sf = None
-    for c in structural:
-        e = swar_eq(x, c)
-        sf = e if sf is None else sf | e
-    return (sf >> 7) & _ONES, swar_eq(x, quote)
-
-
 def swar_classify_u(
     x: jnp.ndarray, structural: tuple, quote: int
 ) -> tuple:

@@ -429,20 +429,20 @@ def _sorted_valid(vals, ok):
     return jnp.sort(jnp.where(ok, vals, big)), jnp.sum(ok, dtype=jnp.int32)
 
 
-def _quantiles_from_sorted(take_fn, n_ok: int, qs) -> np.ndarray:
-    """np.quantile(method="linear") over an ascending device array read
-    through take_fn(index)->scalar; only 2 elements per quantile leave
-    the device."""
-    out = np.empty(len(qs), np.float64)
-    for j, q in enumerate(qs):
-        pos = float(q) * (n_ok - 1)
-        i0 = int(np.floor(pos))
-        i1 = min(i0 + 1, n_ok - 1)
-        frac = pos - i0
-        v0 = float(take_fn(i0))
-        v1 = float(take_fn(i1))
-        out[j] = v0 + (v1 - v0) * frac
-    return out
+def _quantiles_from_sorted(srt, n_ok: int, qs) -> np.ndarray:
+    """np.quantile(method="linear") over an ascending device array.
+    All quantile neighbors gather on device and leave in ONE readback
+    (2*len(qs) elements) — per-element reads would pay the host RTT
+    once per scalar."""
+    pos = np.asarray([float(q) * (n_ok - 1) for q in qs], np.float64)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_ok - 1)
+    frac = pos - i0
+    taken = np.asarray(
+        srt[jnp.asarray(np.concatenate([i0, i1]))], np.float64
+    )
+    v0, v1 = taken[: len(pos)], taken[len(pos):]
+    return v0 + (v1 - v0) * frac
 
 
 def column_quantiles(source, column, qs=(0.25, 0.5, 0.75), spec=None, *,
@@ -503,7 +503,7 @@ def column_quantiles(source, column, qs=(0.25, 0.5, 0.75), spec=None, *,
     n_ok = int(n_ok)
     if n_ok == 0:
         return np.full(len(qs), np.nan)
-    return _quantiles_from_sorted(lambda i: srt[i], n_ok, qs)
+    return _quantiles_from_sorted(srt, n_ok, qs)
 
 
 def describe(source, columns=None, qs=(0.25, 0.5, 0.75), *, where=None,
@@ -520,33 +520,80 @@ def describe(source, columns=None, qs=(0.25, 0.5, 0.75), *, where=None,
     if isinstance(source, CsvCorpus):
         names = source.header_names()
         resolve = lambda f: _lock_corpus_spec(source, f, None, sample)
+        wsch = _lock_where_schema(source, where, schema, sample)
+        tapes = list(source.device_tapes())
         src_obj = source
     else:
         tape, names = _resolve_tape(source, dialect, backend, engine,
                                     False)
         resolve = lambda f: infer_col(tape, names, f, sample)
+        wsch = schema
+        tapes = [tape]
         src_obj = tape
+    # the where pushdown evaluates ONCE per member tape; every column's
+    # stats/quantiles below share the resulting record set
+    recs = [
+        (select_records(t, where, names=names, schema=wsch,
+                        dialect=dialect, sample=sample)
+         if where is not None else None)
+        for t in tapes
+    ]
     sel = (list(range(len(names))) if columns is None
            else [_field_index(names, c) for c in columns])
+    # user schema entries type the described columns too, not just the
+    # where predicates
+    override = {names[_field_index(names, k)]: parse_spec(v)
+                for k, v in (schema or {}).items()}
     out: Dict = {}
     for f in sel:
         name = names[f]
-        col = resolve(f)
+        col = override.get(name) or resolve(f)
         entry: Dict = {"type": col.type}
         if col.type in ("str", "bytes"):
             vc = value_counts(src_obj, f, col, where=where,
-                              schema=schema, dialect=dialect,
+                              schema=wsch, dialect=dialect,
                               sample=sample)
             n = int(np.sum(vc["count"]))
             entry["stats"] = Stats(n, n, None, None, None)
             entry["distinct"] = int(len(vc["keys"]))
         else:
-            entry["stats"] = column_stats(src_obj, f, col, where=where,
-                                          schema=schema, dialect=dialect,
-                                          sample=sample)
-            entry["quantiles"] = column_quantiles(
-                src_obj, f, qs, col, where=where, schema=schema,
-                dialect=dialect, sample=sample)
+            # one typed parse per (column, tape) feeds BOTH the stats
+            # and the quantiles — column_stats + column_quantiles
+            # would parse (and push the where down) twice
+            parts, col_v, col_ok = [], [], []
+            kind = None
+            for t, r in zip(tapes, recs):
+                vals, ok, kind = _parse_column(t, f, col, dialect,
+                                               records=r)
+                if kind == "int":
+                    parts.append(stats_int(vals, ok))
+                elif kind == "float":
+                    parts.append(stats_float(vals, ok))
+                else:
+                    parts.append(_stats_host_i64(vals, ok))
+                col_v.append(vals)
+                col_ok.append(ok)
+            entry["stats"] = (parts[0] if len(parts) == 1
+                              else _combine_stats(parts))
+            if len(tapes) == 1 and kind not in (None, "i64host"):
+                srt, n_ok = _sorted_valid(
+                    col_v[0], jnp.asarray(col_ok[0], bool))
+                n_ok = int(n_ok)
+                entry["quantiles"] = (
+                    np.full(len(qs), np.nan) if n_ok == 0
+                    else _quantiles_from_sorted(srt, n_ok, qs))
+            else:
+                # corpus / host-i64 values: order statistics are not
+                # associative, so quantiles pool the parsed values
+                allv = (np.concatenate([np.asarray(v) for v in col_v])
+                        if col_v else np.zeros(0))
+                allok = (np.concatenate(
+                    [np.asarray(o, bool) for o in col_ok])
+                    if col_ok else np.zeros(0, bool))
+                pool = allv[allok]
+                entry["quantiles"] = (
+                    np.full(len(qs), np.nan) if pool.size == 0
+                    else np.quantile(pool.astype(np.float64), list(qs)))
         out[name] = entry
     return out
 
@@ -614,9 +661,11 @@ def _substr_mask(out, lengths, valid, needle, k: int, mode: str):
     zero-padded, k the needle length. mode:
     - "startswith": bytes [0, k) equal the needle;
     - "endswith": bytes [len-k, len) equal the needle;
-    - "contains": ANY alignment s with s + k <= len matches (all
-      alignments compare in one (N, W-k+1, k) windowed gather — W is
-      a small gather window, so the cube stays tiny)."""
+    - "contains": ANY alignment s with s + k <= len matches; the k
+      needle bytes each compare against a shifted (N, W-k+1) slice of
+      the window, so memory stays O(N*W) regardless of needle size
+      (a windowed (N, W-k+1, k) gather would scale with rows x window
+      x needle and can exceed HBM on big files)."""
     n, w = out.shape
     o32 = out.astype(jnp.int32)
     nd = needle[:k].astype(jnp.int32)[None, :]
@@ -629,16 +678,10 @@ def _substr_mask(out, lengths, valid, needle, k: int, mode: str):
         m = jnp.all(tail == nd, axis=1) & (lengths >= k)
     else:  # contains
         n_starts = w - k + 1
+        hit = jnp.ones((n, n_starts), bool)
+        for j in range(k):  # k is static: unrolls to k fused compares
+            hit = hit & (o32[:, j:j + n_starts] == nd[0, j])
         starts = jnp.arange(n_starts, dtype=jnp.int32)
-        idx = starts[None, :, None] + jnp.arange(k, dtype=jnp.int32)[
-            None, None, :
-        ]
-        wins = jnp.take_along_axis(
-            jnp.broadcast_to(o32[:, None, :], (n, n_starts, w)),
-            jnp.broadcast_to(idx, (n, n_starts, k)),
-            axis=2,
-        )
-        hit = jnp.all(wins == nd[None, :, :], axis=2)
         in_range = starts[None, :] + k <= lengths[:, None]
         m = jnp.any(hit & in_range, axis=1)
     return valid & m
@@ -1189,6 +1232,7 @@ def _prepare_group_keys(tape, names, key, key_spec, records, dialect,
         uniqs, cols_meta = [], []
         combo = None
         ok_all = None
+        space = 1  # exact Python-int key-space size (no i64 wrap)
         for k, spec in zip(key, specs):
             f = _field_index(names, k)
             col = (parse_spec(spec) if spec is not None
@@ -1200,11 +1244,12 @@ def _prepare_group_keys(tape, names, key, key_spec, records, dialect,
             uniqs.append(uniq)
             cols_meta.append(col)
             inv = inv.astype(np.int64)
-            combo = inv if combo is None else combo * len(uniq) + inv
-            if combo.max(initial=0) >= 2**62:
+            space *= max(len(uniq), 1)
+            if space >= 2**62:
                 raise ValueError(
                     "composite key space too large to radix-combine"
                 )
+            combo = inv if combo is None else combo * len(uniq) + inv
         if combo is None:
             combo = np.zeros(0, np.int64)
             ok_all = np.zeros(0, bool)
@@ -1360,7 +1405,7 @@ def _group_multi(kind, kv, kok, decode, values: Dict) -> Dict:
     per-value count tallies rows whose value parsed ok (SQL
     COUNT(col)); min/max of a group with count 0 are sentinels —
     check the count."""
-    n = int(np.asarray(kv).shape[0])
+    n = int(kv.shape[0])  # metadata: no device readback
     if n == 0:
         return {
             "keys": _empty_keys(decode),
@@ -1514,7 +1559,7 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
             for name, (vv, vok, vkind) in parsed.items()
         }
         return _group_multi(kind, kv, kok, decode, vals)
-    n = int(np.asarray(kv).shape[0])
+    n = int(kv.shape[0])  # metadata: no device readback
     if n == 0:
         return {"keys": _empty_keys(decode),
                 "sum": np.zeros(0, np.int64),

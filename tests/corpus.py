@@ -142,6 +142,17 @@ def boundary_cases() -> List[Case]:
         pad = "y" * (size - 5)
         data = f"a,b\n{pad},2\nq,w\n".encode()
         cases.append(Case(f"delim_near_{size}", data))
+    # v4 masks in the 0x80 flag domain (round-2 rewrite): a byte equal
+    # to a structural char with bit 7 set (0xAC = ',' | 0x80, second
+    # byte of U+00AC's UTF-8 pair) must stay non-structural, and a
+    # quoted comma adjacent to the closing quote must still be masked —
+    # including when the quoted span crosses a tile boundary.
+    for size in (63, 64, 65, 4096):
+        pad = b"z" * size
+        data = (b"a,b\n"
+                + b'"\xc2\xac,in quotes",' + pad + b"\n"
+                + b'q,"' + pad + b'\xc2\xac,"\n')
+        cases.append(Case(f"hi_bit_mask_{size}", data))
     return cases
 
 

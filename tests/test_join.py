@@ -190,6 +190,42 @@ def test_join_how_validation():
         join_records(lt, rt, "sym", how="outer")
 
 
+def test_join_single_key_domain_mismatch():
+    # decimal keys are scale-shifted int64 on host; joining them
+    # against face-value ints would compare 10x-scaled vs raw
+    left = b"k,v\n1.5,1\n2.5,2\n"    # k infers decimal
+    right = b"k,v\n15,1\n25,2\n"     # k infers int32
+    with pytest.raises(ValueError, match="disagree"):
+        join_records(*_resolve2(left, right), "k")
+
+
+def test_join_composite_mixed_numeric_domain_raises():
+    left = b"sym,day\nAA,1.0\nBB,2.0\n"   # day infers decimal
+    right = b"sym,day\nAA,10\nBB,20\n"    # day infers int32
+    with pytest.raises(ValueError, match="disagree"):
+        join_typed(left, right, on=["sym", "day"])
+
+
+def _resolve2(left, right):
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lt, _ = _resolve_tape(left, None, "auto", "offsets", False)
+    rt, _ = _resolve_tape(right, None, "auto", "offsets", False)
+    return lt, rt
+
+
+def test_cli_join_right_on_count_mismatch(tmp_path):
+    # one left key column + two right key columns must raise, not
+    # silently join on the first right column only
+    from csv_simd_tpu.__main__ import main
+
+    lp, rp = tmp_path / "l.csv", tmp_path / "r.csv"
+    lp.write_bytes(b"sym,day,qty\nAA,1,10\nAA,2,20\n")
+    rp.write_bytes(b"sym,day,px\nAA,9,111\nAA,1,222\n")
+    with pytest.raises(ValueError, match="right_on has 2"):
+        main(["join", str(lp), str(rp), "sym", "--right-on", "sym,day"])
+
+
 def test_cli_join(tmp_path, capsys):
     from csv_simd_tpu.__main__ import main
 
