@@ -39,39 +39,41 @@ def _col_key(text: str):
         return text
 
 
-def _parse_where(exprs):
-    """['qty > 100', 'sym in AAPL|MSFT', 'day between A B'] ->
-    query predicates. Returns None when exprs is falsy."""
+def _parse_one_pred(e):
     import re
 
+    m = re.match(r"^\s*(\S+)\s+between\s+(\S+)\s+(\S+)\s*$", e)
+    if m:
+        return (_col_key(m.group(1)), "between",
+                (m.group(2), m.group(3)))
+    m = re.match(r"^\s*(\S+)\s+in\s+(\S+)\s*$", e)
+    if m:
+        return (_col_key(m.group(1)), "in", m.group(2).split("|"))
+    m = re.match(
+        r"^\s*(\S+)\s+(startswith|endswith|contains)\s+(.+?)\s*$", e
+    )
+    if m:
+        return (_col_key(m.group(1)), m.group(2), m.group(3))
+    m = re.match(r"^\s*(\S+?)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$", e)
+    if m:
+        return (_col_key(m.group(1)), m.group(2), m.group(3))
+    raise SystemExit(f"cannot parse --where expression: {e!r}")
+
+
+def _parse_where(exprs):
+    """['qty > 100', 'sym in AAPL|MSFT', 'day between A B'] ->
+    query predicates. Each --where expression may chain alternatives
+    with ' or ' ('qty > 100 or sym == AAPL'); the expressions
+    themselves AND together. Returns None when exprs is falsy."""
     if not exprs:
         return None
     preds = []
     for e in exprs:
-        m = re.match(r"^\s*(\S+)\s+between\s+(\S+)\s+(\S+)\s*$", e)
-        if m:
-            preds.append(
-                (_col_key(m.group(1)), "between",
-                 (m.group(2), m.group(3)))
-            )
-            continue
-        m = re.match(r"^\s*(\S+)\s+in\s+(\S+)\s*$", e)
-        if m:
-            preds.append(
-                (_col_key(m.group(1)), "in", m.group(2).split("|"))
-            )
-            continue
-        m = re.match(
-            r"^\s*(\S+)\s+(startswith|endswith|contains)\s+(.+?)\s*$", e
-        )
-        if m:
-            preds.append((_col_key(m.group(1)), m.group(2), m.group(3)))
-            continue
-        m = re.match(r"^\s*(\S+?)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$", e)
-        if m:
-            preds.append((_col_key(m.group(1)), m.group(2), m.group(3)))
-            continue
-        raise SystemExit(f"cannot parse --where expression: {e!r}")
+        alts = [s for s in e.split(" or ") if s.strip()]
+        if len(alts) > 1:
+            preds.append(("or", [_parse_one_pred(a) for a in alts]))
+        else:
+            preds.append(_parse_one_pred(e))
     return preds
 
 
@@ -196,12 +198,13 @@ def main(argv=None) -> int:
         "before materialization",
     )
     sp.add_argument(
-        "--order-by", default=None, metavar="COL",
-        help="sort rows by this column (device sort for typed columns; "
-        "parse-failures last)",
+        "--order-by", default=None, metavar="COLS",
+        help="sort rows by these comma-separated columns (device sort "
+        "for typed columns; parse-failures last); prefix a column "
+        "with '-' for per-column descending (e.g. sym,-qty)",
     )
     sp.add_argument("--desc", action="store_true",
-                    help="order-by descending")
+                    help="order-by descending (all columns)")
     sp.add_argument(
         "--head", type=int, default=None, metavar="N",
         help="materialize only the first N rows after where/order-by "
@@ -478,6 +481,14 @@ def main(argv=None) -> int:
                     kv.split("=", 1) for kv in args.schema.split(",")
                 )
             cols = args.columns.split(",") if args.columns else None
+            order_keys, order_desc = None, False
+            if args.order_by:
+                raw = args.order_by.split(",")
+                order_keys = [_col_key(k.lstrip("-")) for k in raw]
+                order_desc = [args.desc or k.startswith("-")
+                              for k in raw]
+                if len(order_keys) == 1:
+                    order_keys, order_desc = order_keys[0], order_desc[0]
             multi = len(args.file) > 1
             if multi and args.engine != "offsets":
                 raise SystemExit(
@@ -492,9 +503,8 @@ def main(argv=None) -> int:
                 # flag to CsvCorpus); re-validating per read would raise
                 validate_utf8=args.validate_utf8 and not multi,
                 where=_parse_where(args.where),
-                order_by=(_col_key(args.order_by)
-                          if args.order_by else None),
-                descending=args.desc, limit=args.head,
+                order_by=order_keys, descending=order_desc,
+                limit=args.head,
             )
             print(fr)
             for name in fr.names:

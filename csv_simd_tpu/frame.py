@@ -706,10 +706,22 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
             for f, start in zip(sub, source._starts[:-1])
         ]) if sub else np.zeros(0, np.int64)
         if order_by is not None:
-            key = names[_field_index(names, order_by)]
-            if key in out._columns:
-                kv, kok = out[key], out.ok(key)
-            else:
+            keys = (list(order_by)
+                    if isinstance(order_by, (list, tuple))
+                    else [order_by])
+            descs = (list(descending)
+                     if isinstance(descending, (list, tuple))
+                     else [bool(descending)] * len(keys))
+            if len(descs) != len(keys):
+                raise ValueError(
+                    f"descending has {len(descs)} entries for "
+                    f"{len(keys)} order-by keys"
+                )
+
+            def _key_vals(key):
+                key = names[_field_index(names, key)]
+                if key in out._columns:
+                    return out[key], out.ok(key)
                 # ORDER BY a column outside the output set: parse it
                 # per file under a corpus-locked spec
                 kcol = (resolved.get(key)
@@ -722,7 +734,16 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
                 kv = np.concatenate([p[0] for p in parts])
                 kok = (np.concatenate([p[1] for p in parts])
                        if parts and parts[0][1] is not None else None)
-            perm = _host_order_perm(kv, kok, descending)
+                return kv, kok
+
+            # lexicographic: stable sorts from the LAST key to the first
+            perm = np.arange(total, dtype=np.int64)
+            for key, d in reversed(list(zip(keys, descs))):
+                kv, kok = _key_vals(key)
+                sub = _host_order_perm(
+                    np.asarray(kv)[perm],
+                    None if kok is None else np.asarray(kok)[perm], d)
+                perm = perm[sub]
             return out.take(perm if limit is None else perm[:limit])
         if limit is not None:
             return out.take(np.arange(min(limit, total)))

@@ -25,7 +25,12 @@ device parsers (device_tape.py). Three layers:
 Predicate grammar (the `where` argument): a single predicate or a list
 (AND semantics). Each predicate is `(column, op, value)` with op one of
 `== != < <= > >= between in startswith endswith contains`; `between`
-takes `(lo, hi)` inclusive, `in` a list of values.
+takes `(lo, hi)` inclusive, `in` a list of values. Predicates compose
+into boolean trees with `("and", [exprs])`, `("or", [exprs])` and
+`("not", expr)`; `not` is a pure set complement, so rows excluded by a
+leaf because their column failed its typed parse ARE selected by the
+negation (unlike SQL's three-valued NOT — add an explicit validity
+predicate if parse failures must stay excluded).
 startswith/endswith/contains match str/bytes columns on device (all
 window alignments compare in one gathered tensor). String predicates
 compare against the stage-2 DECODED field (trim/unquote/unescape), so
@@ -357,13 +362,9 @@ def _lock_where_schema(corpus, where, schema, sample: int):
     out = dict(schema) if schema else {}
     if where is None:
         return out or None
-    preds = where
-    if (isinstance(preds, tuple) and len(preds) == 3
-            and isinstance(preds[1], str)):
-        preds = [preds]
     names = corpus.header_names()
     covered = {names[_field_index(names, k)] for k in out}
-    for pred in preds:
+    for pred in _where_leaves(where):
         name = names[_field_index(names, pred[0])]
         if name not in covered:
             out[name] = _lock_corpus_spec(corpus, name, None, sample)
@@ -744,6 +745,66 @@ def _typed_literal(col: Col, value):
     raise ValueError(col.type)
 
 
+def _where_leaves(where):
+    """Yield every (column, op, value) leaf of a where expression tree
+    (a leaf, a list = AND, or ("and"/"or", [exprs]) / ("not", expr))."""
+    if where is None:
+        return
+    if isinstance(where, tuple):
+        if len(where) == 3 and isinstance(where[1], str):
+            yield where
+            return
+        if len(where) == 2 and where[0] in ("and", "or"):
+            for e in where[1]:
+                yield from _where_leaves(e)
+            return
+        if len(where) == 2 and where[0] == "not":
+            yield from _where_leaves(where[1])
+            return
+    elif isinstance(where, list):
+        for e in where:
+            yield from _where_leaves(e)
+        return
+    raise ValueError(f"bad where expression: {where!r}")
+
+
+def _where_mask(tape, names, expr, col_specs, dialect, sample):
+    """Evaluate a where expression tree to a host bool mask over data
+    records (None = no constraint). Leaves run on device via
+    _predicate_mask; combinators fold on host (the masks are one bit
+    per record — tiny next to the gathers the leaves already did)."""
+    if expr is None:
+        return None
+    if isinstance(expr, tuple):
+        if len(expr) == 3 and isinstance(expr[1], str):
+            return np.asarray(
+                _predicate_mask(tape, names, expr, col_specs, dialect,
+                                sample), bool)
+        if len(expr) == 2 and expr[0] in ("and", "or"):
+            combine = np.logical_and if expr[0] == "and" else np.logical_or
+            mask = None
+            for e in expr[1]:
+                m = _where_mask(tape, names, e, col_specs, dialect,
+                                sample)
+                mask = m if mask is None else combine(mask, m)
+            if mask is None:
+                raise ValueError(f"empty {expr[0]!r} where expression")
+            return mask
+        if len(expr) == 2 and expr[0] == "not":
+            inner = _where_mask(tape, names, expr[1], col_specs,
+                                dialect, sample)
+            if inner is None:
+                raise ValueError("empty 'not' where expression")
+            return ~inner
+    elif isinstance(expr, list):
+        mask = None
+        for e in expr:
+            m = _where_mask(tape, names, e, col_specs, dialect, sample)
+            mask = m if mask is None else (mask & m)
+        return mask
+    raise ValueError(f"bad where expression: {expr!r}")
+
+
 def _predicate_mask(tape, names, pred, col_specs, dialect,
                     sample: int) -> np.ndarray:
     from .frame import _true_window, infer_schema
@@ -859,19 +920,11 @@ def select_records(tape, where, *, names=None, schema=None, dialect=None,
         names = getattr(hdr, "names", None)
         if names is None:
             names = [f"c{i}" for i in range(int(tape.field_cnt))]
-    preds = where
-    if isinstance(preds, tuple) and len(preds) == 3 and isinstance(
-        preds[1], str
-    ):
-        preds = [preds]
     col_specs: Dict[str, Col] = {}
     if schema:
         for k, v in schema.items():
             col_specs[names[_field_index(names, k)]] = parse_spec(v)
-    mask = None
-    for pred in preds:
-        m = _predicate_mask(tape, names, pred, col_specs, dialect, sample)
-        mask = m if mask is None else (mask & m)
+    mask = _where_mask(tape, names, where, col_specs, dialect, sample)
     if mask is None:
         n = int(getattr(tape, "num_data_records",
                         int(tape.record_cnt) - 1))
@@ -942,7 +995,34 @@ def order_records(tape, by, *, names=None, schema=None, where=None,
     decimal/datetime sort their host int64 values. Rows failing the
     typed parse always sort LAST (both directions). `where` filters
     first; `records` restricts to explicit ids (mutually exclusive with
-    `where`); `limit` truncates after ordering."""
+    `where`); `limit` truncates after ordering.
+
+    `by` may be a LIST of columns (lexicographic multi-key ORDER BY:
+    stable sorts applied from the last key to the first); `descending`
+    then takes either one bool for all keys or a per-key list. Rows
+    failing the FIRST key's parse sort last; a later key's parse
+    failures sort last only within ties of the earlier keys."""
+    if isinstance(by, (list, tuple)):
+        keys = list(by)
+        if not keys:
+            raise ValueError("empty order-by key list")
+        descs = (list(descending)
+                 if isinstance(descending, (list, tuple))
+                 else [bool(descending)] * len(keys))
+        if len(descs) != len(keys):
+            raise ValueError(
+                f"descending has {len(descs)} entries for {len(keys)} "
+                "order-by keys"
+            )
+        ids = None
+        for k, d in reversed(list(zip(keys, descs))):
+            ids = order_records(
+                tape, k, names=names, schema=schema,
+                where=(where if ids is None else None),
+                records=(records if ids is None else ids),
+                descending=d, dialect=dialect, sample=sample,
+            )
+        return ids[:limit] if limit is not None else ids
     if names is None:
         hdr = getattr(tape, "header", None)
         names = getattr(hdr, "names", None)

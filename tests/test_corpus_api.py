@@ -149,6 +149,13 @@ def test_corpus_order_by_limit(typed_files, tmp_path):
     f_c2 = read_typed(c, order_by="sym", limit=5)
     f_12 = read_typed(one, order_by="sym", limit=5)
     assert list(f_c2["sym"]) == list(f_12["sym"])
+    # multi-key ORDER BY: corpus matches the single-file equivalent
+    f_c3 = read_typed(c, order_by=["sym", "qty"],
+                      descending=[False, True], limit=9)
+    f_13 = read_typed(one, order_by=["sym", "qty"],
+                      descending=[False, True], limit=9)
+    assert list(f_c3["sym"]) == list(f_13["sym"])
+    assert list(f_c3["qty"]) == list(f_13["qty"])
 
 
 def test_corpus_partition_invariance(tmp_path):

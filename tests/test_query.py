@@ -218,6 +218,45 @@ def test_select_and_of_predicates():
     assert got.tolist() == want
 
 
+def test_select_or_not_trees():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    v, ok = _oracle_qty()
+    got = select_records(
+        tape, ("or", [("qty", ">", 1500), ("sym", "==", "AA,PL")]),
+        names=names,
+    )
+    want = [i for i in range(len(ROWS))
+            if (ok[i] and v[i] > 1500) or ROWS[i][0] == "AA,PL"]
+    assert got.tolist() == want
+    # not = pure complement: parse-failure rows ARE selected
+    got = select_records(tape, ("not", ("qty", ">", 0)), names=names)
+    want = [i for i in range(len(ROWS)) if not (ok[i] and v[i] > 0)]
+    assert got.tolist() == want
+    # nesting: and(or(...), leaf), with a list as implicit AND inside
+    got = select_records(
+        tape,
+        [("or", [("qty", ">", 1500), ("qty", "<", -1500)]),
+         ("sym", "!=", "GOOG")],
+        names=names,
+    )
+    want = [i for i in range(len(ROWS))
+            if ok[i] and (v[i] > 1500 or v[i] < -1500)
+            and ROWS[i][0] != "GOOG"]
+    assert got.tolist() == want
+
+
+def test_select_tree_validation():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    with pytest.raises(ValueError, match="empty 'or'"):
+        select_records(tape, ("or", []), names=names)
+    with pytest.raises(ValueError, match="bad where"):
+        select_records(tape, ("xor", [("qty", ">", 0)]), names=names)
+
+
 def test_select_rejects_bad_predicates():
     from csv_simd_tpu.frame import _resolve_tape
 
@@ -555,6 +594,50 @@ def test_order_records_float_and_decimal():
     assert got.tolist() == want
 
 
+def test_order_records_multi_key():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    v, ok = _oracle_qty()
+    # sym ascending then qty descending; qty parse-failures last
+    # within a sym tie
+    got = order_records(tape, ["sym", "qty"], names=names,
+                        descending=[False, True])
+    want = sorted(range(len(ROWS)),
+                  key=lambda i: (ROWS[i][0], not ok[i],
+                                 -v[i] if ok[i] else 0, i))
+    assert got.tolist() == want
+    # single descending bool broadcasts to every key
+    got = order_records(tape, ["sym", "qty"], names=names,
+                        descending=True, limit=9)
+    want = sorted(range(len(ROWS)),
+                  key=lambda i: (_desc_str(ROWS[i][0]), not ok[i],
+                                 -v[i] if ok[i] else 0, i))[:9]
+    assert got.tolist() == want
+    with pytest.raises(ValueError, match="descending has 3"):
+        order_records(tape, ["sym", "qty"], names=names,
+                      descending=[True, False, True])
+    with pytest.raises(ValueError, match="empty order-by"):
+        order_records(tape, [], names=names)
+
+
+def _desc_str(s):
+    """Sort key inverting lexicographic order for strings."""
+    return tuple(-ord(c) for c in s) + (float("inf"),)
+
+
+def test_read_typed_order_by_multi(engine):
+    fr = cst.read_typed(CSV, order_by=["sym", "qty"],
+                        descending=[False, True], limit=12,
+                        engine=engine)
+    v, ok = _oracle_qty()
+    want = sorted(range(len(ROWS)),
+                  key=lambda i: (ROWS[i][0], not ok[i],
+                                 -v[i] if ok[i] else 0, i))[:12]
+    assert list(fr.records) == want
+    assert [str(s) for s in fr["sym"]] == [ROWS[i][0] for i in want]
+
+
 def test_read_typed_order_by(engine):
     fr = cst.read_typed(CSV, where=("sym", "==", "MSFT"),
                         order_by="qty", descending=True, limit=10,
@@ -670,8 +753,27 @@ def test_cli_where_parser():
     assert _parse_where(["d between 1 2"]) == [("d", "between",
                                                 ("1", "2"))]
     assert _parse_where(["0 <= 5"]) == [(0, "<=", "5")]
+    # ' or ' chains inside one expression -> an ("or", [...]) node
+    assert _parse_where(["qty > 100 or sym == AAPL"]) == [
+        ("or", [("qty", ">", "100"), ("sym", "==", "AAPL")])
+    ]
     with pytest.raises(SystemExit):
         _parse_where(["qty >"])
+
+
+def test_cli_where_or_and_multi_order(tmp_path, capsys):
+    from csv_simd_tpu.__main__ import main
+
+    f = tmp_path / "t.csv"
+    f.write_bytes(b"sym,qty\nAA,5\nBB,50\nAA,500\nCC,2\nBB,7\n")
+    assert main(["frame", str(f), "--where", "qty > 40 or sym == CC",
+                 "--limit", "9"]) == 0
+    out = capsys.readouterr().out
+    assert "records=3" in out          # BB/50, AA/500, CC/2
+    assert main(["frame", str(f), "--order-by", "sym,-qty",
+                 "--limit", "9"]) == 0
+    out = capsys.readouterr().out
+    assert "500, 5, 50, 7, 2" in out   # AA desc-qty, BB desc-qty, CC
 
 
 def test_cli_multi_file_corpus(tmp_path, capsys):
