@@ -303,7 +303,10 @@ def main(argv=None) -> int:
     sp.add_argument("--right-on", default=None,
                     help="right-side key column(s), comma list for "
                     "composite")
-    sp.add_argument("--how", default="inner", choices=["inner", "left"])
+    sp.add_argument(
+        "--how", default="inner",
+        choices=["inner", "left", "right", "outer", "semi", "anti"],
+    )
     sp.add_argument("--columns", default=None,
                     help="comma list of left columns (default all)")
     sp.add_argument("--right-columns", default=None,

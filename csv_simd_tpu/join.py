@@ -14,8 +14,9 @@ static shape) is two `np.repeat`s.
 Text keys factorize jointly on host (one np.unique over both sides'
 decoded values) and merge on the dense codes, so `"AAPL"` joins
 `'"AAPL"'`-quoted fields. Rows whose key fails its typed parse never
-match (SQL NULL semantics); `how="left"` keeps unmatched left rows
-with right id -1.
+match (SQL NULL semantics). The full join family is one sort-merge:
+`how` = inner | left | right (sides swapped) | outer (both unmatched
+sets kept) | semi / anti (existence filters over left rows).
 """
 
 from __future__ import annotations
@@ -63,13 +64,24 @@ def _expand_pairs(l_ids, starts, counts, sorted_right_ids, how: str):
     """Host pair expansion: left row i matches sorted right positions
     [starts[i], starts[i]+counts[i])."""
     counts = counts.astype(np.int64)
+    if how in ("semi", "anti"):
+        # existence joins: each qualifying left row exactly once.
+        # semi pairs the row with its FIRST match (in right key-sort
+        # order); anti keeps rows with no match, right id -1.
+        m = counts > 0 if how == "semi" else counts == 0
+        out_l = l_ids[m]
+        if how == "semi":
+            out_r = sorted_right_ids[starts.astype(np.int64)[m]]
+        else:
+            out_r = np.full(out_l.shape[0], -1, np.int32)
+        return out_l.astype(np.int32), np.asarray(out_r, np.int32)
     l_rep = np.repeat(np.arange(l_ids.shape[0]), counts)
     grp = np.repeat(starts.astype(np.int64), counts)
     offs = (np.arange(counts.sum(), dtype=np.int64)
             - np.repeat(np.cumsum(counts) - counts, counts))
     out_l = l_ids[l_rep]
     out_r = sorted_right_ids[grp + offs]
-    if how == "left":
+    if how in ("left", "outer"):
         # append unmatched left rows (right id -1), then restore left
         # row order by each pair's left position (stable: matched
         # pairs keep their within-group order)
@@ -81,6 +93,15 @@ def _expand_pairs(l_ids, starts, counts, sorted_right_ids, how: str):
         )
         ord2 = np.argsort(pos, kind="stable")
         out_l, out_r = out_l[ord2], out_r[ord2]
+    if how == "outer":
+        # then unmatched RIGHT rows (left id -1), in right-record order
+        hit = np.zeros(sorted_right_ids.shape[0], bool)
+        hit[grp + offs] = True
+        extra_r = np.sort(sorted_right_ids[~hit])
+        out_l = np.concatenate(
+            [out_l, np.full(extra_r.shape[0], -1, np.int32)]
+        )
+        out_r = np.concatenate([out_r, extra_r])
     return out_l.astype(np.int32), out_r.astype(np.int32)
 
 
@@ -156,11 +177,40 @@ def join_records(
     mixed-radix codes, same sort-merge); `right_on`
     defaults to the same name(s). Pairs come back grouped by left row in
     left-record order, right matches in right-key sort order within a
-    group. `how` is "inner" or "left" (unmatched left rows keep one
-    pair with right id -1). `left_records`/`right_records` restrict
-    either side (e.g. from select_records pushdown)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    group. `how`:
+
+    - "inner"              — matched pairs only
+    - "left" / "right"     — plus unmatched left (right) rows, the
+                             absent side's id -1; "right" runs the same
+                             sort-merge with the sides swapped, so its
+                             pairs group by RIGHT row in right-record
+                             order
+    - "outer"              — "left" plus unmatched right rows appended
+                             (left id -1) in right-record order
+    - "semi" / "anti"      — existence filter: each left row with >= 1
+                             match (resp. no match) appears exactly
+                             once; semi pairs it with its first match
+                             in key order, anti with -1. Rows whose key
+                             fails its typed parse count as matchless,
+                             so they qualify for "anti" (set
+                             complement, like the `not` predicate).
+
+    `left_records`/`right_records` restrict either side (e.g. from
+    select_records pushdown)."""
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner|left|right|outer|semi|anti, got {how!r}"
+        )
+    if how == "right":
+        r_ids, l_ids = join_records(
+            right_tape, left_tape,
+            (right_on if right_on is not None else on), right_on=on,
+            how="left", left_names=right_names, right_names=left_names,
+            left_spec=right_spec, right_spec=left_spec,
+            left_records=right_records, right_records=left_records,
+            dialect=dialect, sample=sample,
+        )
+        return l_ids, r_ids
 
     def _names(tape, names):
         if names is not None:
@@ -291,9 +341,15 @@ def join_typed(
     colliding right names get `suffix`. `schema`/`right_schema`
     override inferred column types per side ({column: spec}) — they
     also type `where`/`right_where` predicates and the join key.
-    `where`/`right_where` filter each side BEFORE the join. For a left
-    join, right-side typed columns flag unmatched rows not-ok (missing
-    data)."""
+    `where`/`right_where` filter each side BEFORE the join.
+
+    `how` accepts every join_records mode. Columns from a side absent
+    in a row (right side of an unmatched "left"/"outer" row, left side
+    of an unmatched "right"/"outer" row) flag not-ok / empty text
+    (missing data). "semi"/"anti" produce LEFT columns only — an
+    existence filter, one output row per qualifying left row.
+    `frame.records` holds the left record ids (-1 for right-only
+    "outer" rows)."""
     from .frame import Frame, _materialize, _resolve_tape, infer_schema
 
     lt, ln = _resolve_tape(left_source, dialect, backend, engine, False)
@@ -346,36 +402,45 @@ def join_typed(
         }
 
     lsch = _side_schema(lt, ln, columns, schema)
-    rsch = _side_schema(rt, rn, right_columns, right_schema)
+    rsch = ({} if how in ("semi", "anti")
+            else _side_schema(rt, rn, right_columns, right_schema))
 
     names_out: List[str] = []
     cols_out: Dict[str, np.ndarray] = {}
     oks_out: Dict[str, Optional[np.ndarray]] = {}
     schema_out: Dict[str, Col] = {}
+    def _absent_flag(vals, okm, col, miss):
+        """Mark rows whose side has no record (id -1) missing."""
+        if not miss.any():
+            return vals, okm
+        if okm is None:
+            vals = vals.copy()
+            vals[miss] = ("" if col.type == "str" else b"")
+            return vals, ~miss
+        return vals, okm & ~miss
+
+    lmiss = l_ids < 0
+    l_safe = np.where(lmiss, 0, l_ids).astype(np.int32)
     for name, col in lsch.items():
         vals, okm = _materialize(lt, ln.index(name), col, dialect,
-                                 False, name, records=l_ids)
+                                 False, name, records=l_safe)
+        vals, okm = _absent_flag(vals, okm, col, lmiss)
         names_out.append(name)
         cols_out[name] = vals
         oks_out[name] = okm
         schema_out[name] = col
-    miss = r_ids < 0
-    r_safe = np.where(miss, 0, r_ids).astype(np.int32)
-    for name, col in rsch.items():
-        out_name = name + suffix if name in cols_out else name
-        vals, okm = _materialize(rt, rn.index(name), col, dialect,
-                                 False, out_name, records=r_safe)
-        if miss.any():
-            if okm is None:
-                okm = ~miss
-                vals = vals.copy()
-                vals[miss] = ("" if col.type == "str" else b"")
-            else:
-                okm = okm & ~miss
-        names_out.append(out_name)
-        cols_out[out_name] = vals
-        oks_out[out_name] = okm
-        schema_out[out_name] = col
+    if how not in ("semi", "anti"):
+        miss = r_ids < 0
+        r_safe = np.where(miss, 0, r_ids).astype(np.int32)
+        for name, col in rsch.items():
+            out_name = name + suffix if name in cols_out else name
+            vals, okm = _materialize(rt, rn.index(name), col, dialect,
+                                     False, out_name, records=r_safe)
+            vals, okm = _absent_flag(vals, okm, col, miss)
+            names_out.append(out_name)
+            cols_out[out_name] = vals
+            oks_out[out_name] = okm
+            schema_out[out_name] = col
     fr = Frame(names_out, cols_out, oks_out, schema_out,
                int(l_ids.shape[0]))
     fr.records = l_ids

@@ -42,12 +42,23 @@ LROWS, RROWS = _rows(LEFT), _rows(RIGHT)
 def _oracle_pairs(how="inner", lkey=lambda r: r[0],
                   rkey=lambda r: r[0]):
     out = []
+    matched_r = set()
     for i, lr in enumerate(LROWS):
         hits = [j for j, rr in enumerate(RROWS) if rkey(rr) == lkey(lr)]
-        if hits:
+        matched_r.update(hits)
+        if how == "semi":
+            if hits:
+                out.append((i, min(hits)))
+        elif how == "anti":
+            if not hits:
+                out.append((i, -1))
+        elif hits:
             out += [(i, j) for j in hits]
-        elif how == "left":
+        elif how in ("left", "outer"):
             out.append((i, -1))
+    if how == "outer":
+        out += [(-1, j) for j in range(len(RROWS))
+                if j not in matched_r]
     return out
 
 
@@ -75,6 +86,46 @@ def test_join_records_left():
     assert sorted(zip(l.tolist(), r.tolist())) == sorted(
         _oracle_pairs("left")
     )
+
+
+def test_join_records_right():
+    lt, rt = _tapes()
+    l, r = join_records(lt, rt, "sym", how="right")
+    # grouped by RIGHT row in right-record order; unmatched right rows
+    # (XXXX) keep left id -1
+    assert r.tolist() == sorted(r.tolist())
+    assert sorted(zip(l.tolist(), r.tolist())) == sorted(
+        (i, j) for i, j in _oracle_pairs("outer") if j != -1
+    )
+
+
+def test_join_records_outer():
+    lt, rt = _tapes()
+    l, r = join_records(lt, rt, "sym", how="outer")
+    want = _oracle_pairs("outer")
+    assert sorted(zip(l.tolist(), r.tolist())) == sorted(want)
+    # left-join prefix keeps left order; right-only rows at the tail
+    n_left = sum(1 for i, _ in want if i != -1)
+    assert all(i != -1 for i in l.tolist()[:n_left])
+    assert all(i == -1 for i in l.tolist()[n_left:])
+
+
+def test_join_records_semi_anti():
+    lt, rt = _tapes()
+    l, r = join_records(lt, rt, "sym", how="semi")
+    assert list(zip(l.tolist(), r.tolist())) == _oracle_pairs("semi")
+    l, r = join_records(lt, rt, "sym", how="anti")
+    assert list(zip(l.tolist(), r.tolist())) == _oracle_pairs("anti")
+    # an invalid left key is matchless -> qualifies for anti
+    left = b"k\n5\nnope\n7\n"
+    right = b"k,v\n5,1\n7,2\n"
+    lt2, rt2 = _resolve2(left, right)
+    l, r = join_records(lt2, rt2, "k", left_spec="int32",
+                        right_spec="int32")
+    assert sorted(zip(l.tolist(), r.tolist())) == [(0, 0), (2, 1)]
+    l, r = join_records(lt2, rt2, "k", left_spec="int32",
+                        right_spec="int32", how="anti")
+    assert list(zip(l.tolist(), r.tolist())) == [(1, -1)]
 
 
 def test_join_int_key_device():
@@ -159,6 +210,37 @@ def test_join_typed_left_missing_flags():
     assert fr.ok("sym_right") is not None and not fr.ok("sym_right")[k]
 
 
+def test_join_typed_outer_and_right():
+    fr = join_typed(LEFT, RIGHT, "sym", how="outer",
+                    schema={"qty": "int32"})
+    want = _oracle_pairs("outer")
+    assert len(fr) == len(want)
+    assert fr.records.tolist() == [p[0] for p in want]
+    # right-only rows (XXXX): LEFT columns flag not-ok / empty text
+    tail = [k for k, i in enumerate(fr.records.tolist()) if i == -1]
+    assert len(tail) == 1
+    k = tail[0]
+    assert not fr.ok("sym")[k] and not fr.ok("qty")[k]
+    assert str(fr["sym_right"][k]) == "XXXX"
+    # right join keeps every right row, drops unmatched left (ZZZZ)
+    fr = join_typed(LEFT, RIGHT, "sym", how="right")
+    assert len(fr) == sum(1 for i, j in want if j != -1)
+    syms_r = [str(s) for s in fr["sym_right"]]
+    assert "XXXX" in syms_r
+    assert "ZZZZ" not in [str(s) for s in fr["sym"]]
+
+
+def test_join_typed_semi_anti():
+    fr = join_typed(LEFT, RIGHT, "sym", how="semi",
+                    schema={"qty": "int32"})
+    # left columns only, one row per matching left record
+    assert fr.names == ["sym", "qty"]
+    assert fr.records.tolist() == [p[0] for p in _oracle_pairs("semi")]
+    fr = join_typed(LEFT, RIGHT, "sym", how="anti")
+    assert fr.names == ["sym", "qty"]
+    assert [str(s) for s in fr["sym"]] == ["ZZZZ"]
+
+
 def test_join_typed_suffix_and_columns():
     fr = join_typed(LEFT, RIGHT, "sym", columns=["sym", "qty"],
                     right_columns=["sym", "price"])
@@ -186,8 +268,8 @@ def test_join_key_type_mismatch():
 
 def test_join_how_validation():
     lt, rt = _tapes()
-    with pytest.raises(ValueError, match="inner|left"):
-        join_records(lt, rt, "sym", how="outer")
+    with pytest.raises(ValueError, match="how must be"):
+        join_records(lt, rt, "sym", how="cross")
 
 
 def test_join_single_key_domain_mismatch():
