@@ -285,6 +285,12 @@ def main(argv=None) -> int:
     )
     sp.add_argument("--where", action="append", default=None,
                     metavar="EXPR", help="row filter (see frame --where)")
+    sp.add_argument(
+        "--having", action="append", default=None, metavar="EXPR",
+        help="group filter on aggregates (SQL HAVING), e.g. "
+        "'count >= 10', 'qty.sum > 100', 'mean between 1 5'; "
+        "repeatable (AND), ' or ' chains within one expression",
+    )
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument(
         "--engine", default="offsets", choices=["offsets", "packed"],
@@ -404,6 +410,7 @@ def main(argv=None) -> int:
                 val_cols if len(val_cols) > 1 else val_cols[0],
                 backend=args.backend, engine=args.engine,
                 where=_parse_where(args.where),
+                having=_parse_where(args.having),
             )
             composite = isinstance(g["keys"], list)
             n = len(g["keys"][0]) if composite else len(g["keys"])

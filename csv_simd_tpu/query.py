@@ -1537,8 +1537,139 @@ def _group_multi(kind, kv, kok, decode, values: Dict) -> Dict:
     return {"keys": decode(uk), "count": counts_h, "aggs": aggs}
 
 
+def _having_series(g: Dict, target):
+    """Resolve a having target to (values, valid) over the groups.
+    Targets: "count" (rows with a valid key), "sum"/"min"/"max"/"mean"
+    (single-value group-by), or "col.agg" with agg in
+    sum/min/max/mean/count (multi-value: the column's aggregate).
+    `valid` masks out groups where the aggregate is a sentinel
+    (per-value count 0) — those never satisfy a having leaf."""
+    multi = "aggs" in g
+    col = None
+    t = target
+    if isinstance(t, str) and "." in t:
+        col, t = t.rsplit(".", 1)
+    if t == "count" and col is None:
+        return np.asarray(g["count"]), None
+    if t not in ("sum", "min", "max", "mean", "count"):
+        raise ValueError(
+            f"bad having target {target!r}: expected count, "
+            "sum|min|max|mean (single value column) or col.agg"
+        )
+    if multi:
+        if col is None:
+            raise ValueError(
+                f"having target {target!r} needs a column prefix "
+                "(e.g. 'qty.sum') with several value columns"
+            )
+        if col not in g["aggs"]:
+            raise ValueError(
+                f"having target column {col!r} is not an aggregated "
+                f"value column {list(g['aggs'])}"
+            )
+        src = g["aggs"][col]
+    else:
+        if col is not None:
+            raise ValueError(
+                f"having target {target!r}: single-value group-by "
+                "aggregates are unprefixed (count/sum/min/max/mean)"
+            )
+        src = g
+    cnt = np.asarray(src["count"] if multi else g["count"])
+    valid = cnt > 0
+    if t == "count":
+        return cnt, None
+    if t == "mean":
+        vals = np.array([
+            float(s) / int(c) if c else 0.0
+            for s, c in zip(src["sum"], cnt)
+        ])
+        return vals, valid
+    return np.asarray(src[t]), valid
+
+
+_HAVING_OPS = {
+    "==": np.equal, "!=": np.not_equal, "<": np.less,
+    "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal,
+}
+
+
+def _having_literal(v):
+    """CLI strings coerce to numbers; numbers pass through."""
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            return float(v)
+    return v
+
+
+def _having_mask(g: Dict, expr) -> np.ndarray:
+    """Evaluate a having expression tree (same shapes as `where`:
+    a leaf, list = AND, ("and"/"or", [exprs]), ("not", expr)) to a
+    bool mask over groups."""
+    if isinstance(expr, tuple):
+        if len(expr) == 3 and isinstance(expr[1], str):
+            target, op, lit = expr
+            vals, valid = _having_series(g, target)
+            if op == "between":
+                lo, hi = (_having_literal(lit[0]),
+                          _having_literal(lit[1]))
+                m = (vals >= lo) & (vals <= hi)
+            elif op == "in":
+                # Python equality: exact for object-int sums
+                lits = [_having_literal(x) for x in lit]
+                m = np.array([any(v == x for x in lits)
+                              for v in vals.tolist()], bool)
+            elif op in _HAVING_OPS:
+                m = _HAVING_OPS[op](vals, _having_literal(lit))
+            else:
+                raise ValueError(f"bad having op {op!r}")
+            m = np.asarray(m, bool)
+            return m if valid is None else (m & valid)
+        if len(expr) == 2 and expr[0] in ("and", "or"):
+            if not expr[1]:
+                raise ValueError(f"empty {expr[0]!r} having expression")
+            combine = (np.logical_and if expr[0] == "and"
+                       else np.logical_or)
+            mask = None
+            for e in expr[1]:
+                m = _having_mask(g, e)
+                mask = m if mask is None else combine(mask, m)
+            return mask
+        if len(expr) == 2 and expr[0] == "not":
+            return ~_having_mask(g, expr[1])
+    elif isinstance(expr, list):
+        mask = None
+        for e in expr:
+            m = _having_mask(g, e)
+            mask = m if mask is None else (mask & m)
+        if mask is None:
+            raise ValueError("empty having expression list")
+        return mask
+    raise ValueError(f"bad having expression: {expr!r}")
+
+
+def _filter_groups(g: Dict, mask: np.ndarray) -> Dict:
+    """Keep only the groups where mask is True (HAVING)."""
+    out: Dict = {}
+    keys = g["keys"]
+    out["keys"] = ([np.asarray(a)[mask] for a in keys]
+                   if isinstance(keys, list) else np.asarray(keys)[mask])
+    out["count"] = np.asarray(g["count"])[mask]
+    if "aggs" in g:
+        out["aggs"] = {
+            name: {k: np.asarray(v)[mask] for k, v in a.items()}
+            for name, a in g["aggs"].items()
+        }
+    else:
+        for k in ("sum", "min", "max"):
+            out[k] = np.asarray(g[k])[mask]
+    return out
+
+
 def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
-                  where=None, schema=None, dialect=None,
+                  where=None, having=None, schema=None, dialect=None,
                   backend: str = "auto", engine: str = "offsets",
                   sample: int = 256) -> Dict:
     """End-to-end device group-by over a CSV: parse `key` and `value`
@@ -1563,6 +1694,16 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
     {column: {"sum","min","max","count"}}} — per-value counts tally
     rows whose value parsed ok (SQL COUNT(col)); a group's min/max are
     sentinels when its count is 0. `value_spec` is a matching list.
+
+    `having` filters GROUPS by their aggregates (SQL HAVING), after
+    the reduce (and, for a corpus, after the cross-file merge). Same
+    expression shapes as `where` — a leaf, a list (AND), or
+    ("and"/"or"/"not", ...) trees — with leaf targets "count",
+    "sum"/"min"/"max"/"mean" (single value column) or "col.agg"
+    (several), e.g. ("count", ">=", 10) or ("qty.mean", ">", 2.5).
+    Groups whose per-value count is 0 never satisfy a
+    sum/min/max/mean leaf (their aggregates are sentinels). "mean"
+    compares in float64; string literals coerce to numbers (CLI).
 
     A CsvCorpus source groups per file under one corpus-locked schema
     and merges the per-file results (sums/counts add, min/max fold) —
@@ -1597,7 +1738,12 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
                           dialect=dialect, sample=sample)
             for t in source.device_tapes()
         ]
-        return _merge_groups(parts, composite)
+        # HAVING filters AFTER the associative merge — per-file
+        # aggregates are partial, so filtering parts would make the
+        # result depend on where the file boundaries fall
+        g = _merge_groups(parts, composite)
+        return (_filter_groups(g, _having_mask(g, having))
+                if having is not None else g)
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     records = None
     if where is not None:
@@ -1638,16 +1784,21 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
             name: (vv, vok, vkind == "float")
             for name, (vv, vok, vkind) in parsed.items()
         }
-        return _group_multi(kind, kv, kok, decode, vals)
+        g = _group_multi(kind, kv, kok, decode, vals)
+        return (_filter_groups(g, _having_mask(g, having))
+                if having is not None else g)
     n = int(kv.shape[0])  # metadata: no device readback
     if n == 0:
-        return {"keys": _empty_keys(decode),
-                "sum": np.zeros(0, np.int64),
-                "min": np.zeros(0, np.int64),
-                "max": np.zeros(0, np.int64),
-                "count": np.zeros(0, np.int64)}
-    vv, vok, vkind = _parse_value(value, value_spec)
-    if vkind == "i64host":
-        kind, kv, kok = _to_host_keys()
-    return _group_single(kind, kv, kok, decode, vv, vok,
-                         vkind == "float")
+        g = {"keys": _empty_keys(decode),
+             "sum": np.zeros(0, np.int64),
+             "min": np.zeros(0, np.int64),
+             "max": np.zeros(0, np.int64),
+             "count": np.zeros(0, np.int64)}
+    else:
+        vv, vok, vkind = _parse_value(value, value_spec)
+        if vkind == "i64host":
+            kind, kv, kok = _to_host_keys()
+        g = _group_single(kind, kv, kok, decode, vv, vok,
+                          vkind == "float")
+    return (_filter_groups(g, _having_mask(g, having))
+            if having is not None else g)

@@ -103,6 +103,27 @@ def test_corpus_groupby_matches_single_file(typed_files, tmp_path):
         assert list(g_c[k]) == list(g_1[k])
 
 
+def test_corpus_groupby_having(typed_files, tmp_path):
+    # HAVING applies after the cross-file merge: the corpus result
+    # must equal the single-file result, so a group split across
+    # files filters by its COMBINED aggregates
+    from csv_simd_tpu.query import groupby_typed
+
+    c = CsvCorpus(typed_files, backend="golden")
+    one = _single_file_equiv(typed_files, tmp_path)
+    base = groupby_typed(one, "sym", "qty")
+    # a COMBINED-count threshold no single file reaches: per-file
+    # filtering would return nothing
+    hav = ("count", ">", int(min(base["count"])))
+    g_c = groupby_typed(c, "sym", "qty", having=hav)
+    g_1 = groupby_typed(one, "sym", "qty", having=hav)
+    assert list(g_c["keys"]) == list(g_1["keys"])
+    for k in ("sum", "min", "max", "count"):
+        assert list(g_c[k]) == list(g_1[k])
+    # sanity: the filter actually dropped the min-count group
+    assert len(g_c["keys"]) < len(base["keys"])
+
+
 def test_corpus_groupby_composite(typed_files, tmp_path):
     from csv_simd_tpu.query import groupby_typed
 

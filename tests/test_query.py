@@ -451,6 +451,66 @@ def test_groupby_composite_bad_rows_excluded():
     assert g["sum"].tolist() == single["sum"].tolist()
 
 
+def test_groupby_having_single():
+    base = groupby_typed(CSV, "sym", "qty")
+    g = groupby_typed(CSV, "sym", "qty", having=("count", ">=", 100))
+    keep = [i for i, c in enumerate(base["count"]) if c >= 100]
+    assert g["keys"].tolist() == [base["keys"][i] for i in keep]
+    assert g["sum"].tolist() == [base["sum"][i] for i in keep]
+    assert g["count"].tolist() == [base["count"][i] for i in keep]
+    # mean target + or tree; string literals coerce (CLI path)
+    g = groupby_typed(
+        CSV, "sym", "qty",
+        having=("or", [("mean", ">", "0"), ("count", "<", "5")]),
+    )
+    keep = [i for i, (s, c) in
+            enumerate(zip(base["sum"], base["count"]))
+            if (c and s / c > 0) or c < 5]
+    assert g["keys"].tolist() == [base["keys"][i] for i in keep]
+    # not = complement
+    g = groupby_typed(CSV, "sym", "qty",
+                      having=("not", ("count", ">=", 100)))
+    keep = [i for i, c in enumerate(base["count"]) if not c >= 100]
+    assert g["keys"].tolist() == [base["keys"][i] for i in keep]
+
+
+def test_groupby_having_multi_value():
+    base = groupby_typed(CSV, "sym", ["qty", "ratio"])
+    g = groupby_typed(CSV, "sym", ["qty", "ratio"],
+                      having=[("qty.sum", ">", 0),
+                              ("ratio.count", ">", 0)])
+    keep = [i for i in range(len(base["count"]))
+            if base["aggs"]["qty"]["sum"][i] > 0
+            and base["aggs"]["ratio"]["count"][i] > 0]
+    assert g["keys"].tolist() == [base["keys"][i] for i in keep]
+    assert g["aggs"]["qty"]["sum"].tolist() == [
+        base["aggs"]["qty"]["sum"][i] for i in keep
+    ]
+    assert g["count"].tolist() == [base["count"][i] for i in keep]
+
+
+def test_groupby_having_composite_key_and_between():
+    base = groupby_typed(CSV, ["sym", "day"], "qty")
+    g = groupby_typed(CSV, ["sym", "day"], "qty",
+                      having=("count", "between", (2, 3)))
+    keep = [i for i, c in enumerate(base["count"]) if 2 <= c <= 3]
+    ks, kd = g["keys"]
+    assert ks.tolist() == [base["keys"][0][i] for i in keep]
+    assert kd.tolist() == [base["keys"][1][i] for i in keep]
+
+
+def test_groupby_having_validation():
+    with pytest.raises(ValueError, match="bad having target"):
+        groupby_typed(CSV, "sym", "qty", having=("median", ">", 1))
+    with pytest.raises(ValueError, match="needs a column prefix"):
+        groupby_typed(CSV, "sym", ["qty", "ratio"],
+                      having=("sum", ">", 1))
+    with pytest.raises(ValueError, match="not an aggregated"):
+        groupby_typed(CSV, "sym", ["qty"], having=("nope.sum", ">", 1))
+    with pytest.raises(ValueError, match="unprefixed"):
+        groupby_typed(CSV, "sym", "qty", having=("qty.sum", ">", 1))
+
+
 def test_groupby_composite_spec_len_mismatch():
     with pytest.raises(ValueError, match="key_spec has"):
         groupby_typed(CSV, ["sym", "day"], "qty", key_spec=["str"])
@@ -776,7 +836,18 @@ def test_cli_where_or_and_multi_order(tmp_path, capsys):
     assert "500, 5, 50, 7, 2" in out   # AA desc-qty, BB desc-qty, CC
 
 
-def test_cli_multi_file_corpus(tmp_path, capsys):
+def test_cli_groupby_having(tmp_path, capsys):
+    from csv_simd_tpu.__main__ import main
+
+    f = tmp_path / "t.csv"
+    f.write_bytes(
+        b"sym,qty\nAA,5\nBB,50\nAA,500\nCC,2\nBB,7\nBB,1\n"
+    )
+    assert main(["groupby", str(f), "sym", "qty",
+                 "--having", "count >= 2 or sum > 100"]) == 0
+    out = capsys.readouterr().out
+    assert "2 groups" in out          # AA (sum 505), BB (3 rows)
+    assert "CC" not in out
     """Several FILE arguments form one corpus for the analytic cmds.
     Clean table (no bad rows): the point is the corpus plumbing, not
     inference-sample edge cases (those are covered elsewhere)."""
