@@ -41,11 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DEFAULT_DIALECT, Dialect
 from .swar import (
     swar_broadcast_flag,
+    swar_classify_raw,
     swar_classify_s80_q80,
     swar_eq,
     swar_prefix_xor_bytes,
     swar_word_parity,
 )
+
+_HI1 = -0x7F7F7F80  # 0x80808080 as int32
 
 LANES = 128
 DEFAULT_ROW_TILE = 512  # x 512 B/row = 256 KiB of input per grid step
@@ -87,6 +90,19 @@ def _classify(x: jnp.ndarray, dialect: Dialect):
     return sf, qf
 
 
+def _classify_raw(x: jnp.ndarray, dialect: Dialect):
+    """Raw classify for the fused mask chain: (s_nomatch, q_raw) — see
+    swar_classify_raw for the bit-7-only contract. The mask chain then
+    computes `~(s_nomatch | inq_raw) & 0x80808080` directly, never
+    materializing clean sf/qf flag tensors (2 full-width ops fewer)."""
+    chars = dialect.newlines + (dialect.delimiter,)
+    if dialect.quote < 0x80 and all(c < 0x80 for c in chars):
+        s_no, q_raw, _ = swar_classify_raw(x, chars, dialect.quote)
+        return s_no, q_raw
+    sf, qf = _classify(x, dialect)
+    return ~sf, qf
+
+
 def _stage1_v3_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, packed_ref,
     parity_ref, carry_sm, *, dialect: Dialect, tile: int
@@ -98,7 +114,11 @@ def _stage1_v3_kernel(
         carry_sm[0] = carry_in_ref[0]
 
     x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
-    sf, qf = _classify(x, dialect)
+    # fused mask chain: raw classify outputs carry garbage outside
+    # bit-7 positions; every consumer below is bit-7-safe (prefix
+    # shifts are multiples of 8, >> 31 reads bit 31, and the final
+    # mask ANDs with 0x80808080) — see swar_classify_raw
+    s_no, qf = _classify_raw(x, dialect)
     p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
     # word parity kept in 0/-1 sign form (saves the &1): parities are
     # only ever consumed mod 2 and (-k) & 1 == k & 1
@@ -121,7 +141,7 @@ def _stage1_v3_kernel(
     rowcol = row_excl_par[:, :1] + carry_sm[0]
     base = (lane_excl + rowcol) & 1
     inq = p_in ^ swar_broadcast_flag(base)    # inclusive in-quote flags
-    masked = sf & ~inq
+    masked = ~(s_no | inq) & _HI1
     packed_ref[:] = _fold_pack(masked, tile)
 
     tile_par = (row_excl_par[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
@@ -156,7 +176,8 @@ def stage1_fused(
     triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
 
-    kernel = functools.partial(_stage1_v3_kernel, dialect=dialect, tile=tile)
+    kernel = functools.partial(_stage1_v3_kernel, dialect=dialect,
+                               tile=tile)
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
         # inside shard_map the scan constants are replicated while the
@@ -308,7 +329,9 @@ def _scan_masked(w2d: jnp.ndarray, carry_in, dialect: Dialect):
     """Shared XLA scan internals: byte-quad words -> (masked 0x80 flag
     words (rows,128), total quote parity). Both packers build on this."""
     rows, lanes = w2d.shape
-    sf, qf = _classify(w2d, dialect)
+    # raw classify + fused mask chain, mirroring the production kernel
+    # (bit-7-only contract: swar_classify_raw)
+    s_no, qf = _classify_raw(w2d, dialect)
     p_in = swar_prefix_xor_bytes(qf)
     wp = swar_word_parity(p_in)
     incl = wp
@@ -321,7 +344,7 @@ def _scan_masked(w2d: jnp.ndarray, carry_in, dialect: Dialect):
     row_excl = (jnp.cumsum(row_tot) - row_tot)[:, None]
     base = (lane_excl + row_excl + carry_in) & 1
     inq = p_in ^ swar_broadcast_flag(base)
-    masked = sf & ~inq
+    masked = ~(s_no | inq) & _HI1
     parity = (jnp.sum(wp) + carry_in) & 1
     return masked, parity
 
@@ -369,7 +392,7 @@ def stage1_swar_xla(
     tile = min(row_tile, rows)
     steps = rows // tile
     x = w2d
-    sf, qf = _classify(x, dialect)
+    s_no, qf = _classify_raw(x, dialect)
     p_in = swar_prefix_xor_bytes(qf)
     wp = swar_word_parity(p_in)
     # global scans (no tiling needed for correctness)
@@ -383,7 +406,7 @@ def stage1_swar_xla(
     row_excl = (jnp.cumsum(row_tot) - row_tot)[:, None]
     base = (lane_excl + row_excl + carry_in) & 1
     inq = p_in ^ swar_broadcast_flag(base)
-    masked = sf & ~inq
+    masked = ~(s_no | inq) & _HI1
     # per-tile fold pack to match the kernel layout (right-shift folds)
     t = masked.reshape(steps, tile, lanes)
     h = tile // 2

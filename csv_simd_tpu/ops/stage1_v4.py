@@ -9,13 +9,14 @@ feeds both counting and the production index artifact.
 What changed vs the round-1 pair (stage1_v3.stage1_fused +
 stage1_fused_seq), per tools/ablate2.py measurements:
 
-- classify uses the shared-subexpression SWAR detector
-  (swar_classify_s80_q80): the low-7 mask and bit-7 test are computed
-  once for all four target chars (~20% kernel time saved);
-- masking runs in the 0x80 flag domain (one AND — sf has only bit-7
-  positions set) and ONE logical right shift yields clean 0x01 flags
-  for the pack; this replaced a 0x01-form classify + 3-op mask chain
-  for +10-13% same-batch (PERF_NOTES round-2-late);
+- classify uses the shared-subexpression SWAR detector with the
+  cleanup fused into the mask chain (swar_classify_raw): the low-7
+  mask and bit-7 test are computed once for all four target chars
+  (~20%), the mask runs in the 0x80 flag domain, and the classify's
+  two flag-cleanup ANDs fold into the mask's single final
+  & 0x80808080 (+10-13% then +3-5% same-batch; PERF_NOTES
+  round-2-late); ONE logical right shift then yields clean 0x01
+  flags for the pack;
 - the quote-parity machinery is v3's proven full-width chain (in-word
   prefix-XOR + int8 MXU lane/row scans) — measured ablations showed
   scan/mask work on narrow (T,16) packed tensors lowers ~10x worse
@@ -43,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_DIALECT, Dialect
 from .swar import (
-    swar_classify_s80_q80,
+    swar_classify_raw,
     swar_eq,
     swar_prefix_xor_bytes,
 )
@@ -84,19 +85,25 @@ def _stage1_v4_kernel(
     x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
     chars = dialect.newlines + (dialect.delimiter,)
     if dialect.quote < 0x80 and all(c < 0x80 for c in chars):
-        sf, qf = swar_classify_s80_q80(x, chars, dialect.quote)
+        # fused mask chain: raw classify keeps garbage outside bit-7
+        # positions; every consumer below is bit-7-safe (prefix shifts
+        # are multiples of 8, >> 31 reads bit 31, the mask chain ends
+        # in & 0x80808080) — see swar_classify_raw
+        s_no, qf, xh = swar_classify_raw(x, chars, dialect.quote)
     else:
         qf = swar_eq(x, dialect.quote)
         sf = swar_eq(x, dialect.delimiter)
         for nl in dialect.newlines:
             sf = sf | swar_eq(x, nl)
+        s_no = ~sf
+        xh = x & _HI1
     if count_nonascii:
         # fused non-ASCII detection: the high-bit mask is a classify
         # intermediate for ASCII dialects, so UTF-8's fast path
         # (is_ascii, reader.rs:36) costs one popcount reduce at scan
         # time. Opt out (count_nonascii=False) when the caller won't
         # validate UTF-8 — the reduce is ~2 full-width ops of ~30.
-        na = carry_sm[1] + jnp.sum(jax.lax.population_count(x & _HI1))
+        na = carry_sm[1] + jnp.sum(jax.lax.population_count(xh))
         carry_sm[1] = na
         nonascii_ref[0, 0] = na
     else:
@@ -116,11 +123,12 @@ def _stage1_v4_kernel(
     rowcol = row_excl[:, :1] + carry_sm[0]
     base = (lane_excl + rowcol) & 1
     inq = p_in ^ (base * _HI1)                # 0x80 in-quote per byte
-    # mask in the 0x80 domain (sf has ONLY bit-7 positions set, so one
-    # AND keeps exactly the surviving flags), then one LOGICAL shift
-    # yields clean 0x01 flags — 2 full-width ops fewer than the old
-    # 0x01-form classify + 3-op mask chain
-    masked_u = jax.lax.shift_right_logical(sf & ~inq, 7)
+    # mask in the 0x80 domain, then one LOGICAL shift yields clean
+    # 0x01 flags. The classify cleanup is folded in: bit 7 of
+    # ~(s_no | inq) = structural AND not-in-quote, and the single
+    # & 0x80808080 clears every garbage bit (measured +3-5% same-batch
+    # vs clean-flag classify + separate mask; PERF_NOTES round-2-late)
+    masked_u = jax.lax.shift_right_logical(~(s_no | inq) & _HI1, 7)
 
     # 4 flag bits per word; bits 28..31 are provably zero so no & 0xF
     # (see swar.swar_nibble_compress's proof)

@@ -76,6 +76,26 @@ def swar_classify_s80_q80(
     return ~(ts | xh) & _HI1, ~(tq | xh) & _HI1
 
 
+def swar_classify_raw(
+    x: jnp.ndarray, structural: tuple, quote: int
+) -> tuple:
+    """Raw classify for mask-chain fusion: (s_nomatch, q_raw, xh).
+
+    bit 7 of each byte of `s_nomatch` is SET iff the byte does NOT
+    match any `structural` char; bit 7 of `q_raw` is SET iff the byte
+    IS the quote; `xh` = x & 0x80808080. All NON-bit-7 positions of
+    s_nomatch/q_raw are GARBAGE — safe consumers are exactly the ops
+    whose bit-7 lanes are independent of the other bits: XOR/OR/AND
+    against other bit-7-correct values, shifts by multiples of 8
+    (swar_prefix_xor_bytes moves bit 8j+7 onto bit 8k+7, never a
+    garbage bit), arithmetic >> 31 (replicates bit 31), and a final
+    & 0x80808080 cleanup. This drops the two cleanup ops per output
+    that swar_classify_s80_q80 pays to return clean flags the
+    kernel's mask chain re-ANDs with 0x80808080 anyway."""
+    ts, tq, xh = _classify_parts(x, structural, quote)
+    return ts | xh, ~(tq | xh), xh
+
+
 def swar_classify_u(
     x: jnp.ndarray, structural: tuple, quote: int
 ) -> tuple:
