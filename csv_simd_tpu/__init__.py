@@ -41,6 +41,7 @@ from .corpus_api import CorpusTape, CsvCorpus
 from .offsetfree import PackedDeviceTape
 from .frame import Col, Frame, infer_schema, read_typed, write_csv
 from .join import join_records, join_typed
+from .sql import SqlError, SqlResult, sql
 from .query import (
     Stats,
     column_quantiles,
@@ -106,6 +107,9 @@ __all__ = [
     "order_records",
     "select_records",
     "value_counts",
+    "sql",
+    "SqlResult",
+    "SqlError",
 ]
 
 __version__ = "0.1.0"

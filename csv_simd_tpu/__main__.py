@@ -327,6 +327,32 @@ def main(argv=None) -> int:
     )
 
     sp = sub.add_parser(
+        "sql",
+        help="run a SQL SELECT over CSV file(s) — WHERE pushes down to "
+        "device masks, GROUP BY/ORDER BY run the device relational "
+        "layer (see csv_simd_tpu.sql for the grammar)",
+    )
+    sp.add_argument("query", help="SELECT statement; bare FROM/JOIN "
+                    "names bind to the FILE argument(s) in order, or "
+                    "quote file paths directly in the SQL")
+    sp.add_argument("file", nargs="*",
+                    help="CSV file(s) bound to the statement's bare "
+                    "table names in order")
+    sp.add_argument(
+        "--schema", default=None, metavar="COL=SPEC,...",
+        help="type overrides for the FROM table (e.g. qty=int32)",
+    )
+    sp.add_argument(
+        "--right-schema", default=None, metavar="COL=SPEC,...",
+        help="type overrides for the JOINed table",
+    )
+    sp.add_argument("--limit", type=int, default=20,
+                    help="rows to display (does not change the query)")
+    sp.add_argument(
+        "--engine", default="offsets", choices=["offsets", "packed"],
+    )
+
+    sp = sub.add_parser(
         "json-index",
         help="JSON structural offsets + nesting depths (escape-aware)",
     )
@@ -463,6 +489,37 @@ def main(argv=None) -> int:
             for name in fr.names:
                 vals = fr[name][: args.limit]
                 print(f"  {name} [{fr.schema[name].type}]: "
+                      + ", ".join(str(v) for v in vals))
+            return 0
+        if args.cmd == "sql":
+            from .sql import sql as run_sql
+            from .sql import table_refs
+
+            def _sch(text):
+                if not text:
+                    return None
+                return dict(kv.split("=", 1) for kv in text.split(","))
+
+            refs = table_refs(args.query)
+            if len(args.file) > len(refs):
+                raise SystemExit(
+                    f"{len(args.file)} files for {len(refs)} bare "
+                    "table name(s) in the statement"
+                )
+            tables = dict(zip(refs, args.file))
+            fr = run_sql(
+                args.query,
+                args.file[0] if args.file else None,
+                tables=tables or None,
+                schema=_sch(args.schema),
+                right_schema=_sch(args.right_schema),
+                backend=args.backend, engine=args.engine,
+            )
+            print(fr)
+            for name in fr.names:
+                vals = fr[name][: args.limit]
+                t = fr.schema[name].type
+                print(f"  {name} [{t}]: "
                       + ", ".join(str(v) for v in vals))
             return 0
         if args.cmd == "values":

@@ -546,8 +546,15 @@ def write_csv(frame: Frame, path=None, *, dialect=None,
 
 
 def _resolve_schema(tape, names, schema, columns, sample: int):
-    """(resolved {name: Col}, output column order) for read_typed —
-    from an explicit schema mapping, or inferred over `columns`."""
+    """(resolved {name: Col}, output column order) for read_typed.
+
+    - schema None: infer over `columns` (or all columns).
+    - schema given, columns None: the schema defines the output set
+      (back-compat); a spec of None or "auto" infers that column.
+    - BOTH given: `columns` defines the output set and order; schema
+      entries override inferred types. Schema entries naming columns
+      outside the output set still resolve (typing predicates) but do
+      not materialize."""
     def _idx(key) -> int:
         if isinstance(key, int):
             if not 0 <= key < len(names):
@@ -565,18 +572,28 @@ def _resolve_schema(tape, names, schema, columns, sample: int):
         inferred = infer_schema(tape, names, columns=sel, sample=sample)
         resolved = {n: parse_spec(s) for n, s in inferred.items()}
         return resolved, [n for n in names if n in resolved]
-    resolved = {}
-    order = []
+    overrides: Dict[str, object] = {}
+    over_order = []
     for key, spec in schema.items():
-        f = _idx(key)
-        name = names[f]
-        if name in resolved:
+        name = names[_idx(key)]
+        if name in overrides:
             raise ValueError(
                 f"schema names column {name!r} twice (by name and "
                 "by index, or duplicate header names)"
             )
-        resolved[name] = parse_spec(spec)
-        order.append(name)
+        overrides[name] = spec
+        over_order.append(name)
+    order = (over_order if columns is None
+             else [names[_idx(c)] for c in columns])
+    todo = [names.index(n) for n in dict.fromkeys(order + over_order)
+            if overrides.get(n) in (None, "auto")]
+    inferred = (infer_schema(tape, names, columns=todo, sample=sample)
+                if todo else {})
+    resolved = {}
+    for n in dict.fromkeys(order + over_order):
+        spec = overrides.get(n)
+        resolved[n] = (parse_spec(spec) if spec not in (None, "auto")
+                       else parse_spec(inferred[n]))
     return resolved, order
 
 
@@ -664,17 +681,37 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
         # resolve the output schema ONCE, corpus-wide (inference samples
         # every file; where-independent), and lock predicate columns the
         # same way — results must not depend on file boundaries
-        if schema is None:
-            from .query import infer_corpus_col
+        from .query import infer_corpus_col
 
-            selc = (list(range(len(names))) if columns is None
-                    else [_field_index(names, c) for c in columns])
+        if schema is None and columns is not None:
+            # partial selection: infer only the selected columns
+            schema = {c: "auto" for c in columns}
+        if schema is None:
+            selc = list(range(len(names)))
             resolved = {
                 names[f]: infer_corpus_col(source, f, sample)
                 for f in selc
             }
             order = [n for n in names if n in resolved]
         else:
+            # "auto" entries lock corpus-wide (not from the first file
+            # only) so results stay partition-invariant
+            schema = {
+                k: (infer_corpus_col(source, _field_index(names, k),
+                                     sample)
+                    if v in (None, "auto") else v)
+                for k, v in schema.items()
+            }
+            need = [] if columns is None else [
+                c for c in columns
+                if names[_field_index(names, c)] not in {
+                    names[_field_index(names, k)] for k in schema
+                }
+            ]
+            for c in need:
+                schema[names[_field_index(names, c)]] = infer_corpus_col(
+                    source, _field_index(names, c), sample
+                )
             resolved, order = _resolve_schema(devs[0], names, schema,
                                               columns, sample)
         sels = [None] * len(devs)

@@ -1,0 +1,955 @@
+"""SQL front-end over the device relational layer.
+
+One entry point: `sql(query, source_or_tables)` compiles a SELECT
+statement onto the existing primitives — nothing here touches bytes:
+WHERE trees push down to device predicate masks (query.select_records),
+GROUP BY/HAVING run the device group-by (query.groupby_typed), ORDER
+BY/LIMIT ride the device sort (frame.read_typed), and JOIN maps to the
+device sort-merge (join.join_typed). The reference has no analog (its
+CLI is a stub, bin/main.rs:11-14); this is the capstone of the
+relational layer.
+
+Supported grammar (case-insensitive keywords):
+
+    SELECT [DISTINCT] * | item [, item ...]
+    FROM table [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN table
+                 ON a.col = b.col [AND a.col2 = b.col2 ...] ]
+    [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
+    [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n]
+
+- item: column | agg(column) [AS alias] with agg in
+  SUM/MIN/MAX/COUNT/AVG/MEAN; COUNT(*) counts group rows.
+- table: a bare identifier resolved through the `tables` mapping, or a
+  'quoted path' / "quoted path" opened as a CSV file.
+- expr: comparisons (= == != <> < <= > >=) of a column against a
+  literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' ('abc%' ->
+  startswith, '%abc' -> endswith, '%abc%' -> contains, no '%' ->
+  text equality; '_' wildcards unsupported), combined with
+  NOT / AND / OR and parentheses (standard precedence).
+- HAVING leaves compare agg(column) or COUNT(*) against numbers.
+
+Semantics follow the underlying layer, not full SQL: rows whose column
+fails its typed parse never satisfy a comparison (SQL NULL-ish), and
+NOT is a pure set complement (query.py's `not`). Aggregate queries
+return a SqlResult (host arrays, exact integer sums); plain selections
+return a Frame. GROUP BY over a JOIN is not supported (join first,
+save, re-query — or aggregate per side before joining).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["sql", "SqlResult", "SqlError"]
+
+
+class SqlError(ValueError):
+    """Parse or compile error for a SQL query."""
+
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<qid>"(?:[^"]|"")*")
+      | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+      | (?P<op><=|>=|!=|<>|==|=|<|>)
+      | (?P<punc>[(),.*])
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "select", "distinct", "from", "where", "group", "by", "having",
+    "order", "limit", "and", "or", "not", "between", "in", "like",
+    "as", "asc", "desc", "join", "inner", "left", "right", "full",
+    "outer", "semi", "anti", "on",
+}
+
+_AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
+
+
+def _tokenize(text: str) -> List[Tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise SqlError(
+                f"cannot tokenize SQL at: {text[pos:pos + 30]!r}"
+            )
+        pos = m.end()
+        if m.group("num") is not None:
+            out.append(("num", m.group("num")))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("qid") is not None:
+            out.append(("name", m.group("qid")[1:-1].replace('""', '"')))
+        elif m.group("id") is not None:
+            word = m.group("id")
+            if word.lower() in _KEYWORDS:
+                out.append(("kw", word.lower()))
+            else:
+                out.append(("name", word))
+        elif m.group("op") is not None:
+            op = m.group("op")
+            out.append(("op", {"=": "==", "<>": "!="}.get(op, op)))
+        else:
+            out.append(("punc", m.group("punc")))
+    out.append(("end", ""))
+    return out
+
+
+def _num(text: str):
+    try:
+        return int(text)
+    except ValueError:
+        return float(text)
+
+
+# --------------------------------------------------------------- parser
+
+
+class _Item:
+    """One SELECT item: a column, an aggregate call, or *."""
+
+    def __init__(self, kind, col=None, fn=None, alias=None):
+        self.kind = kind        # "star" | "col" | "agg"
+        self.col = col
+        self.fn = fn            # sum|min|max|count|mean (avg -> mean)
+        self.alias = alias
+
+    def default_name(self) -> str:
+        if self.kind == "col":
+            return self.col
+        if self.fn == "count" and self.col is None:
+            return "count"
+        return f"{self.fn}_{self.col}"
+
+    def name(self) -> str:
+        return self.alias or self.default_name()
+
+
+class _Ast:
+    def __init__(self):
+        self.distinct = False
+        self.items: List[_Item] = []
+        self.table = None                 # (kind, value): name | path
+        self.join_table = None
+        self.join_how = "inner"
+        self.join_on: List[Tuple[str, str]] = []   # (left col, right col)
+        self.where = None
+        self.group_by: List[str] = []
+        self.having = None
+        self.order_by: List[Tuple[object, bool]] = []  # (_Item, desc)
+        self.limit: Optional[int] = None
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    # -- token helpers
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i = min(self.i + 1, len(self.toks) - 1)
+        return t
+
+    def accept(self, kind, value=None):
+        k, v = self.peek()
+        if k == kind and (value is None or v == value):
+            return self.next()
+        return None
+
+    def expect(self, kind, value=None):
+        t = self.accept(kind, value)
+        if t is None:
+            k, v = self.peek()
+            want = value if value is not None else kind
+            raise SqlError(f"expected {want!r}, got {v!r}")
+        return t
+
+    # -- grammar
+    def parse(self) -> _Ast:
+        ast = _Ast()
+        self.expect("kw", "select")
+        if self.accept("kw", "distinct"):
+            ast.distinct = True
+        ast.items = self._select_items()
+        self.expect("kw", "from")
+        ast.table = self._table()
+        how = self._join_how()
+        if how is not None:
+            ast.join_how = how
+            ast.join_table = self._table()
+            self.expect("kw", "on")
+            ast.join_on = self._on_pairs()
+        if self.accept("kw", "where"):
+            ast.where = self._expr(having=False)
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            ast.group_by = self._name_list()
+        if self.accept("kw", "having"):
+            ast.having = self._expr(having=True)
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            ast.order_by = self._order_items()
+        if self.accept("kw", "limit"):
+            ast.limit = int(self.expect("num")[1])
+        self.expect("end")
+        return ast
+
+    def _select_items(self) -> List[_Item]:
+        items = []
+        while True:
+            items.append(self._item())
+            if not self.accept("punc", ","):
+                return items
+
+    def _item(self) -> _Item:
+        if self.accept("punc", "*"):
+            return _Item("star")
+        it = self._item_core()
+        if self.accept("kw", "as"):
+            it.alias = self.expect("name")[1]
+        return it
+
+    def _item_core(self) -> _Item:
+        k, v = self.peek()
+        if k == "name" and v.lower() in _AGG_FNS \
+                and self.peek(1) == ("punc", "("):
+            fn = self.next()[1].lower()
+            fn = "mean" if fn == "avg" else fn
+            self.expect("punc", "(")
+            if self.accept("punc", "*"):
+                if fn != "count":
+                    raise SqlError(f"{fn}(*) is not a thing; name a column")
+                col = None
+            else:
+                col = self._colref()
+            self.expect("punc", ")")
+            return _Item("agg", col=col, fn=fn)
+        return _Item("col", col=self._colref())
+
+    def _colref(self) -> str:
+        name = self.expect("name")[1]
+        if self.accept("punc", "."):
+            # qualified a.col: keep "alias.col" — the executor resolves
+            # it against the join sides
+            name = f"{name}.{self.expect('name')[1]}"
+        return name
+
+    def _table(self):
+        k, v = self.next()
+        if k == "str":
+            return ("path", v)
+        if k == "name":
+            return ("name", v)
+        raise SqlError(f"expected a table name or 'path', got {v!r}")
+
+    def _join_how(self) -> Optional[str]:
+        for kw, how in (("inner", "inner"), ("left", "left"),
+                        ("right", "right"), ("full", "outer"),
+                        ("semi", "semi"), ("anti", "anti")):
+            if self.peek() == ("kw", kw):
+                self.next()
+                self.accept("kw", "outer")
+                self.expect("kw", "join")
+                return how
+        if self.accept("kw", "join"):
+            return "inner"
+        return None
+
+    def _on_pairs(self) -> List[Tuple[str, str]]:
+        pairs = []
+        while True:
+            a = self._colref()
+            self.expect("op", "==")
+            b = self._colref()
+            pairs.append((a, b))
+            if not self.accept("kw", "and"):
+                return pairs
+
+    def _name_list(self) -> List[str]:
+        out = [self._colref()]
+        while self.accept("punc", ","):
+            out.append(self._colref())
+        return out
+
+    def _order_items(self):
+        out = []
+        while True:
+            it = self._item_core()
+            desc = False
+            if self.accept("kw", "desc"):
+                desc = True
+            else:
+                self.accept("kw", "asc")
+            out.append((it, desc))
+            if not self.accept("punc", ","):
+                return out
+
+    # -- boolean expressions (OR < AND < NOT < primary)
+    def _expr(self, having: bool):
+        terms = [self._and_term(having)]
+        while self.accept("kw", "or"):
+            terms.append(self._and_term(having))
+        return terms[0] if len(terms) == 1 else ("or", terms)
+
+    def _and_term(self, having: bool):
+        terms = [self._not_term(having)]
+        while self.accept("kw", "and"):
+            terms.append(self._not_term(having))
+        return terms[0] if len(terms) == 1 else ("and", terms)
+
+    def _not_term(self, having: bool):
+        if self.accept("kw", "not"):
+            return ("not", self._not_term(having))
+        if self.accept("punc", "("):
+            e = self._expr(having)
+            self.expect("punc", ")")
+            return e
+        return self._having_leaf() if having else self._leaf()
+
+    def _literal(self):
+        k, v = self.next()
+        if k == "num":
+            return _num(v)
+        if k == "str":
+            return v
+        raise SqlError(f"expected a literal, got {v!r}")
+
+    def _leaf(self):
+        col = self._colref()
+        negate = bool(self.accept("kw", "not"))
+        if self.accept("kw", "between"):
+            lo = self._literal()
+            self.expect("kw", "and")
+            hi = self._literal()
+            leaf = (col, "between", (lo, hi))
+        elif self.accept("kw", "in"):
+            self.expect("punc", "(")
+            vals = [self._literal()]
+            while self.accept("punc", ","):
+                vals.append(self._literal())
+            self.expect("punc", ")")
+            leaf = (col, "in", vals)
+        elif self.accept("kw", "like"):
+            pat = self.expect("str")[1]
+            leaf = _like_leaf(col, pat)
+        else:
+            if negate:
+                raise SqlError(
+                    "NOT here must be followed by BETWEEN/IN/LIKE"
+                )
+            op = self.expect("op")[1]
+            leaf = (col, op, self._literal())
+        return ("not", leaf) if negate else leaf
+
+    def _having_leaf(self):
+        it = self._item_core()
+        if it.kind != "agg":
+            raise SqlError(
+                "HAVING conditions compare aggregates, e.g. "
+                "COUNT(*) >= 10 or SUM(qty) > 0"
+            )
+        op = self.expect("op")[1]
+        k, v = self.next()
+        if k != "num":
+            raise SqlError(f"HAVING compares against numbers, got {v!r}")
+        target = "count" if (it.fn == "count" and it.col is None) \
+            else f"{it.col}.{it.fn}"
+        return (target, op, _num(v))
+
+
+def _like_leaf(col: str, pat: str):
+    if "_" in pat:
+        raise SqlError("LIKE '_' wildcards are not supported")
+    core = pat.strip("%")
+    if "%" in core:
+        raise SqlError("LIKE supports only leading/trailing %")
+    if pat.startswith("%") and pat.endswith("%") and core:
+        return (col, "contains", core)
+    if pat.endswith("%") and len(pat) > 1:
+        return (col, "startswith", pat[:-1])
+    if pat.startswith("%") and len(pat) > 1:
+        return (col, "endswith", pat[1:])
+    return (col, "==", pat)
+
+
+# --------------------------------------------------------------- result
+
+
+class _SqlCol:
+    """Minimal schema entry so SqlResult prints like a Frame."""
+
+    def __init__(self, type_: str):
+        self.type = type_
+
+
+class SqlResult:
+    """Columnar host result of an aggregate query: ordered name ->
+    array mapping (integer sums are exact Python ints in object
+    arrays; means are float64)."""
+
+    def __init__(self, names: List[str], columns: Dict[str, np.ndarray],
+                 types: Dict[str, str], num_records: int):
+        self.names = names
+        self._columns = columns
+        self.schema = {n: _SqlCol(types[n]) for n in names}
+        self.num_records = num_records
+
+    def __getitem__(self, name: str):
+        return self._columns[name]
+
+    def ok(self, name: str):
+        return None
+
+    def __len__(self) -> int:
+        return self.num_records
+
+    def keys(self):
+        return list(self.names)
+
+    def to_dict(self) -> Dict[str, np.ndarray]:
+        return dict(self._columns)
+
+    def __repr__(self) -> str:
+        cols = ", ".join(
+            f"{n}:{self.schema[n].type}" for n in self.names
+        )
+        return f"SqlResult(rows={self.num_records}, columns=[{cols}])"
+
+
+def table_refs(query: str) -> List[str]:
+    """The bare (unquoted) FROM/JOIN table names of a statement, in
+    order — the CLI binds positional file arguments to these."""
+    ast = _Parser(query).parse()
+    out = []
+    for t in (ast.table, ast.join_table):
+        if t is not None and t[0] == "name":
+            out.append(t[1])
+    return out
+
+
+# ------------------------------------------------------------- executor
+
+
+def sql(query: str, source=None, *, tables: Optional[Dict] = None,
+        schema: Optional[Dict] = None, right_schema: Optional[Dict] = None,
+        engine: str = "offsets", backend: str = "auto", dialect=None,
+        sample: int = 256):
+    """Run a SELECT against CSV source(s). See the module docstring for
+    the grammar.
+
+    source — the table when FROM names exactly one: a path, bytes, any
+             tape, or a CsvCorpus. With a JOIN, pass both via `tables`
+             (FROM/JOIN identifiers -> sources) or quote file paths in
+             the statement itself.
+    schema — optional {column: type spec} overriding inference for the
+             FROM table (e.g. {"qty": "int32"} when a stray bad row
+             would otherwise flip a column to str); `right_schema`
+             covers the JOINed table.
+    Returns a Frame (plain selection / join) or SqlResult (aggregate /
+    GROUP BY / DISTINCT)."""
+    ast = _Parser(query).parse()
+
+    def _resolve(table, fallback_ok: bool):
+        kind, val = table
+        if kind == "path":
+            return val
+        if tables is not None and val in tables:
+            return tables[val]
+        if fallback_ok and source is not None:
+            return source
+        raise SqlError(
+            f"table {val!r} is not in `tables` "
+            f"({sorted(tables) if tables else []}) and no positional "
+            "source was given"
+        )
+
+    kw = dict(engine=engine, backend=backend, dialect=dialect,
+              sample=sample, schema=schema, right_schema=right_schema)
+    if ast.join_table is not None:
+        return _run_join(ast, _resolve(ast.table, True),
+                         _resolve(ast.join_table, False), kw)
+    src = _resolve(ast.table, True)
+    has_agg = any(it.kind == "agg" for it in ast.items)
+    if ast.group_by or (ast.distinct and not has_agg):
+        return _run_groupby(ast, src, kw)
+    if has_agg:
+        return _run_scalar_aggs(ast, src, kw)
+    return _run_select(ast, src, kw)
+
+
+def _all_columns(src, kw) -> List[str]:
+    from .corpus_api import CsvCorpus
+
+    if isinstance(src, CsvCorpus):
+        return list(src.header_names())
+    from .frame import _resolve_tape
+
+    _, names = _resolve_tape(src, kw["dialect"], kw["backend"],
+                             kw["engine"], False)
+    return list(names)
+
+
+def _run_select(ast: _Ast, src, kw):
+    from .frame import read_typed
+
+    if ast.having is not None:
+        raise SqlError("HAVING needs GROUP BY")
+    star = any(it.kind == "star" for it in ast.items)
+    cols = None if star else [it.col for it in ast.items]
+    if star and kw["schema"]:
+        # SELECT * keeps every column; the schema only overrides types
+        cols = _all_columns(src, kw)
+    order_keys, order_desc = None, False
+    if ast.order_by:
+        for it, _ in ast.order_by:
+            if it.kind != "col":
+                raise SqlError(
+                    "ORDER BY aggregates needs GROUP BY"
+                )
+        order_keys = [it.col for it, _ in ast.order_by]
+        order_desc = [d for _, d in ast.order_by]
+    fr = read_typed(
+        src, kw["schema"], columns=cols, where=ast.where,
+        order_by=order_keys, descending=order_desc, limit=ast.limit,
+        engine=kw["engine"], backend=kw["backend"],
+        dialect=kw["dialect"], sample=kw["sample"],
+    )
+    alias = {it.col: it.alias for it in ast.items
+             if it.kind == "col" and it.alias}
+    if alias:
+        fr = _rename(fr, alias)
+    return fr
+
+
+def _rename(fr, mapping: Dict[str, str]):
+    from .frame import Frame
+
+    names = [mapping.get(n, n) for n in fr.names]
+    if len(set(names)) != len(names):
+        raise SqlError(f"duplicate output names after AS: {names}")
+    out = Frame(
+        names,
+        {mapping.get(n, n): fr._columns[n] for n in fr.names},
+        {mapping.get(n, n): fr._ok[n] for n in fr.names},
+        {mapping.get(n, n): fr.schema[n] for n in fr.names},
+        fr.num_records,
+    )
+    out.records = fr.records
+    return out
+
+
+def _order_group_rows(names, columns, order, n: int):
+    """Stable multi-key host sort of n result rows; object-int columns
+    compare exactly (Python ints)."""
+    idx = list(range(n))
+    for key_name, desc in reversed(order):
+        col = columns[key_name]
+        idx.sort(key=lambda i: col[i], reverse=desc)
+    return np.asarray(idx, np.int64)
+
+
+def _agg_array(g_aggs, col: str, fn: str, row_counts):
+    if fn == "count":
+        return np.asarray(g_aggs[col]["count"]), "int64"
+    if fn == "mean":
+        s, c = g_aggs[col]["sum"], g_aggs[col]["count"]
+        return (np.array([
+            float(a) / int(b) if b else np.nan for a, b in zip(s, c)
+        ]), "float")
+    arr = np.asarray(g_aggs[col][fn])
+    return arr, ("float" if arr.dtype == np.float64 else "int64")
+
+
+def _run_groupby(ast: _Ast, src, kw):
+    from .query import groupby_typed
+
+    keys = ast.group_by or [it.col for it in ast.items
+                            if it.kind == "col"]
+    if not keys:
+        raise SqlError("SELECT DISTINCT needs column names")
+    for it in ast.items:
+        if it.kind == "star":
+            raise SqlError("SELECT * cannot combine with GROUP BY")
+        if it.kind == "col" and it.col not in keys:
+            raise SqlError(
+                f"column {it.col!r} must appear in GROUP BY or inside "
+                "an aggregate"
+            )
+    agg_items = [it for it in ast.items if it.kind == "agg"]
+    value_cols: List[str] = []
+    for it in agg_items:
+        if it.col is not None and it.col not in value_cols:
+            value_cols.append(it.col)
+    for expr in (ast.having,):
+        for col in _having_cols(expr):
+            if col not in value_cols:
+                value_cols.append(col)
+    # groupby_typed needs >= 1 value column; COUNT(*)/DISTINCT use
+    # none, so ride the first key with a forced numeric spec — the
+    # (unused) value aggregates just come back not-ok, while the group
+    # keys and per-group row counts are value-independent
+    probe_only = not value_cols
+    sch = kw["schema"] or {}
+    key_spec = [sch.get(k) for k in keys]
+    if probe_only:
+        value_cols = [keys[0]]
+        value_spec = [sch.get(keys[0]) or "int32"]
+    else:
+        value_spec = [sch.get(v) for v in value_cols]
+    g = groupby_typed(
+        src, keys if len(keys) > 1 else keys[0], value_cols,
+        key_spec=(key_spec if len(keys) > 1 else key_spec[0]),
+        value_spec=value_spec, where=ast.where, having=ast.having,
+        schema=kw["schema"],
+        engine=kw["engine"], backend=kw["backend"],
+        dialect=kw["dialect"], sample=kw["sample"],
+    )
+    key_arrays = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
+    n = int(np.asarray(g["count"]).shape[0])
+
+    names: List[str] = []
+    columns: Dict[str, np.ndarray] = {}
+    types: Dict[str, str] = {}
+
+    def _add(name, arr, t):
+        if name in columns:
+            raise SqlError(f"duplicate output column {name!r} (use AS)")
+        names.append(name)
+        columns[name] = np.asarray(arr)
+        types[name] = t
+
+    items = (ast.items if agg_items or not ast.distinct
+             else [_Item("col", col=k) for k in keys])
+    for it in items:
+        if it.kind == "col":
+            arr = key_arrays[keys.index(it.col)]
+            _add(it.name(), arr,
+                 "str" if np.asarray(arr).dtype == object else "int64")
+        elif it.fn == "count" and it.col is None:
+            _add(it.name(), np.asarray(g["count"]), "int64")
+        else:
+            arr, t = _agg_array(g["aggs"], it.col, it.fn, g["count"])
+            _add(it.name(), arr, t)
+    if ast.order_by:
+        order = []
+        for it, desc in ast.order_by:
+            nm = it.name()
+            if nm not in columns and it.kind == "agg":
+                # ORDER BY an aggregate not in the SELECT list
+                arr, t = (np.asarray(g["count"]), "int64") \
+                    if (it.fn == "count" and it.col is None) \
+                    else _agg_array(g["aggs"], it.col, it.fn, g["count"])
+                columns[nm] = np.asarray(arr)
+            elif nm not in columns:
+                raise SqlError(
+                    f"ORDER BY column {nm!r} is not in the result"
+                )
+            order.append((nm, desc))
+        perm = _order_group_rows(names, columns, order, n)
+        for nm in list(columns):
+            columns[nm] = columns[nm][perm]
+    if ast.limit is not None:
+        for nm in list(columns):
+            columns[nm] = columns[nm][: ast.limit]
+        n = min(n, ast.limit)
+    columns = {nm: columns[nm] for nm in names}
+    return SqlResult(names, columns, types, n)
+
+
+def _having_cols(expr):
+    from .query import _where_leaves
+
+    if expr is None:
+        return
+    for target, _, _ in _where_leaves(expr):
+        if "." in target:
+            yield target.rsplit(".", 1)[0]
+
+
+def _run_scalar_aggs(ast: _Ast, src, kw):
+    """Aggregates with no GROUP BY: one result row over the (filtered)
+    table, via per-column device stats."""
+    from .query import column_stats
+
+    if ast.having is not None:
+        raise SqlError("HAVING needs GROUP BY")
+    if ast.order_by:
+        raise SqlError("ORDER BY is meaningless for a one-row aggregate")
+    for it in ast.items:
+        if it.kind != "agg":
+            raise SqlError(
+                f"column {it.col!r} must appear in GROUP BY or inside "
+                "an aggregate"
+            )
+    stats: Dict[str, object] = {}
+
+    def _stats(col: str):
+        if col not in stats:
+            sch = kw["schema"] or {}
+            stats[col] = column_stats(
+                src, col, sch.get(col), where=ast.where,
+                schema=kw["schema"], engine=kw["engine"],
+                backend=kw["backend"], dialect=kw["dialect"],
+                sample=kw["sample"],
+            )
+        return stats[col]
+
+    names, columns, types = [], {}, {}
+    for it in ast.items:
+        if it.fn == "count" and it.col is None:
+            probe = ast.items[0].col
+            if probe is None:
+                for other in ast.items:
+                    if other.col is not None:
+                        probe = other.col
+                        break
+            if probe is None:
+                from .frame import read_typed
+
+                fr = read_typed(src, kw["schema"], where=ast.where,
+                                engine=kw["engine"], backend=kw["backend"],
+                                dialect=kw["dialect"], sample=kw["sample"])
+                val, t = len(fr), "int64"
+            else:
+                val, t = _stats(probe).count, "int64"
+        else:
+            st = _stats(it.col)
+            if it.fn == "count":
+                val, t = st.ok_count, "int64"
+            elif it.fn == "mean":
+                val, t = st.mean, "float"
+            else:
+                val = getattr(st, it.fn)
+                t = "float" if isinstance(val, float) else "int64"
+        nm = it.name()
+        if nm in columns:
+            raise SqlError(f"duplicate output column {nm!r} (use AS)")
+        names.append(nm)
+        columns[nm] = np.asarray([val], object)
+        types[nm] = t
+    n = 1 if ast.limit is None else min(1, ast.limit)
+    if n == 0:
+        columns = {nm: columns[nm][:0] for nm in names}
+    return SqlResult(names, columns, types, n)
+
+
+# ---------------------------------------------------------------- joins
+
+
+def _split_qualified(ref: str, l_alias: str, r_alias: str):
+    """'a.col' -> (side, col); bare 'col' -> (None, col)."""
+    if "." in ref:
+        alias, col = ref.split(".", 1)
+        if alias == l_alias:
+            return "l", col
+        if alias == r_alias:
+            return "r", col
+        raise SqlError(
+            f"unknown table alias {alias!r} (have {l_alias!r}, "
+            f"{r_alias!r})"
+        )
+    return None, ref
+
+
+def _run_join(ast: _Ast, left_src, right_src, kw):
+    from .join import join_typed
+
+    if ast.group_by or ast.having is not None or ast.distinct:
+        raise SqlError(
+            "GROUP BY / HAVING / DISTINCT over a JOIN is not supported "
+            "— join first and re-query, or aggregate per side"
+        )
+    l_alias = ast.table[1] if ast.table[0] == "name" else "l"
+    r_alias = ast.join_table[1] if ast.join_table[0] == "name" else "r"
+    if l_alias == r_alias:
+        l_alias, r_alias = "l", "r"
+    on_l, on_r = [], []
+    for a, b in ast.join_on:
+        sa, ca = _split_qualified(a, l_alias, r_alias)
+        sb, cb = _split_qualified(b, l_alias, r_alias)
+        if sa is None and sb is None:
+            # both bare: positional — left side of '=' is the left
+            # table's column
+            sa, sb = "l", "r"
+        elif sa is None:
+            sa = "l" if sb == "r" else "r"
+        elif sb is None:
+            sb = "l" if sa == "r" else "r"
+        if sa == sb:
+            raise SqlError(
+                "each ON condition must compare the two tables, e.g. "
+                f"{l_alias}.key = {r_alias}.key"
+            )
+        (on_l, on_r)[sa == "r"].append(ca)
+        (on_l, on_r)[sb == "r"].append(cb)
+    fr = join_typed(
+        left_src, right_src,
+        on_l if len(on_l) > 1 else on_l[0],
+        right_on=on_r if len(on_r) > 1 else on_r[0],
+        how=ast.join_how, schema=kw["schema"],
+        right_schema=kw["right_schema"],
+        engine=kw["engine"], backend=kw["backend"],
+        dialect=kw["dialect"], sample=kw["sample"],
+    )
+    # resolve select/where/order refs against the joined frame's names
+    # (right-side collisions carry the join suffix)
+    from .frame import _resolve_tape
+
+    _, ln = _resolve_tape(left_src, kw["dialect"], kw["backend"],
+                          kw["engine"], False)
+    l_names = set(ln)
+
+    def _frame_col(ref: str) -> str:
+        side, col = _split_qualified(ref, l_alias, r_alias)
+        if side == "l":
+            if col not in l_names:
+                raise SqlError(f"no column {col!r} in {l_alias!r}")
+            return col
+        if side == "r":
+            suffixed = col + "_right"
+            if suffixed in fr._columns:
+                return suffixed
+            if col in fr._columns and col not in l_names:
+                return col
+            raise SqlError(f"no column {col!r} in {r_alias!r}")
+        if col in fr._columns:
+            return col
+        raise SqlError(f"no column {col!r} in the joined result")
+
+    if ast.where is not None:
+        mask = _frame_mask(fr, ast.where, _frame_col)
+        fr = fr.take(np.flatnonzero(mask))
+    if ast.order_by:
+        fr = _order_frame(fr, [(_frame_col(it.col), d)
+                               for it, d in ast.order_by])
+    if ast.limit is not None:
+        fr = fr.take(np.arange(min(ast.limit, len(fr))))
+    star = any(it.kind == "star" for it in ast.items)
+    if not star:
+        for it in ast.items:
+            if it.kind == "agg":
+                raise SqlError(
+                    "aggregates over a JOIN are not supported"
+                )
+        sel = [_frame_col(it.col) for it in ast.items]
+        out_names = [it.alias or s for it, s in zip(ast.items, sel)]
+        from .frame import Frame
+
+        if len(set(out_names)) != len(out_names):
+            raise SqlError(f"duplicate output names: {out_names} (use AS)")
+        sub = Frame(
+            out_names,
+            {o: fr._columns[s] for o, s in zip(out_names, sel)},
+            {o: fr._ok[s] for o, s in zip(out_names, sel)},
+            {o: fr.schema[s] for o, s in zip(out_names, sel)},
+            len(fr),
+        )
+        sub.records = fr.records
+        fr = sub
+    return fr
+
+
+def _frame_mask(fr, expr, resolve) -> np.ndarray:
+    """Evaluate a where tree on a materialized Frame (host) with the
+    same semantics as the device leaves: rows whose column failed its
+    typed parse never satisfy a comparison; NOT is a set complement."""
+    if isinstance(expr, tuple) and len(expr) == 3 \
+            and isinstance(expr[1], str):
+        return _frame_leaf(fr, expr, resolve)
+    if isinstance(expr, tuple) and len(expr) == 2 \
+            and expr[0] in ("and", "or"):
+        parts = [_frame_mask(fr, e, resolve) for e in expr[1]]
+        if not parts:
+            raise SqlError(f"empty {expr[0]!r} expression")
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if expr[0] == "and" else (out | p)
+        return out
+    if isinstance(expr, tuple) and len(expr) == 2 and expr[0] == "not":
+        return ~_frame_mask(fr, expr[1], resolve)
+    if isinstance(expr, list):
+        out = None
+        for e in expr:
+            m = _frame_mask(fr, e, resolve)
+            out = m if out is None else (out & m)
+        if out is None:
+            raise SqlError("empty where list")
+        return out
+    raise SqlError(f"bad where expression: {expr!r}")
+
+
+def _frame_leaf(fr, leaf, resolve) -> np.ndarray:
+    from .query import _typed_literal
+
+    col_ref, op, lit = leaf
+    name = resolve(col_ref)
+    col = fr.schema[name]
+    vals = fr._columns[name]
+    okm = fr._ok[name]
+    ok = np.ones(len(fr), bool) if okm is None else np.asarray(okm, bool)
+    if col.type in ("str", "bytes"):
+        txt = [v if isinstance(v, str)
+               else v.decode("utf-8", "surrogateescape") for v in vals]
+        if op in ("startswith", "endswith", "contains"):
+            pat = lit if isinstance(lit, str) else str(lit)
+            f = {"startswith": str.startswith, "endswith": str.endswith,
+                 "contains": str.__contains__}[op]
+            return ok & np.array([f(t, pat) for t in txt], bool)
+        if op in ("==", "!="):
+            pat = lit if isinstance(lit, str) else str(lit)
+            eq = np.array([t == pat for t in txt], bool)
+            return ok & (eq if op == "==" else ~eq)
+        if op == "in":
+            pats = {p if isinstance(p, str) else str(p) for p in lit}
+            return ok & np.array([t in pats for t in txt], bool)
+        if op == "between":
+            lo, hi = (str(lit[0]), str(lit[1]))
+            return ok & np.array([lo <= t <= hi for t in txt], bool)
+        raise SqlError(f"op {op!r} needs a typed column; {name!r} is text")
+    if op in ("startswith", "endswith", "contains"):
+        raise SqlError(f"op {op!r} needs a text column; {name!r} is "
+                       f"{col.type}")
+    v = np.asarray(vals)
+    if op == "between":
+        lo = _typed_literal(col, lit[0])
+        hi = _typed_literal(col, lit[1])
+        return ok & (v >= lo) & (v <= hi)
+    if op == "in":
+        lits = [_typed_literal(col, x) for x in lit]
+        m = np.zeros(len(fr), bool)
+        for x in lits:
+            m |= (v == x)
+        return ok & m
+    x = _typed_literal(col, lit)
+    cmp = {"==": v == x, "!=": v != x, "<": v < x, "<=": v <= x,
+           ">": v > x, ">=": v >= x}[op]
+    return ok & np.asarray(cmp, bool)
+
+
+def _order_frame(fr, order):
+    from .query import _host_order_perm
+
+    perm = np.arange(len(fr), dtype=np.int64)
+    for name, desc in reversed(order):
+        vals = fr._columns[name][perm]
+        okm = fr._ok[name]
+        sub = _host_order_perm(
+            np.asarray(vals),
+            None if okm is None else np.asarray(okm)[perm], desc)
+        perm = perm[sub]
+    return fr.take(perm)

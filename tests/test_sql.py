@@ -1,0 +1,248 @@
+"""SQL front-end (sql.py): parse + compile onto the relational layer,
+differential against Python oracles."""
+
+import csv as pycsv
+import io
+
+import numpy as np
+import pytest
+
+from csv_simd_tpu.sql import SqlError, SqlResult, sql, table_refs
+
+
+CSV = (b"sym,qty,price\n"
+       b"AAPL,10,1.25\n"
+       b"MSFT,20,2.50\n"
+       b"AAPL,-5,0.75\n"
+       b"GOOG,7,9.99\n"
+       b"MSFT,x!,1.00\n"          # qty parse failure
+       b'"AA,PL",40,3.00\n')      # quoted comma key
+
+S = {"qty": "int32"}
+
+ROWS = list(pycsv.reader(io.StringIO(CSV.decode())))[1:]
+
+
+def _qty(r):
+    try:
+        return int(r[1])
+    except ValueError:
+        return None
+
+
+def test_select_where_order_limit():
+    fr = sql("SELECT sym, qty FROM t WHERE qty > 5 "
+             "ORDER BY qty DESC LIMIT 3", CSV, schema=S)
+    want = sorted([r for r in ROWS if (_qty(r) or -1) > 5],
+                  key=lambda r: -_qty(r))[:3]
+    assert [str(s) for s in fr["sym"]] == [r[0] for r in want]
+    assert fr["qty"].tolist() == [_qty(r) for r in want]
+
+
+def test_select_star_and_alias():
+    fr = sql("SELECT * FROM t LIMIT 2", CSV, schema=S)
+    assert fr.names == ["sym", "qty", "price"]
+    assert len(fr) == 2
+    fr = sql("SELECT sym AS ticker FROM t LIMIT 1", CSV)
+    assert fr.names == ["ticker"]
+
+
+def test_where_like_and_bool_ops():
+    fr = sql("SELECT sym FROM t WHERE sym LIKE 'A%' OR "
+             "(qty < 0 AND NOT sym = 'GOOG')", CSV, schema=S)
+    want = [r[0] for r in ROWS
+            if r[0].startswith("A")
+            or ((_qty(r) is not None and _qty(r) < 0)
+                and r[0] != "GOOG")]
+    assert [str(s) for s in fr["sym"]] == want
+    # contains / endswith
+    fr = sql("SELECT sym FROM t WHERE sym LIKE '%A,P%'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["AA,PL"]
+    fr = sql("SELECT sym FROM t WHERE sym LIKE '%FT'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["MSFT", "MSFT"]
+
+
+def test_where_between_in_not():
+    fr = sql("SELECT qty FROM t WHERE qty BETWEEN 5 AND 25", CSV,
+             schema=S)
+    assert fr["qty"].tolist() == [q for q in map(_qty, ROWS)
+                                  if q is not None and 5 <= q <= 25]
+    fr = sql("SELECT sym FROM t WHERE sym IN ('GOOG', 'MSFT')", CSV)
+    assert [str(s) for s in fr["sym"]] == ["MSFT", "GOOG", "MSFT"]
+    # NOT IN: parse-failure rows are NOT excluded by qty-typed leaves
+    fr = sql("SELECT sym FROM t WHERE qty NOT IN (10, 20)", CSV,
+             schema=S)
+    want = [r[0] for r in ROWS if _qty(r) not in (10, 20)]
+    assert [str(s) for s in fr["sym"]] == want
+
+
+def test_group_by_having_order():
+    r = sql("SELECT sym, COUNT(*), SUM(qty) AS total, AVG(qty) "
+            "FROM t GROUP BY sym HAVING COUNT(*) >= 2 "
+            "ORDER BY total DESC", CSV, schema=S)
+    assert isinstance(r, SqlResult)
+    # oracle
+    import collections
+
+    g = collections.defaultdict(list)
+    for row in ROWS:
+        g[row[0]].append(_qty(row))
+    keep = {k: v for k, v in g.items() if len(v) >= 2}
+    want = sorted(keep,
+                  key=lambda k: -sum(x for x in keep[k] if x is not None))
+    assert list(r["sym"]) == want
+    assert r["count"].tolist() == [len(keep[k]) for k in want]
+    assert r["total"].tolist() == [
+        sum(x for x in keep[k] if x is not None) for k in want
+    ]
+    means = [np.mean([x for x in keep[k] if x is not None])
+             for k in want]
+    assert r["mean_qty"].tolist() == pytest.approx(means)
+
+
+def test_group_by_composite_and_min_max():
+    r = sql("SELECT sym, price, MIN(qty), MAX(qty) FROM t "
+            "GROUP BY sym, price ORDER BY sym, price", CSV, schema=S)
+    pairs = sorted({(row[0], round(float(row[2]) * 100))
+                    for row in ROWS})
+    assert list(zip(r["sym"], r["price"].tolist())) == pairs
+
+
+def test_scalar_aggregates():
+    r = sql("SELECT COUNT(*), COUNT(qty), SUM(qty), MIN(price), "
+            "MAX(price) FROM t", CSV, schema=S)
+    qs = [q for q in map(_qty, ROWS) if q is not None]
+    cents = [round(float(row[2]) * 100) for row in ROWS]
+    assert r["count"][0] == len(ROWS)
+    assert r["count_qty"][0] == len(qs)
+    assert r["sum_qty"][0] == sum(qs)
+    assert r["min_price"][0] == min(cents)
+    assert r["max_price"][0] == max(cents)
+    # with WHERE
+    r = sql("SELECT SUM(qty) FROM t WHERE sym = 'AAPL'", CSV, schema=S)
+    assert r["sum_qty"][0] == sum(q for row, q in zip(ROWS, map(_qty, ROWS))
+                                  if row[0] == "AAPL" and q is not None)
+
+
+def test_distinct():
+    r = sql("SELECT DISTINCT sym FROM t ORDER BY sym", CSV)
+    assert list(r["sym"]) == sorted({row[0] for row in ROWS})
+    r = sql("SELECT DISTINCT sym, price FROM t ORDER BY sym, price",
+            CSV)
+    assert len(r) == len({(row[0], row[2]) for row in ROWS})
+
+
+LEFT = b"sym,qty\nAAPL,10\nMSFT,20\nZZZZ,30\nAAPL,40\n"
+RIGHT = b"sym,price\nMSFT,2.50\nAAPL,1.25\nXXXX,0.01\n"
+
+
+def test_join_basic_and_qualified():
+    t = {"l": LEFT, "r": RIGHT}
+    fr = sql("SELECT * FROM l JOIN r ON l.sym = r.sym", tables=t)
+    assert sorted(map(str, fr["sym"])) == ["AAPL", "AAPL", "MSFT"]
+    fr = sql("SELECT l.sym, qty, price FROM l LEFT JOIN r "
+             "ON l.sym = r.sym WHERE qty >= 20 ORDER BY qty DESC",
+             tables=t)
+    assert [str(s) for s in fr["sym"]] == ["AAPL", "ZZZZ", "MSFT"]
+    assert list(fr.ok("price")) == [True, False, True]
+    fr = sql("SELECT sym FROM l ANTI JOIN r ON l.sym = r.sym", tables=t)
+    assert [str(s) for s in fr["sym"]] == ["ZZZZ"]
+    fr = sql("SELECT l.sym AS a, r.sym AS b FROM l FULL OUTER JOIN r "
+             "ON l.sym = r.sym", tables=t)
+    assert "XXXX" in [str(s) for s in fr["b"]]
+
+
+def test_join_quoted_paths(tmp_path):
+    lp, rp = tmp_path / "l.csv", tmp_path / "r.csv"
+    lp.write_bytes(LEFT)
+    rp.write_bytes(RIGHT)
+    fr = sql(f"SELECT qty, price FROM '{lp}' JOIN '{rp}' "
+             "ON sym = sym")
+    assert len(fr) == 3
+
+
+def test_join_on_must_cross_sides():
+    t = {"l": LEFT, "r": RIGHT}
+    with pytest.raises(SqlError, match="compare the two tables"):
+        sql("SELECT * FROM l JOIN r ON l.sym = l.sym", tables=t)
+
+
+def test_errors():
+    with pytest.raises(SqlError, match="HAVING needs GROUP BY"):
+        sql("SELECT sym FROM t HAVING COUNT(*) > 1", CSV)
+    with pytest.raises(SqlError, match="must appear in GROUP BY"):
+        sql("SELECT sym, qty FROM t GROUP BY sym", CSV, schema=S)
+    with pytest.raises(SqlError, match="GROUP BY / HAVING / DISTINCT"):
+        sql("SELECT sym FROM l JOIN r ON l.sym = r.sym GROUP BY sym",
+            tables={"l": LEFT, "r": RIGHT})
+    with pytest.raises(SqlError, match="not in `tables`"):
+        sql("SELECT * FROM nope JOIN r ON nope.a = r.b",
+            tables={"r": RIGHT})
+    with pytest.raises(SqlError, match="expected"):
+        sql("SELECT FROM t", CSV)
+    with pytest.raises(SqlError, match="cannot tokenize"):
+        sql("SELECT a FROM t WHERE a ~ 3", CSV)
+    with pytest.raises(SqlError, match="LIKE"):
+        sql("SELECT sym FROM t WHERE sym LIKE 'a_b'", CSV)
+    with pytest.raises(SqlError, match="compare aggregates"):
+        sql("SELECT sym, SUM(qty) FROM t GROUP BY sym HAVING qty > 1",
+            CSV, schema=S)
+
+
+def test_table_refs_and_quoted_idents():
+    assert table_refs("SELECT * FROM a JOIN b ON a.x = b.y") == \
+        ["a", "b"]
+    assert table_refs("SELECT * FROM 'p.csv'") == []
+    # "quoted identifier" syntax reaches columns whose names aren't
+    # bare identifiers (header names are the raw field text)
+    csv = b"my col,v\n1,2\n"
+    fr = sql('SELECT "my col" FROM t', csv)
+    assert fr.names == ["my col"]
+
+
+def test_schema_override_and_auto():
+    # without the override the x! row flips qty to str
+    fr = sql("SELECT qty FROM t WHERE qty > 0", CSV, schema=S)
+    assert fr["qty"].tolist() == [q for q in map(_qty, ROWS)
+                                  if q is not None and q > 0]
+    # "auto" entries infer
+    from csv_simd_tpu import read_typed
+
+    f2 = read_typed(CSV, {"qty": "int32", "sym": "auto"},
+                    columns=["sym", "qty"])
+    assert f2.names == ["sym", "qty"]
+    assert f2.schema["sym"].type == "str"
+
+
+def test_cli_sql(tmp_path, capsys):
+    from csv_simd_tpu.__main__ import main
+
+    p = tmp_path / "t.csv"
+    p.write_bytes(b"sym,qty\nAA,5\nBB,50\nAA,500\n")
+    assert main(["sql",
+                 "SELECT sym, SUM(qty) AS s FROM t GROUP BY sym",
+                 str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "505" in out and "50" in out
+    lp, rp = tmp_path / "l.csv", tmp_path / "r.csv"
+    lp.write_bytes(LEFT)
+    rp.write_bytes(RIGHT)
+    assert main(["sql",
+                 "SELECT l.sym, price FROM l JOIN r ON l.sym = r.sym",
+                 str(lp), str(rp)]) == 0
+    out = capsys.readouterr().out
+    assert "price" in out
+
+
+def test_sql_over_corpus(tmp_path):
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    p1 = tmp_path / "a.csv"
+    p2 = tmp_path / "b.csv"
+    p1.write_bytes(b"sym,qty\nAA,1\nBB,2\n")
+    p2.write_bytes(b"sym,qty\nAA,3\nCC,4\n")
+    c = CsvCorpus([str(p1), str(p2)], backend="golden")
+    r = sql("SELECT sym, SUM(qty) FROM c GROUP BY sym ORDER BY sym",
+            c)
+    assert list(r["sym"]) == ["AA", "BB", "CC"]
+    assert r["sum_qty"].tolist() == [4, 2, 4]
