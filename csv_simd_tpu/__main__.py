@@ -71,9 +71,14 @@ def _parse_where(exprs):
     for e in exprs:
         alts = [s for s in e.split(" or ") if s.strip()]
         if len(alts) > 1:
-            preds.append(("or", [_parse_one_pred(a) for a in alts]))
-        else:
-            preds.append(_parse_one_pred(e))
+            try:
+                preds.append(("or", [_parse_one_pred(a) for a in alts]))
+                continue
+            except SystemExit:
+                # ' or ' was part of a VALUE (e.g. "desc contains
+                # red or blue"): fall back to one predicate
+                pass
+        preds.append(_parse_one_pred(e))
     return preds
 
 
@@ -287,9 +292,11 @@ def main(argv=None) -> int:
                     metavar="EXPR", help="row filter (see frame --where)")
     sp.add_argument(
         "--having", action="append", default=None, metavar="EXPR",
-        help="group filter on aggregates (SQL HAVING), e.g. "
-        "'count >= 10', 'qty.sum > 100', 'mean between 1 5'; "
-        "repeatable (AND), ' or ' chains within one expression",
+        help="group filter on aggregates (SQL HAVING): with ONE value "
+        "column use bare targets ('count >= 10', 'sum > 100', "
+        "'mean between 1 5'); with several value columns prefix the "
+        "column ('qty.sum > 100'); repeatable (AND), ' or ' chains "
+        "within one expression",
     )
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument(
@@ -501,9 +508,15 @@ def main(argv=None) -> int:
                 return dict(kv.split("=", 1) for kv in text.split(","))
 
             refs = table_refs(args.query)
-            if len(args.file) > len(refs):
+            if len(set(refs)) != len(refs) and len(args.file) > 1:
                 raise SystemExit(
-                    f"{len(args.file)} files for {len(refs)} bare "
+                    "the statement uses the same bare table name for "
+                    "both join sides; quote the file paths in the SQL "
+                    "instead (FROM 'a.csv' JOIN 'b.csv' ...)"
+                )
+            if len(args.file) > len(set(refs)):
+                raise SystemExit(
+                    f"{len(args.file)} files for {len(set(refs))} bare "
                     "table name(s) in the statement"
                 )
             tables = dict(zip(refs, args.file))

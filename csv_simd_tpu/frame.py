@@ -773,14 +773,10 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
                        if parts and parts[0][1] is not None else None)
                 return kv, kok
 
-            # lexicographic: stable sorts from the LAST key to the first
-            perm = np.arange(total, dtype=np.int64)
-            for key, d in reversed(list(zip(keys, descs))):
-                kv, kok = _key_vals(key)
-                sub = _host_order_perm(
-                    np.asarray(kv)[perm],
-                    None if kok is None else np.asarray(kok)[perm], d)
-                perm = perm[sub]
+            from .query import _host_multi_order_perm
+
+            perm = _host_multi_order_perm(total, _key_vals,
+                                          zip(keys, descs))
             return out.take(perm if limit is None else perm[:limit])
         if limit is not None:
             return out.take(np.arange(min(limit, total)))

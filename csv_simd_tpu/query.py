@@ -984,6 +984,21 @@ def _host_order_perm(vals, ok, descending: bool) -> np.ndarray:
     return np.concatenate([ok_ids[sub], np.flatnonzero(~ok)])
 
 
+def _host_multi_order_perm(n: int, col_fn, order) -> np.ndarray:
+    """Lexicographic multi-key host ordering: stable single-key sorts
+    composed from the LAST key to the first. `col_fn(key) -> (vals,
+    ok-or-None)`; `order` is [(key, descending)]. Shared by the corpus
+    read path and the SQL join path."""
+    perm = np.arange(n, dtype=np.int64)
+    for key, desc in reversed(list(order)):
+        vals, okm = col_fn(key)
+        sub = _host_order_perm(
+            np.asarray(vals)[perm],
+            None if okm is None else np.asarray(okm)[perm], desc)
+        perm = perm[sub]
+    return perm
+
+
 def order_records(tape, by, *, names=None, schema=None, where=None,
                   records=None, descending: bool = False,
                   limit: Optional[int] = None, dialect=None,

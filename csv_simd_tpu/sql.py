@@ -378,12 +378,18 @@ def _like_leaf(col: str, pat: str):
     core = pat.strip("%")
     if "%" in core:
         raise SqlError("LIKE supports only leading/trailing %")
-    if pat.startswith("%") and pat.endswith("%") and core:
+    if pat == "":
+        return (col, "==", "")
+    if core == "":
+        # '%' (or '%%'): match-all — an empty-needle startswith
+        # matches every decoded field
+        return (col, "startswith", "")
+    if pat.startswith("%") and pat.endswith("%"):
         return (col, "contains", core)
-    if pat.endswith("%") and len(pat) > 1:
-        return (col, "startswith", pat[:-1])
-    if pat.startswith("%") and len(pat) > 1:
-        return (col, "endswith", pat[1:])
+    if pat.endswith("%"):
+        return (col, "startswith", core)
+    if pat.startswith("%"):
+        return (col, "endswith", core)
     return (col, "==", pat)
 
 
@@ -563,16 +569,27 @@ def _order_group_rows(names, columns, order, n: int):
     return np.asarray(idx, np.int64)
 
 
-def _agg_array(g_aggs, col: str, fn: str, row_counts):
+def _agg_array(g_aggs, col: str, fn: str):
+    """One aggregate column of a group result. Groups where every value
+    failed its typed parse (per-column count 0) have sentinel
+    aggregates in the raw dict; surface SQL-NULL-style None (sum/min/
+    max, object arrays) or NaN (mean) instead — consistent with
+    HAVING, whose leaves already treat those groups as never
+    matching."""
+    cnt = np.asarray(g_aggs[col]["count"])
     if fn == "count":
-        return np.asarray(g_aggs[col]["count"]), "int64"
+        return cnt, "int64"
     if fn == "mean":
-        s, c = g_aggs[col]["sum"], g_aggs[col]["count"]
+        s = g_aggs[col]["sum"]
         return (np.array([
-            float(a) / int(b) if b else np.nan for a, b in zip(s, c)
+            float(a) / int(b) if b else np.nan for a, b in zip(s, cnt)
         ]), "float")
     arr = np.asarray(g_aggs[col][fn])
-    return arr, ("float" if arr.dtype == np.float64 else "int64")
+    if (cnt == 0).any():
+        arr = np.array([v if c else None
+                        for v, c in zip(arr.tolist(), cnt)], object)
+    t = "float" if arr.dtype == np.float64 else "int64"
+    return arr, t
 
 
 def _run_groupby(ast: _Ast, src, kw):
@@ -607,8 +624,10 @@ def _run_groupby(ast: _Ast, src, kw):
     sch = kw["schema"] or {}
     key_spec = [sch.get(k) for k in keys]
     if probe_only:
+        # force a numeric probe spec even if the user typed the key as
+        # text: the probe's value aggregates are never read
         value_cols = [keys[0]]
-        value_spec = [sch.get(keys[0]) or "int32"]
+        value_spec = ["int32"]
     else:
         value_spec = [sch.get(v) for v in value_cols]
     g = groupby_typed(
@@ -643,7 +662,7 @@ def _run_groupby(ast: _Ast, src, kw):
         elif it.fn == "count" and it.col is None:
             _add(it.name(), np.asarray(g["count"]), "int64")
         else:
-            arr, t = _agg_array(g["aggs"], it.col, it.fn, g["count"])
+            arr, t = _agg_array(g["aggs"], it.col, it.fn)
             _add(it.name(), arr, t)
     if ast.order_by:
         order = []
@@ -653,7 +672,7 @@ def _run_groupby(ast: _Ast, src, kw):
                 # ORDER BY an aggregate not in the SELECT list
                 arr, t = (np.asarray(g["count"]), "int64") \
                     if (it.fn == "count" and it.col is None) \
-                    else _agg_array(g["aggs"], it.col, it.fn, g["count"])
+                    else _agg_array(g["aggs"], it.col, it.fn)
                 columns[nm] = np.asarray(arr)
             elif nm not in columns:
                 raise SqlError(
@@ -835,6 +854,11 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
         mask = _frame_mask(fr, ast.where, _frame_col)
         fr = fr.take(np.flatnonzero(mask))
     if ast.order_by:
+        for it, _ in ast.order_by:
+            if it.kind != "col":
+                raise SqlError(
+                    "ORDER BY aggregates over a JOIN is not supported"
+                )
         fr = _order_frame(fr, [(_frame_col(it.col), d)
                                for it, d in ast.order_by])
     if ast.limit is not None:
@@ -942,14 +966,8 @@ def _frame_leaf(fr, leaf, resolve) -> np.ndarray:
 
 
 def _order_frame(fr, order):
-    from .query import _host_order_perm
+    from .query import _host_multi_order_perm
 
-    perm = np.arange(len(fr), dtype=np.int64)
-    for name, desc in reversed(order):
-        vals = fr._columns[name][perm]
-        okm = fr._ok[name]
-        sub = _host_order_perm(
-            np.asarray(vals),
-            None if okm is None else np.asarray(okm)[perm], desc)
-        perm = perm[sub]
+    perm = _host_multi_order_perm(
+        len(fr), lambda n: (fr._columns[n], fr._ok[n]), order)
     return fr.take(perm)

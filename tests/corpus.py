@@ -153,6 +153,20 @@ def boundary_cases() -> List[Case]:
                 + b'"\xc2\xac,in quotes",' + pad + b"\n"
                 + b'q,"' + pad + b'\xc2\xac,"\n')
         cases.append(Case(f"hi_bit_mask_{size}", data))
+    # raw-classify garbage containment (round-2-late swar_classify_raw):
+    # the kernels carry garbage outside bit-7 positions between the
+    # classify and the final mask AND. Bytes whose LOW-7 bits equal the
+    # quote (0xA2 = '"'|0x80) or a newline (0x8A = '\n'|0x80) are the
+    # adversarial inputs: only the hoisted high-bit test keeps them
+    # from toggling quote parity / splitting records — in AND out of
+    # quoted spans, at word (4 B) offsets 0..3, across a tile boundary.
+    for size in (62, 63, 64, 65, 4096):
+        pad = b"w" * size
+        data = (b"a,b\n"
+                + b"\xa2\x8a\x8d\xac,plain\n"       # all four, unquoted
+                + b'"\xa2 quoted \x8a",' + pad + b"\n"
+                + b'x\xa2,"span ' + pad + b' \xa2\x8a"\n')
+        cases.append(Case(f"hi_bit_quote_{size}", data))
     return cases
 
 

@@ -848,6 +848,9 @@ def test_cli_groupby_having(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "2 groups" in out          # AA (sum 505), BB (3 rows)
     assert "CC" not in out
+
+
+def test_cli_multi_file_corpus(tmp_path, capsys):
     """Several FILE arguments form one corpus for the analytic cmds.
     Clean table (no bad rows): the point is the corpus plumbing, not
     inference-sample edge cases (those are covered elsewhere)."""

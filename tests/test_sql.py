@@ -214,6 +214,67 @@ def test_schema_override_and_auto():
     assert f2.schema["sym"].type == "str"
 
 
+def test_group_sentinel_aggregates_are_none():
+    # a group whose values ALL failed the typed parse: min/max/sum are
+    # SQL-NULL-ish None, not int32 sentinels (consistent with HAVING)
+    csv = b"sym,qty\nAA,1\nBB,oops\nBB,bad\nAA,3\n"
+    r = sql("SELECT sym, MIN(qty), MAX(qty), SUM(qty) FROM t "
+            "GROUP BY sym ORDER BY sym", csv, schema={"qty": "int32"})
+    assert r["min_qty"].tolist() == [1, None]
+    assert r["max_qty"].tolist() == [3, None]
+    assert r["sum_qty"].tolist() == [4, None]
+    assert np.isnan(sql(
+        "SELECT sym, AVG(qty) FROM t GROUP BY sym ORDER BY sym",
+        csv, schema={"qty": "int32"})["mean_qty"][1])
+
+
+def test_count_star_with_text_key_schema():
+    # COUNT(*)/DISTINCT must not crash when the user typed the key
+    # column as str — the probe value spec is forced numeric
+    csv = b"sym,qty\nAA,1\nBB,2\nAA,3\n"
+    r = sql("SELECT sym, COUNT(*) FROM t GROUP BY sym ORDER BY sym",
+            csv, schema={"sym": "str"})
+    assert list(r["sym"]) == ["AA", "BB"]
+    assert r["count"].tolist() == [2, 1]
+
+
+def test_like_match_all():
+    r = sql("SELECT sym FROM t WHERE sym LIKE '%'", CSV)
+    assert len(r) == len(ROWS)
+    r = sql("SELECT sym FROM t WHERE sym LIKE '%%'", CSV)
+    assert len(r) == len(ROWS)
+
+
+def test_join_order_by_aggregate_raises():
+    with pytest.raises(SqlError, match="ORDER BY aggregates over"):
+        sql("SELECT l.sym FROM l JOIN r ON l.sym = r.sym "
+            "ORDER BY COUNT(*)", tables={"l": LEFT, "r": RIGHT})
+
+
+def test_cli_where_or_value_fallback():
+    # ' or ' inside a VALUE: falls back to one predicate instead of
+    # failing to parse the bogus alternatives
+    from csv_simd_tpu.__main__ import _parse_where
+
+    assert _parse_where(["desc contains red or blue"]) == [
+        ("desc", "contains", "red or blue")
+    ]
+    assert _parse_where(["qty > 1 or sym == A"]) == [
+        ("or", [("qty", ">", "1"), ("sym", "==", "A")])
+    ]
+
+
+def test_cli_sql_self_join_rejected(tmp_path, capsys):
+    from csv_simd_tpu.__main__ import main
+
+    lp, rp = tmp_path / "l.csv", tmp_path / "r.csv"
+    lp.write_bytes(LEFT)
+    rp.write_bytes(RIGHT)
+    with pytest.raises(SystemExit, match="same bare table name"):
+        main(["sql", "SELECT * FROM t JOIN t ON sym = sym",
+              str(lp), str(rp)])
+
+
 def test_cli_sql(tmp_path, capsys):
     from csv_simd_tpu.__main__ import main
 

@@ -44,7 +44,11 @@ def main():
     for seed in (11, 202, 3033):
         rng = np.random.default_rng(seed)
         data = rng.choice(
-            np.frombuffer(b'ab"",\n\rx,z":; \t09', dtype=np.uint8),
+            # includes the raw-classify adversaries: bytes whose low-7
+            # bits equal the quote/newlines/delimiter but with bit 7
+            # set (0xa2 0x8a 0x8d 0xac) must stay non-structural
+            np.frombuffer(b'ab"",\n\rx,z":; \t09\xa2\x8a\x8d\xac\xff',
+                          dtype=np.uint8),
             size=900_000,
         )
         ref = golden.structural_mask(data)
