@@ -54,6 +54,9 @@ def _parse_one_pred(e):
     )
     if m:
         return (_col_key(m.group(1)), m.group(2), m.group(3))
+    m = re.match(r"^\s*(\S+)\s+(isnull|notnull)\s*$", e)
+    if m:
+        return (_col_key(m.group(1)), m.group(2), None)
     m = re.match(r"^\s*(\S+?)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$", e)
     if m:
         return (_col_key(m.group(1)), m.group(2), m.group(3))
@@ -199,8 +202,9 @@ def main(argv=None) -> int:
         "--where", action="append", default=None, metavar="EXPR",
         help="row filter, repeatable (AND): 'col OP value' with OP in "
         "== != < <= > >=, or 'col between LO HI', 'col in A|B|C', "
-        "'col startswith|endswith|contains TEXT'; evaluated on device "
-        "before materialization",
+        "'col startswith|endswith|contains TEXT', 'col isnull|notnull' "
+        "(typed-parse failure); evaluated on device before "
+        "materialization",
     )
     sp.add_argument(
         "--order-by", default=None, metavar="COLS",

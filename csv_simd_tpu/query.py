@@ -24,8 +24,10 @@ device parsers (device_tape.py). Three layers:
 
 Predicate grammar (the `where` argument): a single predicate or a list
 (AND semantics). Each predicate is `(column, op, value)` with op one of
-`== != < <= > >= between in startswith endswith contains`; `between`
-takes `(lo, hi)` inclusive, `in` a list of values. Predicates compose
+`== != < <= > >= between in startswith endswith contains isnull
+notnull`; `between` takes `(lo, hi)` inclusive, `in` a list of values,
+`isnull`/`notnull` test typed-parse failure (value ignored — text
+columns are never null). Predicates compose
 into boolean trees with `("and", [exprs])`, `("or", [exprs])` and
 `("not", expr)`; `not` is a pure set complement, so rows excluded by a
 leaf because their column failed its typed parse ARE selected by the
@@ -54,7 +56,7 @@ from .frame import Col, parse_spec
 _CHUNK = 8192  # 16-bit half sums: 8192 * 65535 < 2**31 — int32-exact
 
 _OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in",
-        "startswith", "endswith", "contains")
+        "startswith", "endswith", "contains", "isnull", "notnull")
 _STR_OPS = ("startswith", "endswith", "contains")
 
 _PY_OPS = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le,
@@ -823,6 +825,19 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
         col = infer_schema(tape, names, columns=[field],
                            sample=sample)[name]
         col_specs[name] = col
+
+    if op in ("isnull", "notnull"):
+        # NULL-ness = typed-parse failure (the layer's missing-data
+        # notion; the predicate's `value` is ignored). Text columns
+        # always materialize, so nothing is null there.
+        n = int(getattr(tape, "num_data_records",
+                        int(tape.record_cnt) - 1))
+        if col.type in ("str", "bytes"):
+            full = np.zeros(n, bool)
+            return full if op == "isnull" else ~full
+        _, ok, _ = _parse_column(tape, field, col, dialect)
+        ok = np.asarray(ok, bool)
+        return ~ok if op == "isnull" else ok
 
     if col.type in ("str", "bytes"):
         if op == "in":

@@ -23,17 +23,19 @@ Supported grammar (case-insensitive keywords):
   'quoted path' / "quoted path" opened as a CSV file.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
   literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' ('abc%' ->
-  startswith, '%abc' -> endswith, '%abc%' -> contains, no '%' ->
-  text equality; '_' wildcards unsupported), combined with
-  NOT / AND / OR and parentheses (standard precedence).
+  startswith, '%abc' -> endswith, '%abc%' -> contains, '%' ->
+  match-all, no '%' -> text equality; '_' wildcards unsupported),
+  col IS [NOT] NULL (NULL = typed-parse failure; over a join also
+  the absent side of an unmatched row), combined with NOT / AND / OR
+  and parentheses (standard precedence).
 - HAVING leaves compare agg(column) or COUNT(*) against numbers.
 
 Semantics follow the underlying layer, not full SQL: rows whose column
 fails its typed parse never satisfy a comparison (SQL NULL-ish), and
 NOT is a pure set complement (query.py's `not`). Aggregate queries
 return a SqlResult (host arrays, exact integer sums); plain selections
-return a Frame. GROUP BY over a JOIN is not supported (join first,
-save, re-query — or aggregate per side before joining).
+return a Frame. GROUP BY / aggregates over a JOIN reduce on host
+over the joined frame (the join itself still runs on device).
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having",
     "order", "limit", "and", "or", "not", "between", "in", "like",
     "as", "asc", "desc", "join", "inner", "left", "right", "full",
-    "outer", "semi", "anti", "on",
+    "outer", "semi", "anti", "on", "is", "null",
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
@@ -331,6 +333,10 @@ class _Parser:
 
     def _leaf(self):
         col = self._colref()
+        if self.accept("kw", "is"):
+            neg = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return (col, "notnull" if neg else "isnull", None)
         negate = bool(self.accept("kw", "not"))
         if self.accept("kw", "between"):
             lo = self._literal()
@@ -638,6 +644,14 @@ def _run_groupby(ast: _Ast, src, kw):
         engine=kw["engine"], backend=kw["backend"],
         dialect=kw["dialect"], sample=kw["sample"],
     )
+    return _groups_to_result(ast, keys, g)
+
+
+def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
+    """Shared assembly: a group-by dict ({"keys","count","aggs"}) +
+    the SELECT items -> SqlResult with ORDER BY/LIMIT applied. Item
+    col names must already match `keys` / the aggs keys."""
+    agg_items = [it for it in ast.items if it.kind == "agg"]
     key_arrays = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
     n = int(np.asarray(g["count"]).shape[0])
 
@@ -698,6 +712,203 @@ def _having_cols(expr):
     for target, _, _ in _where_leaves(expr):
         if "." in target:
             yield target.rsplit(".", 1)[0]
+
+
+def _resolve_having(expr, resolve):
+    """Rewrite having-leaf targets ('col.fn' / qualified 'a.col.fn')
+    onto joined-frame column names."""
+    if expr is None:
+        return None
+    if isinstance(expr, tuple) and len(expr) == 3 \
+            and isinstance(expr[1], str):
+        target, op, lit = expr
+        if target == "count":
+            return expr
+        col, fn = target.rsplit(".", 1)
+        return (f"{resolve(col)}.{fn}", op, lit)
+    if isinstance(expr, tuple) and len(expr) == 2 \
+            and expr[0] in ("and", "or"):
+        return (expr[0], [_resolve_having(e, resolve) for e in expr[1]])
+    if isinstance(expr, tuple) and len(expr) == 2 and expr[0] == "not":
+        return ("not", _resolve_having(expr[1], resolve))
+    raise SqlError(f"bad having expression: {expr!r}")
+
+
+def _frame_codes(fr, keys: List[str]):
+    """Factorize frame key column(s) to one int64 code per row (first
+    key major — group order comes out lexicographic) + combined key
+    validity + a decode back to per-key value arrays."""
+    n = len(fr)
+    kok = np.ones(n, bool)
+    codes = np.zeros(n, np.int64)
+    uniqs = []
+    space = 1
+    for kn in keys:
+        vals = np.asarray(fr._columns[kn])
+        okm = fr._ok[kn]
+        if okm is not None:
+            kok = kok & np.asarray(okm, bool)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        uniqs.append(uniq)
+        space *= max(len(uniq), 1)
+        if space >= 2**62:
+            raise SqlError(
+                "composite GROUP BY key space too large to combine"
+            )
+        codes = codes * max(len(uniq), 1) + inv.astype(np.int64)
+
+    def decode(uk):
+        uk = np.asarray(uk, np.int64)
+        arrs = []
+        rem = uk.copy()
+        for uniq in reversed(uniqs):
+            m = max(len(uniq), 1)
+            arrs.append(uniq[rem % m] if len(uniq)
+                        else np.zeros(0, object))
+            rem = rem // m
+        arrs.reverse()
+        return arrs if len(arrs) > 1 else arrs[0]
+
+    return codes, kok, decode
+
+
+def _frame_scalar_aggs(ast: _Ast, fr, resolve) -> SqlResult:
+    """Aggregates with no GROUP BY over a joined frame: one result
+    row, host reduce with exact integer sums."""
+    if ast.order_by:
+        raise SqlError("ORDER BY is meaningless for a one-row aggregate")
+    names, columns, types = [], {}, {}
+    for it in ast.items:
+        if it.kind != "agg":
+            raise SqlError(
+                f"column {it.col!r} must appear in GROUP BY or inside "
+                "an aggregate"
+            )
+        if it.fn == "count" and it.col is None:
+            val, t = len(fr), "int64"
+        else:
+            c = resolve(it.col)
+            col = fr.schema[c]
+            okm = fr._ok[c]
+            ok = (np.ones(len(fr), bool) if okm is None
+                  else np.asarray(okm, bool))
+            if col.type in ("str", "bytes") and it.fn != "count":
+                raise SqlError(
+                    f"{it.fn}({it.col}) needs a numeric column; "
+                    f"{it.col!r} is text"
+                )
+            if it.fn == "count":
+                val, t = int(ok.sum()), "int64"
+            else:
+                sel = np.asarray(fr._columns[c])[ok]
+                isf = col.type in ("float", "float32")
+                if sel.size == 0:
+                    val = np.nan if it.fn == "mean" else None
+                    t = "float" if isf or it.fn == "mean" else "int64"
+                elif it.fn == "mean":
+                    val, t = float(np.asarray(sel, np.float64).mean()),                         "float"
+                elif isf:
+                    val = float({"sum": np.sum, "min": np.min,
+                                 "max": np.max}[it.fn](sel))
+                    t = "float"
+                else:
+                    ints = [int(v) for v in sel.tolist()]
+                    val = {"sum": sum, "min": min, "max": max}[it.fn](ints)
+                    t = "int64"
+        nm = it.name()
+        if nm in columns:
+            raise SqlError(f"duplicate output column {nm!r} (use AS)")
+        names.append(nm)
+        columns[nm] = np.asarray([val], object)
+        types[nm] = t
+    n = 1 if ast.limit is None else min(1, ast.limit)
+    if n == 0:
+        columns = {nm: columns[nm][:0] for nm in names}
+    return SqlResult(names, columns, types, n)
+
+
+def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
+    """GROUP BY / DISTINCT over a joined frame: host grouping with the
+    same exact reduce the corpus paths use (query._group_multi)."""
+    from .query import _filter_groups, _group_multi, _having_mask
+
+    def _res_item(it: _Item) -> _Item:
+        if it.kind == "star":
+            raise SqlError("SELECT * cannot combine with GROUP BY")
+        return _Item(it.kind,
+                     col=(resolve(it.col) if it.col is not None
+                          else None),
+                     fn=it.fn, alias=it.alias)
+
+    def _res_order(it: _Item) -> _Item:
+        if it.kind == "col":
+            try:
+                return _Item("col", col=resolve(it.col), alias=it.alias)
+            except SqlError:
+                # not a frame column: an output alias (e.g. ORDER BY
+                # tot) — the assembly resolves it against the result
+                return it
+        return _res_item(it)
+
+    ast2 = _Ast()
+    ast2.distinct = ast.distinct
+    ast2.items = [_res_item(it) for it in ast.items]
+    ast2.group_by = [resolve(k) for k in ast.group_by]
+    ast2.having = _resolve_having(ast.having, resolve)
+    ast2.order_by = [(_res_order(it), d) for it, d in ast.order_by]
+    ast2.limit = ast.limit
+
+    keys = ast2.group_by or [it.col for it in ast2.items
+                             if it.kind == "col"]
+    if not keys:
+        raise SqlError("SELECT DISTINCT needs column names")
+    agg_items = []
+    for it in ast2.items:
+        if it.kind == "col" and it.col not in keys:
+            raise SqlError(
+                f"column {it.col!r} must appear in GROUP BY or inside "
+                "an aggregate"
+            )
+        if it.kind == "agg":
+            agg_items.append(it)
+    value_cols: List[str] = []
+    for it in agg_items:
+        if it.col is not None and it.col not in value_cols:
+            value_cols.append(it.col)
+    for col in _having_cols(ast2.having):
+        if col not in value_cols:
+            value_cols.append(col)
+    for it in agg_items:
+        if (it.col is not None
+                and fr.schema[it.col].type in ("str", "bytes")
+                and it.fn != "count"):
+            raise SqlError(
+                f"{it.fn}({it.col}) needs a numeric column; "
+                f"{it.col!r} is text"
+            )
+
+    kv, kok, decode = _frame_codes(fr, keys)
+    values: Dict[str, tuple] = {}
+    for c in value_cols:
+        col = fr.schema[c]
+        okm = fr._ok[c]
+        ok = (np.ones(len(fr), bool) if okm is None
+              else np.asarray(okm, bool))
+        if col.type in ("str", "bytes"):
+            # only COUNT over text (validated above): the values are
+            # never reduced, only their validity is counted
+            values[c] = (np.zeros(len(fr), np.int64), ok, False)
+        else:
+            values[c] = (np.asarray(fr._columns[c]), ok,
+                         col.type in ("float", "float32"))
+    if not values:
+        # COUNT(*)/DISTINCT: ride a dummy value (aggregates unread)
+        values[keys[0]] = (np.zeros(len(fr), np.int64),
+                           np.zeros(len(fr), bool), False)
+    g = _group_multi("host", kv, kok, decode, values)
+    if ast2.having is not None:
+        g = _filter_groups(g, _having_mask(g, ast2.having))
+    return _groups_to_result(ast2, keys, g)
 
 
 def _run_scalar_aggs(ast: _Ast, src, kw):
@@ -788,11 +999,6 @@ def _split_qualified(ref: str, l_alias: str, r_alias: str):
 def _run_join(ast: _Ast, left_src, right_src, kw):
     from .join import join_typed
 
-    if ast.group_by or ast.having is not None or ast.distinct:
-        raise SqlError(
-            "GROUP BY / HAVING / DISTINCT over a JOIN is not supported "
-            "— join first and re-query, or aggregate per side"
-        )
     l_alias = ast.table[1] if ast.table[0] == "name" else "l"
     r_alias = ast.join_table[1] if ast.join_table[0] == "name" else "r"
     if l_alias == r_alias:
@@ -853,6 +1059,15 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
     if ast.where is not None:
         mask = _frame_mask(fr, ast.where, _frame_col)
         fr = fr.take(np.flatnonzero(mask))
+    has_agg = any(it.kind == "agg" for it in ast.items)
+    if ast.group_by or (ast.distinct and not has_agg):
+        return _run_join_groupby(ast, fr, _frame_col)
+    if has_agg:
+        if ast.having is not None:
+            raise SqlError("HAVING needs GROUP BY")
+        return _frame_scalar_aggs(ast, fr, _frame_col)
+    if ast.having is not None:
+        raise SqlError("HAVING needs GROUP BY")
     if ast.order_by:
         for it, _ in ast.order_by:
             if it.kind != "col":
@@ -865,11 +1080,6 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
         fr = fr.take(np.arange(min(ast.limit, len(fr))))
     star = any(it.kind == "star" for it in ast.items)
     if not star:
-        for it in ast.items:
-            if it.kind == "agg":
-                raise SqlError(
-                    "aggregates over a JOIN are not supported"
-                )
         sel = [_frame_col(it.col) for it in ast.items]
         out_names = [it.alias or s for it, s in zip(ast.items, sel)]
         from .frame import Frame
@@ -926,6 +1136,10 @@ def _frame_leaf(fr, leaf, resolve) -> np.ndarray:
     vals = fr._columns[name]
     okm = fr._ok[name]
     ok = np.ones(len(fr), bool) if okm is None else np.asarray(okm, bool)
+    if op in ("isnull", "notnull"):
+        # over a join, absent-side rows are not-ok too — IS NULL sees
+        # both parse failures and unmatched rows, like SQL
+        return ~ok if op == "isnull" else ok
     if col.type in ("str", "bytes"):
         txt = [v if isinstance(v, str)
                else v.decode("utf-8", "surrogateescape") for v in vals]

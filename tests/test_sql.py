@@ -172,8 +172,8 @@ def test_errors():
         sql("SELECT sym FROM t HAVING COUNT(*) > 1", CSV)
     with pytest.raises(SqlError, match="must appear in GROUP BY"):
         sql("SELECT sym, qty FROM t GROUP BY sym", CSV, schema=S)
-    with pytest.raises(SqlError, match="GROUP BY / HAVING / DISTINCT"):
-        sql("SELECT sym FROM l JOIN r ON l.sym = r.sym GROUP BY sym",
+    with pytest.raises(SqlError, match="must appear in GROUP BY"):
+        sql("SELECT qty FROM l JOIN r ON l.sym = r.sym GROUP BY sym",
             tables={"l": LEFT, "r": RIGHT})
     with pytest.raises(SqlError, match="not in `tables`"):
         sql("SELECT * FROM nope JOIN r ON nope.a = r.b",
@@ -212,6 +212,70 @@ def test_schema_override_and_auto():
                     columns=["sym", "qty"])
     assert f2.names == ["sym", "qty"]
     assert f2.schema["sym"].type == "str"
+
+
+def test_is_null():
+    fr = sql("SELECT sym FROM t WHERE qty IS NULL", CSV, schema=S)
+    assert [str(s) for s in fr["sym"]] == [r[0] for r in ROWS
+                                           if _qty(r) is None]
+    fr = sql("SELECT sym FROM t WHERE qty IS NOT NULL AND qty < 0",
+             CSV, schema=S)
+    assert [str(s) for s in fr["sym"]] == [
+        r[0] for r in ROWS if _qty(r) is not None and _qty(r) < 0
+    ]
+    # text columns are never null
+    fr = sql("SELECT sym FROM t WHERE sym IS NULL", CSV)
+    assert len(fr) == 0
+    # over a join: the absent side of an unmatched row IS NULL
+    fr = sql("SELECT sym FROM l LEFT JOIN r ON sym = sym "
+             "WHERE price IS NULL", tables={"l": LEFT, "r": RIGHT})
+    assert [str(s) for s in fr["sym"]] == ["ZZZZ"]
+    # predicate-layer op directly
+    from csv_simd_tpu import select_records
+    from csv_simd_tpu.frame import _resolve_tape
+
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    got = select_records(tape, ("qty", "isnull", None), names=names,
+                         schema={"qty": "int32"})
+    assert got.tolist() == [i for i, r in enumerate(ROWS)
+                            if _qty(r) is None]
+
+
+JL = b"sym,qty\nAAPL,10\nMSFT,20\nZZZZ,30\nAAPL,40\nMSFT,x\n"
+JR = b"sym,price\nMSFT,2.50\nAAPL,1.25\nXXXX,0.01\n"
+
+
+def test_join_group_by_and_aggregates():
+    t = {"l": JL, "r": JR}
+    s = {"qty": "int32"}
+    r = sql("SELECT l.sym, COUNT(*), SUM(qty) AS tot, MIN(price) "
+            "FROM l JOIN r ON l.sym = r.sym GROUP BY l.sym "
+            "ORDER BY tot DESC", tables=t, schema=s)
+    assert list(r["sym"]) == ["AAPL", "MSFT"]
+    assert r["count"].tolist() == [2, 2]
+    assert r["tot"].tolist() == [50, 20]      # MSFT's 'x' row is null
+    assert r["min_price"].tolist() == [125, 250]
+    # HAVING over the join, per-column COUNT with a left join
+    r = sql("SELECT l.sym, COUNT(price) FROM l LEFT JOIN r "
+            "ON l.sym = r.sym GROUP BY l.sym "
+            "HAVING COUNT(*) >= 1 ORDER BY sym", tables=t, schema=s)
+    assert list(r["sym"]) == ["AAPL", "MSFT", "ZZZZ"]
+    assert r["count_price"].tolist() == [2, 2, 0]
+    # scalar aggregates and DISTINCT over the join
+    r = sql("SELECT COUNT(*), SUM(qty), AVG(qty) FROM l JOIN r "
+            "ON l.sym = r.sym", tables=t, schema=s)
+    assert [r[n][0] for n in r.names][:2] == [4, 70]
+    assert r["mean_qty"][0] == pytest.approx(70 / 3)
+    r = sql("SELECT DISTINCT l.sym FROM l JOIN r ON l.sym = r.sym "
+            "ORDER BY sym", tables=t)
+    assert list(r["sym"]) == ["AAPL", "MSFT"]
+
+
+def test_join_group_by_text_agg_rejected():
+    t = {"l": JL, "r": JR}
+    with pytest.raises(SqlError, match="needs a numeric column"):
+        sql("SELECT l.sym, SUM(r.sym) FROM l JOIN r ON l.sym = r.sym "
+            "GROUP BY l.sym", tables=t)
 
 
 def test_group_sentinel_aggregates_are_none():
