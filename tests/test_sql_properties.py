@@ -1,0 +1,73 @@
+"""Property test: the SQL where-grammar round-trips onto the predicate
+tree grammar — rendering a random tree to SQL text and executing it
+selects exactly the rows the tree selects directly."""
+
+import hypothesis.strategies as st
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+
+from csv_simd_tpu.frame import _resolve_tape
+from csv_simd_tpu.query import select_records
+from csv_simd_tpu.sql import sql
+
+CSV = (b"sym,qty\n" + b"".join(
+    f"{s},{q}\n".encode()
+    for i, (s, q) in enumerate(
+        (("AAPL", "MSFT", "GOOG", "AA PL")[i % 4],
+         ((-1) ** i) * ((i * 13) % 50)) for i in range(60)
+    )
+))
+
+SYMS = ("AAPL", "MSFT", "GOOG", "AA PL", "NOPE")
+
+_leaf = st.one_of(
+    st.tuples(st.just("qty"),
+              st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+              st.integers(-60, 60)),
+    st.tuples(st.just("sym"), st.just("=="), st.sampled_from(SYMS)),
+    st.builds(lambda a, b: ("qty", "between", (min(a, b), max(a, b))),
+              st.integers(-60, 60), st.integers(-60, 60)),
+    st.builds(lambda vs: ("qty", "in", vs),
+              st.lists(st.integers(-60, 60), min_size=1, max_size=3)),
+)
+
+_tree = st.recursive(
+    _leaf,
+    lambda children: st.one_of(
+        st.builds(lambda es: ("and", es),
+                  st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda es: ("or", es),
+                  st.lists(children, min_size=1, max_size=3)),
+        st.builds(lambda e: ("not", e), children),
+    ),
+    max_leaves=6,
+)
+
+
+def _render(expr) -> str:
+    if isinstance(expr, tuple) and len(expr) == 3 \
+            and isinstance(expr[1], str):
+        col, op, v = expr
+        if op == "between":
+            return f"{col} BETWEEN {v[0]} AND {v[1]}"
+        if op == "in":
+            return f"{col} IN ({', '.join(str(x) for x in v)})"
+        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+        return f"{col} {sql_op} {lit}"
+    if expr[0] in ("and", "or"):
+        glue = f" {expr[0].upper()} "
+        return "(" + glue.join(_render(e) for e in expr[1]) + ")"
+    return f"NOT ({_render(expr[1])})"
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_tree)
+def test_where_tree_roundtrip(tree):
+    tape, names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    want = select_records(tape, tree, names=names,
+                          schema={"qty": "int32"}).tolist()
+    fr = sql(f"SELECT sym FROM t WHERE {_render(tree)}", CSV,
+             schema={"qty": "int32", "sym": "str"})
+    assert fr.records.tolist() == want
