@@ -126,3 +126,27 @@ def test_join_sharded_left_side(setup):
     f_sh = join_typed(spt, dim, "sym", columns=["id", "sym", "qty"])
     _assert_frames_equal(f_dev, f_sh)
     assert "sector" in f_sh.names
+
+
+def test_sql_over_sharded_tapes(setup):
+    """The SQL front-end runs over mesh-sharded tapes unchanged — the
+    whole statement executes where the shards live, matching the
+    single-device result."""
+    from csv_simd_tpu.sql import sql
+
+    data, dev, spt, st_ = setup
+    q = ("SELECT sym, COUNT(*), SUM(qty) AS tot FROM t "
+         "WHERE qty > 0 GROUP BY sym HAVING COUNT(*) >= 5 "
+         "ORDER BY tot DESC")
+    r_dev = sql(q, dev)
+    r_sh = sql(q, spt)
+    r_st = sql(q, st_)
+    for r in (r_sh, r_st):
+        assert list(r_dev["sym"]) == list(r["sym"])
+        assert r_dev["count"].tolist() == r["count"].tolist()
+        assert r_dev["tot"].tolist() == r["tot"].tolist()
+    f_dev = sql("SELECT id, qty FROM t WHERE sym = 'TSLA' "
+                "ORDER BY qty DESC LIMIT 7", dev)
+    f_sh = sql("SELECT id, qty FROM t WHERE sym = 'TSLA' "
+               "ORDER BY qty DESC LIMIT 7", spt)
+    _assert_frames_equal(f_dev, f_sh)
