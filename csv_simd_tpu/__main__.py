@@ -13,10 +13,18 @@ The reference's binary is a stub that prints "not required"
       # typed batch export (read_typed): schema inferred when omitted
   python -m csv_simd_tpu index FILE -o OUT.npz     # build + save artifact
   python -m csv_simd_tpu serve FILE --from-index OUT.npz RECORD FIELD
+  python -m csv_simd_tpu stats FILE COL            # device aggregates
+  python -m csv_simd_tpu describe FILE             # per-column summary
+  python -m csv_simd_tpu groupby FILE KEY VALUE [--having EXPR]
+  python -m csv_simd_tpu values FILE COL           # value_counts
+  python -m csv_simd_tpu join LEFT RIGHT ON [--how inner|left|right|
+      outer|semi|anti]
+  python -m csv_simd_tpu sql "SELECT ... FROM t ..." FILE [FILE2]
+  python -m csv_simd_tpu json-index FILE           # JSON experiment
 
-The analytic commands (stats, groupby, values, frame) accept SEVERAL
-files: they form one logical corpus (CsvCorpus) and aggregate per file
-with an associative combine, e.g.
+The analytic commands (stats, describe, groupby, values, frame) accept
+SEVERAL files: they form one logical corpus (CsvCorpus) and aggregate
+per file with an associative combine, e.g.
   python -m csv_simd_tpu stats part1.csv part2.csv qty
   python -m csv_simd_tpu groupby part*.csv sym qty
 

@@ -157,14 +157,20 @@ class CorpusTape(TypedColumnsMixin):
         out = np.zeros((n, max_len), np.uint8)
         lengths = np.zeros(n, np.int32)
         valid = np.zeros(n, bool)
+        # dispatch every per-file gather first, collect after: device
+        # work overlaps across files and the host pays ~one readback
+        # round-trip instead of one per file (the tunnel's RTT is the
+        # cost driver on this rig)
+        launched = []
         for i, dt in enumerate(self._dev):
             s, e = int(self._starts[i]), int(self._starts[i + 1])
             m = (recs >= s) & (recs < e)
             if not m.any():
                 continue
-            o, ln, v = dt.gather_fields(
+            launched.append((m, dt.gather_fields(
                 (recs[m] - s).astype(np.int32), flds[m], max_len
-            )
+            )))
+        for m, (o, ln, v) in launched:
             out[m] = np.asarray(o)
             lengths[m] = np.asarray(ln)
             valid[m] = np.asarray(v)

@@ -131,6 +131,26 @@ def stage1_words(
     return np.asarray(words), arr.size, int(par)
 
 
+def extract_offsets_from_packed(packed_np: np.ndarray, tile: int,
+                                n_bytes: int, base: int = 0) -> np.ndarray:
+    """Fold-layout packed words -> ascending int64 ABSOLUTE structural
+    offsets (no sentinel): the multithreaded native extractor when
+    available, NumPy unpack + flatnonzero otherwise. The one extraction
+    fallback shared by build_index and the streaming drain."""
+    from .ops.stage1_v3 import unpack_packed_host
+
+    try:
+        from . import native
+
+        if native.available():
+            return native.extract_offsets_v3(packed_np, tile, n_bytes,
+                                             base=base)
+    except Exception:
+        pass  # no native build: fall through to the NumPy unpack
+    mask = unpack_packed_host(packed_np, n_bytes, tile=tile)
+    return np.flatnonzero(mask).astype(np.int64) + base
+
+
 def build_index(
     data: bytes | np.ndarray,
     dialect: Dialect = DEFAULT_DIALECT,
@@ -170,11 +190,7 @@ def build_index(
         return golden.structural_index(arr, dialect)
     if backend in ("pallas", "jnp"):
         from .ops.stage1_v2 import pad_to_words
-        from .ops.stage1_v3 import (
-            stage1_fused,
-            stage1_swar_xla,
-            unpack_packed_host,
-        )
+        from .ops.stage1_v3 import stage1_fused, stage1_swar_xla
 
         w2d = jnp.asarray(pad_to_words(arr))
         if backend == "pallas":
@@ -184,17 +200,9 @@ def build_index(
         else:
             packed, _par = stage1_swar_xla(w2d, 0, dialect)
         tile = min(512, w2d.shape[0])
-        packed_np = np.asarray(packed)
-        try:
-            from . import native
-
-            if native.available():
-                offsets = native.extract_offsets_v3(packed_np, tile, arr.size)
-                return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
-        except Exception:
-            pass  # fall through to the NumPy unpack
-        mask = unpack_packed_host(packed_np, arr.size, tile=tile)
-    offsets = np.flatnonzero(mask).astype(np.int64)
+        offsets = extract_offsets_from_packed(
+            np.asarray(packed), tile, arr.size
+        )
     return np.concatenate([np.zeros(1, dtype=np.int64), offsets])
 
 

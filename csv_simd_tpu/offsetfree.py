@@ -128,6 +128,32 @@ def _serve(data, words2d, cum_incl, records, fields, jump, field_cnt,
     return out, lengths, valid
 
 
+_PREFIX_JIT = None
+
+
+def _prefix_jit(packed):
+    """One module-level jit of prefix_for_packed: a fresh jax.jit per
+    tape construction would re-trace (and, through the tunnel,
+    re-compile) every time."""
+    global _PREFIX_JIT
+    if _PREFIX_JIT is None:
+        _PREFIX_JIT = jax.jit(prefix_for_packed)
+    return _PREFIX_JIT(packed)
+
+
+def packed_seq_meta(header, n_bytes: int, fingerprint: str) -> dict:
+    """The packed_seq artifact meta dict — the ONE builder shared by
+    PackedDeviceTape.save and ShardedPackedTape.save, so the two
+    writers of the common format cannot drift apart."""
+    return dict(
+        magic="csv-simd-tpu-index", version=1, encoding="packed_seq",
+        names=header.names, new_line=header.new_line.value,
+        field_cnt=header.field_cnt, delimiter=header.delimiter,
+        record_offset=header.record_offset, n_bytes=n_bytes,
+        fingerprint=fingerprint,
+    )
+
+
 class PackedDeviceTape(TypedColumnsMixin):
     """Device tape whose index is the sequential packed bitmask + word
     popcount prefix — built at scan speed, no compaction pass. The whole
@@ -163,7 +189,7 @@ class PackedDeviceTape(TypedColumnsMixin):
         else:
             packed, _par = stage1_seq_xla(w2d, 0, dialect)
             self.nonascii_count = None
-        self.cum_incl = jax.jit(prefix_for_packed)(packed)
+        self.cum_incl = _prefix_jit(packed)
         self.words = packed  # (rows, 16)
         self.data = jnp.asarray(arr)
         if validate_utf8:
@@ -208,13 +234,8 @@ class PackedDeviceTape(TypedColumnsMixin):
 
         from .artifact import _fingerprint
 
-        h = self.header
-        meta = dict(
-            magic="csv-simd-tpu-index", version=1, encoding="packed_seq",
-            names=h.names, new_line=h.new_line.value, field_cnt=h.field_cnt,
-            delimiter=h.delimiter, record_offset=h.record_offset,
-            n_bytes=self.n_bytes,
-            fingerprint=_fingerprint(np.asarray(self.data)),
+        meta = packed_seq_meta(
+            self.header, self.n_bytes, _fingerprint(np.asarray(self.data))
         )
         np.savez_compressed(
             path,
@@ -260,8 +281,9 @@ class PackedDeviceTape(TypedColumnsMixin):
         )
         packed = jnp.asarray(z["packed"])
         self.words = packed
-        self.cum_incl = jax.jit(prefix_for_packed)(packed)
+        self.cum_incl = _prefix_jit(packed)
         self.data = jnp.asarray(arr)
+        self.nonascii_count = None  # not recorded in the artifact
         count = int(self.cum_incl[-1])
         jump = self.header.field_cnt + (
             1 if self.header.new_line is NewLine.CRLF else 0

@@ -26,6 +26,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..device_tape import TypedColumnsMixin, _gather_fields
 from .sharded import AXIS
 
+_PREFIX_JIT = None
+
+
+def _prefix_jit(packed):
+    """One module-level jit of prefix_for_packed: a fresh jax.jit per
+    tape construction would re-trace (and re-compile through the
+    tunnel) every time."""
+    global _PREFIX_JIT
+    if _PREFIX_JIT is None:
+        from ..offsetfree import prefix_for_packed
+
+        _PREFIX_JIT = jax.jit(prefix_for_packed)
+    return _PREFIX_JIT(packed)
+
 
 class ShardedTape(TypedColumnsMixin):
     """Serving over mesh-sharded bytes + replicated index. Typed
@@ -39,8 +53,10 @@ class ShardedTape(TypedColumnsMixin):
         n_shards = mesh.devices.size
         pad = (-len(data)) % n_shards
         padded = np.concatenate([data, np.zeros(pad, np.uint8)]) if pad else data
+        # device_put of the HOST array with a sharding transfers
+        # shard-wise (no full staging on one device)
         self.data = jax.device_put(
-            jnp.asarray(padded), NamedSharding(mesh, P(AXIS))
+            np.ascontiguousarray(padded), NamedSharding(mesh, P(AXIS))
         )
         idx_host = np.asarray(index)
         if idx_host.size and int(idx_host[-1]) >= 2**31:
@@ -49,7 +65,7 @@ class ShardedTape(TypedColumnsMixin):
                 "need the offsets-free ShardedPackedTape"
             )
         self.index = jax.device_put(
-            jnp.asarray(idx_host.astype(np.int32)),
+            idx_host.astype(np.int32),
             NamedSharding(mesh, P()),
         )
         self.jump = jnp.int32(jump)
@@ -176,16 +192,6 @@ def _serve_packed_sharded(data, words, cum, records, fields, jump,
     return fn(data, words, cum, records, fields, jump, field_cnt, record_cnt)
 
 
-def _packed_seq_meta(header, n_bytes, fingerprint):
-    return dict(
-        magic="csv-simd-tpu-index", version=1, encoding="packed_seq",
-        names=header.names, new_line=header.new_line.value,
-        field_cnt=header.field_cnt, delimiter=header.delimiter,
-        record_offset=header.record_offset, n_bytes=n_bytes,
-        fingerprint=fingerprint,
-    )
-
-
 class ShardedPackedTape(TypedColumnsMixin):
     """Offsets-free serving over a mesh: the packed seq bitmask AND the
     bytes stay sharded row-wise on the devices that own them; only the
@@ -205,7 +211,6 @@ class ShardedPackedTape(TypedColumnsMixin):
 
         from ..config import DEFAULT_DIALECT
         from ..errors import InvalidCsvFormat
-        from ..offsetfree import prefix_for_packed
         from ..tape import Header, NewLine
         from .sharded import pad_words_for_mesh, sharded_stage1
 
@@ -232,28 +237,38 @@ class ShardedPackedTape(TypedColumnsMixin):
                 f"addressing: {rows * 512 / 2**30:.1f} GiB over {n_shards} "
                 "shard(s) — use a larger mesh"
             )
-        w_dev = _jax.device_put(
-            jnp.asarray(w2d), NamedSharding(mesh, P(AXIS, None))
-        )
-        packed, _c, _ce, total, _par = sharded_stage1(
+        # device_put of HOST arrays with a sharding transfers shard-wise
+        # (staging via jnp.asarray would materialize the full input on
+        # one device first — the very limit this class exists to pass)
+        w_dev = _jax.device_put(w2d, NamedSharding(mesh, P(AXIS, None)))
+        out = sharded_stage1(
             w_dev, 0, mesh, dialect, use_pallas=use_pallas,
             interpret=interpret, layout="seq",
+            count_nonascii=validate_utf8,
         )
+        if validate_utf8:
+            packed, counts, _ce, _total, _par, na = out
+        else:
+            (packed, counts, _ce, _total, _par), na = out, None
         self.words = packed  # (rows, 16) sharded P(AXIS, None)
         # replicated row prefix: 1 int32 per 512 input bytes
         self.cum_incl = _jax.device_put(
-            jax.jit(prefix_for_packed)(packed), NamedSharding(mesh, P())
+            _prefix_jit(packed), NamedSharding(mesh, P())
         )
         datap = np.zeros(rows * 512, np.uint8)
         datap[: arr.size] = arr
         self.data = _jax.device_put(
-            jnp.asarray(datap), NamedSharding(mesh, P(AXIS))
+            datap, NamedSharding(mesh, P(AXIS))
         )
-        count = int(total)
-        if count < 0:
+        # per-shard counts each fit int32 (shards < 2 GiB); the TOTAL
+        # sums in int64 on host — the int32 psum could wrap past 2^32
+        # structural entries and slip the old `count < 0` guard
+        count = int(np.asarray(counts).astype(np.int64).sum())
+        if count >= 2**31:
             raise ValueError(
-                "structural count overflows int32 (> ~2.1e9 entries); "
-                "split the corpus across files (corpus_api.CsvCorpus)"
+                "structural count >= 2^31: the replicated row prefix "
+                "and slot math are int32 — split the corpus across "
+                "files (corpus_api.CsvCorpus)"
             )
         jump = self.header.field_cnt + (
             1 if self.header.new_line is NewLine.CRLF else 0
@@ -271,10 +286,21 @@ class ShardedPackedTape(TypedColumnsMixin):
         self.mesh = mesh
         self.shard_rows = rows // n_shards
         if validate_utf8:
-            from ..ops.utf8 import validate_utf8_device
+            # the fused per-shard high-bit counts are free with the
+            # scan: pure-ASCII corpora (the common case) skip the full
+            # check entirely. Non-ASCII corpora validate on HOST — the
+            # device validator expands ~4-10x in HBM over the full
+            # un-sharded input, which is exactly what this class's
+            # inputs cannot afford.
+            na_total = int(np.asarray(na).astype(np.int64).sum())
+            self.nonascii_count = na_total
+            if na_total > 0:
+                from ..ops.utf8 import validate_utf8 as _utf8_host
 
-            if not validate_utf8_device(arr):
-                raise InvalidCsvFormat("input is not valid UTF-8")
+                if not _utf8_host(arr):
+                    raise InvalidCsvFormat("input is not valid UTF-8")
+        else:
+            self.nonascii_count = None
 
     def gather_fields(self, records, fields, max_len: int = 64):
         return _serve_packed_sharded(
@@ -293,8 +319,10 @@ class ShardedPackedTape(TypedColumnsMixin):
 
         from ..artifact import _fingerprint
 
+        from ..offsetfree import packed_seq_meta
+
         data_host = np.asarray(self.data)[: self.n_bytes]
-        meta = _packed_seq_meta(
+        meta = packed_seq_meta(
             self.header, self.n_bytes, _fingerprint(data_host)
         )
         np.savez_compressed(

@@ -65,20 +65,31 @@ def _exclusive_scan_axis(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 
 def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int,
-              interpret: bool = False, layout: str = "fold"):
+              interpret: bool = False, layout: str = "fold",
+              count_nonascii: bool = False):
     # phase A: local parity + exclusive XOR-scan across shards
     local_par = _local_parity(w, dialect)
     carry = (_exclusive_scan_axis(local_par, AXIS) + carry0[0]) & 1
     # phase B: full stage-1 with the carried parity
     tile = min(row_tile, w.shape[0])
+    # -1 = not counted (derived from local_par so the value is
+    # device-varying, matching its P(AXIS) out_spec under the checker)
+    na = local_par * 0 - 1
     if layout == "seq":
         if use_pallas:
-            packed, _par, _na = stage1_fused_v4(
+            # the fused high-bit reduce costs ~3% — only pay when the
+            # caller wants it (validate_utf8)
+            packed, _par, na = stage1_fused_v4(
                 w, carry, dialect, row_tile=tile, interpret=interpret,
-                vma=(AXIS,),
+                vma=(AXIS,), count_nonascii=count_nonascii,
             )
         else:
             packed, _ = stage1_seq_xla(w, carry, dialect)
+            if count_nonascii:
+                na = jnp.sum(
+                    jax.lax.population_count(w & jnp.int32(-0x7F7F7F80)),
+                    dtype=jnp.int32,
+                )
     elif use_pallas:
         packed, _ = stage1_fused(
             w, carry, dialect, row_tile=tile, interpret=interpret,
@@ -91,13 +102,14 @@ def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int,
     count_excl = _exclusive_scan_axis(count, AXIS)
     total = jax.lax.psum(count, AXIS)
     parity_out = (jax.lax.psum(local_par, AXIS) + carry0[0]) & 1
-    return packed, count[None], count_excl[None], total[None], parity_out[None]
+    return (packed, count[None], count_excl[None], total[None],
+            parity_out[None], jnp.asarray(na).reshape(1))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "dialect", "use_pallas", "row_tile", "interpret",
-                     "layout"),
+                     "layout", "count_nonascii"),
 )
 def sharded_stage1(
     w2d: jnp.ndarray,
@@ -108,28 +120,36 @@ def sharded_stage1(
     row_tile: int = 512,
     interpret: bool = False,
     layout: str = "fold",
+    count_nonascii: bool = False,
 ):
     """Sharded stage-1 over a 1-D mesh: (rows, 128) int32 byte-quad words,
     rows divisible by n_shards*8.
 
     Returns (packed words sharded (rows//8, 128), per-shard counts (n,),
-    per-shard exclusive count offsets (n,), total count, parity_out)."""
+    per-shard exclusive count offsets (n,), total count, parity_out).
+    With count_nonascii=True ('seq' layout only) a 6th element holds the
+    PER-SHARD high-bit byte counts (n,) — sum them in int64 on host; the
+    int32 psum'd `total` can wrap for >2^31 structural entries, so
+    callers near that scale should likewise sum the per-shard counts."""
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     fn = shard_map(
         functools.partial(
             _shard_fn, dialect=dialect, use_pallas=use_pallas,
             row_tile=row_tile, interpret=interpret, layout=layout,
+            count_nonascii=count_nonascii,
         ),
         mesh=mesh,
         in_specs=(P(AXIS, None), P()),
-        out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(), P(), P(AXIS)),
         # the vma checker stays ON for the compiled kernel (its out_shape
         # carries vma=(AXIS,)) and for the jnp path; only the Pallas HLO
         # interpreter can't propagate vma through in-kernel literals yet
         # (JAX suggests this exact workaround for interpret mode)
         check_vma=not (use_pallas and interpret),
     )
-    packed, counts, count_excl, total, parity = fn(w2d, carry_arr)
+    packed, counts, count_excl, total, parity, na = fn(w2d, carry_arr)
+    if count_nonascii:
+        return packed, counts, count_excl, total[0], parity[0], na
     return packed, counts, count_excl, total[0], parity[0]
 
 
@@ -178,7 +198,10 @@ def build_index_sharded(
         interpret = use_pallas and not on_tpu
     w2d = pad_words_for_mesh(arr, n_shards)
     sharding = NamedSharding(mesh, P(AXIS, None))
-    w_dev = jax.device_put(jnp.asarray(w2d), sharding)
+    # device_put of the HOST array with a sharding transfers shard-wise
+    # (staging through jnp.asarray would materialize the whole input on
+    # one device first, defeating >single-HBM builds)
+    w_dev = jax.device_put(w2d, sharding)
     packed, _c, _ce, _total, _par = sharded_stage1(
         w_dev, 0, mesh, dialect, use_pallas=use_pallas, interpret=interpret
     )

@@ -175,24 +175,14 @@ class StreamingIndexBuilder:
             self._drain_one()
 
     def _drain_one(self) -> None:
-        from .ops.stage1_v3 import unpack_packed_host
+        from .index import extract_offsets_from_packed
 
         packed, n, base, tile = self._pending.pop(0)
-        packed_np = np.asarray(packed)
-        try:
-            from . import native
-
-            if native.available():
-                local = native.extract_offsets_v3(packed_np, tile, n, base=base)
-                if local.size:
-                    self._parts.append(local)
-                return
-        except Exception:
-            pass
-        mask = unpack_packed_host(packed_np, n, tile=tile)
-        local = np.flatnonzero(mask).astype(np.int64)
+        local = extract_offsets_from_packed(
+            np.asarray(packed), tile, n, base=base
+        )
         if local.size:
-            self._parts.append(local + base)
+            self._parts.append(local)
 
     def _drain_all(self) -> None:
         while self._pending:

@@ -187,3 +187,32 @@ def test_sharded_packed_gather_decoded(packed_setup):
     out, ln, v = st.gather_decoded(recs, flds, max_len=48)
     vals = st.to_host_lists(out, ln, v)
     assert vals == [view.seek_field(int(r), int(f)) for r, f in zip(recs, flds)]
+
+
+def test_sharded_packed_validate_utf8():
+    """validate_utf8 on the sharded tape: per-shard fused high-bit
+    counts gate a HOST validation pass (the full device validator
+    would blow up HBM on exactly the >HBM corpora this class serves).
+    ASCII corpora skip the pass; valid UTF-8 passes; invalid raises."""
+    from csv_simd_tpu.errors import InvalidCsvFormat
+    from csv_simd_tpu.parallel.serving import ShardedPackedTape
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(4)
+    ascii_csv = b"a,b\n1,2\n3,4\n"
+    t = ShardedPackedTape(ascii_csv, mesh, validate_utf8=True)
+    assert t.nonascii_count == 0
+    utf8_csv = "a,b\nschön,2\nnaïve,4\n".encode()
+    t = ShardedPackedTape(utf8_csv, mesh, validate_utf8=True)
+    assert t.nonascii_count == 4  # two 2-byte sequences
+    o, ln, v = t.gather_fields(np.array([0], np.int32),
+                               np.array([0], np.int32))
+    raw = bytes(np.asarray(o)[0][: int(ln[0])])
+    assert raw.decode() == "schön"
+    bad = b"a,b\n\xff\xfe,2\n3,4\n"
+    with pytest.raises(InvalidCsvFormat, match="not valid UTF-8"):
+        ShardedPackedTape(bad, mesh, validate_utf8=True)
+    # without the flag nothing is counted or checked
+    t = ShardedPackedTape(bad, mesh)
+    assert t.nonascii_count is None
