@@ -19,6 +19,7 @@ import os
 
 from .errors import IoError
 from .tape import Header, Tape
+from .utils import as_u8
 
 
 def _build_index(data: bytes, dialect, backend: str):
@@ -47,11 +48,7 @@ def _check_utf8(data) -> None:
     from .errors import InvalidCsvFormat
     from .ops import utf8
 
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     try:
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     except Exception:

@@ -111,7 +111,13 @@ def load_tape(path: str | os.PathLike, data: bytes) -> Tape:
     try:
         z = np.load(path, allow_pickle=False)
     except OSError as e:
-        raise IoError(str(e)) from e
+        # np.savez_compressed appends '.npz' to suffix-less paths, so a
+        # round-trip with the same path string must look there too
+        p = os.fspath(path)
+        if not p.endswith(".npz") and os.path.exists(p + ".npz"):
+            z = np.load(p + ".npz", allow_pickle=False)
+        else:
+            raise IoError(str(e)) from e
     meta = _load_meta(z)
     if meta["n_bytes"] != len(data) or meta["fingerprint"] != _fingerprint(data):
         raise InvalidState(

@@ -24,6 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .utils import as_u8
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
@@ -208,9 +209,16 @@ class TypedColumnsMixin:
         """Record ids whose `field` equals `value` exactly (byte compare
         on device). Returns a host int32 array of record indices (ids
         from `records` when given, else global)."""
+        if len(value) > max_len:
+            # a truncated needle would compare equal to any field that
+            # merely shares the gathered window prefix + true length
+            raise ValueError(
+                f"filter_equals value is {len(value)} bytes but "
+                f"max_len={max_len}; pass max_len >= len(value)"
+            )
         out, lengths, valid = self._column_gather(field, max_len, records)
         v = np.zeros(max_len, dtype=np.uint8)
-        raw = np.frombuffer(value, dtype=np.uint8)[:max_len]
+        raw = np.frombuffer(value, dtype=np.uint8)
         v[: raw.size] = raw
         hits = np.flatnonzero(
             np.asarray(_filter_equals(out, lengths, valid,
@@ -252,11 +260,7 @@ class DeviceTape(TypedColumnsMixin):
     @classmethod
     def from_tape(cls, tape) -> "DeviceTape":
         raw = tape.data_bytes
-        host = (
-            np.frombuffer(raw, dtype=np.uint8)
-            if isinstance(raw, (bytes, bytearray, memoryview))
-            else np.asarray(raw, dtype=np.uint8)
-        )
+        host = as_u8(raw)
         data = jnp.asarray(host)
         return cls(
             data, np.asarray(tape.index),
@@ -312,20 +316,32 @@ def _to_host_lists(out, lengths, valid, allow_truncated=False) -> list:
     ]
 
 
-@jax.jit
-def _parse_int32(out, lengths, valid):
+
+def _field_preamble(out, lengths):
+    """Shared numeric-parser preamble: skip leading spaces, take one
+    optional sign. Returns (b int32 bytes, pos grid, in_field mask,
+    neg, dstart) — the four numeric kernels (_parse_int32/_parse_
+    float32/_parse_decimal_limbs/_parse_float32_exp) must agree on this
+    scan, and divergence here is exactly how the missing-digit-guard
+    class of bug arises."""
     n, max_len = out.shape
     pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
     b = out.astype(jnp.int32)
     in_field = pos < lengths[:, None]
-    # skip leading spaces, then optional sign
     is_space = (b == 0x20) & in_field
-    lead_sp = jnp.cumprod(is_space, axis=1)  # 1 while still in leading run
+    lead_sp = jnp.cumprod(is_space, axis=1)  # 1 while in the lead run
     start = jnp.sum(lead_sp, axis=1)
     first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
     has_sign = (first == 0x2D) | (first == 0x2B)
     neg = first == 0x2D
     dstart = start + has_sign.astype(jnp.int32)
+    return b, pos, in_field, neg, dstart
+
+
+@jax.jit
+def _parse_int32(out, lengths, valid):
+    n, max_len = out.shape
+    b, pos, in_field, neg, dstart = _field_preamble(out, lengths)
     is_digit_pos = (pos >= dstart[:, None]) & in_field
     digit = b - 0x30
     good_digit = (digit >= 0) & (digit <= 9)
@@ -368,16 +384,7 @@ def _parse_int32(out, lengths, valid):
 @jax.jit
 def _parse_float32(out, lengths, valid):
     n, max_len = out.shape
-    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-    b = out.astype(jnp.int32)
-    in_field = pos < lengths[:, None]
-    is_space = (b == 0x20) & in_field
-    lead_sp = jnp.cumprod(is_space, axis=1)
-    start = jnp.sum(lead_sp, axis=1)
-    first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
-    has_sign = (first == 0x2D) | (first == 0x2B)
-    neg = first == 0x2D
-    dstart = start + has_sign.astype(jnp.int32)
+    b, pos, in_field, neg, dstart = _field_preamble(out, lengths)
     digit = b - 0x30
     good_digit = (digit >= 0) & (digit <= 9)
     is_dot = b == 0x2E
@@ -387,7 +394,10 @@ def _parse_float32(out, lengths, valid):
         jnp.where(is_dot & in_field, pos, max_len), axis=1
     )
     body = (pos >= dstart[:, None]) & in_field
-    ok = valid & (lengths > dstart) & (lengths <= max_len) & (dot_count <= 1) & jnp.all(
+    # at least one digit: '.', '-.', '+.' are not numbers (same guard
+    # as _parse_float32_exp's mant_digits and decimal's n_digits)
+    n_digits = jnp.sum((body & good_digit).astype(jnp.int32), axis=1)
+    ok = valid & (lengths > dstart) & (lengths <= max_len) & (dot_count <= 1) & (n_digits >= 1) & jnp.all(
         ~body | good_digit | (is_dot & (dot_count[:, None] == 1)), axis=1
     )
 
@@ -434,16 +444,7 @@ def _parse_decimal_limbs(out, lengths, valid, scale: int):
     Returns (hi, mid, lo, neg, ok): value = sign*(hi*1e16 + mid*1e8 + lo).
     """
     n, max_len = out.shape
-    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-    b = out.astype(jnp.int32)
-    in_field = pos < lengths[:, None]
-    is_space = (b == 0x20) & in_field
-    lead_sp = jnp.cumprod(is_space, axis=1)
-    start = jnp.sum(lead_sp, axis=1)
-    first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
-    has_sign = (first == 0x2D) | (first == 0x2B)
-    neg = first == 0x2D
-    dstart = start + has_sign.astype(jnp.int32)
+    b, pos, in_field, neg, dstart = _field_preamble(out, lengths)
     digit = b - 0x30
     good_digit = (digit >= 0) & (digit <= 9)
     is_dot = b == 0x2E
@@ -564,16 +565,7 @@ def _parse_float32_exp(out, lengths, valid):
     slightly differently from a correctly-rounded double parse; exponent
     overflow saturates to +/-inf (ok stays True for well-formed text)."""
     n, max_len = out.shape
-    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-    b = out.astype(jnp.int32)
-    in_field = pos < lengths[:, None]
-    is_space = (b == 0x20) & in_field
-    lead_sp = jnp.cumprod(is_space, axis=1)
-    start = jnp.sum(lead_sp, axis=1)
-    first = jnp.take_along_axis(b, start[:, None], axis=1)[:, 0]
-    has_sign = (first == 0x2D) | (first == 0x2B)
-    neg = first == 0x2D
-    dstart = start + has_sign.astype(jnp.int32)
+    b, pos, in_field, neg, dstart = _field_preamble(out, lengths)
 
     is_e = ((b == 0x65) | (b == 0x45)) & in_field
     e_cnt = jnp.sum(is_e, axis=1)
@@ -665,7 +657,13 @@ def _parse_datetime_parts(out, lengths, valid, unit: str):
     unit's precision (exactness: `.123` at unit="s" refuses rather than
     truncates)."""
     n, max_len = out.shape
-    assert max_len >= 21, "datetime parse needs a gather window >= 21"
+    if max_len < 21:
+        # ValueError (not assert): the fixed-index fraction reads
+        # below need 21 columns, and callers hit this with a bad
+        # max_len argument — it must survive python -O
+        raise ValueError(
+            f"datetime parse needs a gather window >= 21, got {max_len}"
+        )
     udig = _UNIT_DIGITS[unit]
     pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
     b = out.astype(jnp.int32)

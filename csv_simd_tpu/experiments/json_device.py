@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..offsetfree import fast_cumsum_i32
+from ..utils import as_u8
 
 _STRUCTURAL = tuple(b"{}[]:,")
 
@@ -82,11 +83,7 @@ def json_structural_mask_device(arr: jnp.ndarray) -> jnp.ndarray:
 def json_structural_index_device(data: bytes | np.ndarray) -> np.ndarray:
     """Offsets of JSON structural chars outside strings, computed on
     device; host-compacted (same split as the CSV paths)."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     if arr.size == 0:
         return np.empty(0, np.int64)
     mask = np.asarray(json_structural_mask_device(jnp.asarray(arr)))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import List, Tuple
 
 import numpy as np
+from ..utils import as_u8
 
 JSON_STRUCTURAL = frozenset(b'{}[]:,')
 JSON_WS = frozenset(b" \t\n\r")
@@ -66,11 +67,7 @@ def _escaped_positions(bs: int, n: int) -> int:
 def json_string_mask(data: bytes | np.ndarray) -> int:
     """Bitmask of positions inside JSON strings (opening quote included,
     closing excluded — clmul semantics), escape-aware."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     n = arr.size
     if n == 0:
         return 0
@@ -81,11 +78,7 @@ def json_string_mask(data: bytes | np.ndarray) -> int:
 
 def json_structural_index(data: bytes | np.ndarray) -> np.ndarray:
     """Offsets of JSON structural characters outside strings."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     n = arr.size
     struct = _mask_of(arr, JSON_STRUCTURAL)
     outside = struct & ~json_string_mask(arr)
@@ -100,11 +93,7 @@ def level_sets(data: bytes | np.ndarray) -> List[Tuple[int, int]]:
     """(offset, depth) per structural char: the nesting 'level set' the
     reference's experiment was named for. Depth is the container depth
     AT the character ({ at depth d opens level d+1; } closes back to d)."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     offsets = json_structural_index(arr)
     out = []
     depth = 0

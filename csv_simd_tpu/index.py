@@ -25,6 +25,7 @@ from .config import DEFAULT_DIALECT, Dialect
 from .ops.classify import classify_masks
 from .ops.pack import pack_words
 from .ops.scan import in_quote_parity, parity_out
+from .utils import as_u8
 
 LANES = 128
 ROW_ALIGN = 32  # int8 sublane tile
@@ -107,11 +108,7 @@ def stage1_words(
     carry_in: int = 0,
 ):
     """bytes -> (packed words np.uint32 (rows,4), rows, parity_out int)."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     b2d = pad_to_grid(arr)
     backend = _resolve_backend(backend)
     if backend == "pallas":
@@ -161,11 +158,7 @@ def build_index(
 
     backend "pallas" runs the v2 SWAR kernel (bytes packed 4-per-lane);
     "jnp" the pure-XLA pipeline; both unpack to the same flat mask."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     backend = _resolve_backend(backend)
     if arr.size >= 2**31 and backend in ("pallas", "jnp"):
         # single-call device builds address bytes with int32; route big
@@ -252,11 +245,7 @@ def build_index_device(
     len/6, design_notes_2.md:14) until the compaction fits."""
     from .ops.stage1_v2 import pad_to_words
 
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     w2d = jnp.asarray(pad_to_words(arr))
     n = arr.size
     cap = max(int(n * density) + 64, 64)

@@ -15,6 +15,7 @@ import threading
 from typing import Optional, Tuple
 
 import numpy as np
+from ..utils import as_u8
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "csvidx.cpp")
@@ -67,7 +68,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.extract_offsets_v3.restype = ctypes.c_int64
         lib.extract_offsets_v3.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
@@ -102,11 +103,7 @@ def host_stage1(
     d = dialect or DEFAULT_DIALECT
     nl0 = d.newlines[0]
     nl1 = d.newlines[1] if len(d.newlines) > 1 else d.newlines[0]
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.ascontiguousarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16)
     lead = 1 if with_sentinel else 0
@@ -133,11 +130,7 @@ def host_quote_parity(data: bytes | np.ndarray, quote: int = 0x22,
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native engine unavailable: {_build_error}")
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.ascontiguousarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     return lib.host_quote_parity(arr.ctypes.data, arr.size, quote, carry_in)
 
 
@@ -153,6 +146,12 @@ def extract_offsets_v3(
     cap = int(min(n_bytes, p.size * 32)) + 1
     out = np.empty(cap, dtype=np.int64)
     cnt = lib.extract_offsets_v3(
-        p.ctypes.data, p.shape[0], tile, n_bytes, base, out.ctypes.data
+        p.ctypes.data, p.shape[0], tile, n_bytes, base, cap,
+        out.ctypes.data,
     )
+    if cnt < 0:
+        raise ValueError(
+            "packed words contain more set bits than n_bytes allows — "
+            "corrupted or foreign packed array"
+        )
     return out[:cnt]

@@ -210,10 +210,14 @@ int host_quote_parity(const uint8_t* data, int64_t n, int quote,
 // Decode the v3 fold-pack layout (ops/stage1_v3.py): packed words
 // (g_total, 128) int32; bit (8b + sigma(j)) of word (s*gp + g, lane)
 // covers flat byte ((s*tile + j*gp + g)*128 + lane)*4 + b. Emits
-// ascending absolute offsets (+base). Returns count.
+// ascending absolute offsets (+base), never past cap entries and never
+// an offset >= n_bytes (set bits in padding rows only exist in
+// corrupted/foreign packed arrays — the kernel zero-pads — but this
+// entry point must not trust its input into a heap overflow).
+// Returns count, or -1 if the output would exceed cap.
 int64_t extract_offsets_v3(const uint32_t* packed, int64_t g_total,
                            int64_t tile, int64_t n_bytes, int64_t base,
-                           int64_t* out) {
+                           int64_t cap, int64_t* out) {
   const int64_t gp = tile / 8;
   const int64_t steps = g_total / gp;
   int64_t k = 0;
@@ -230,7 +234,11 @@ int64_t extract_offsets_v3(const uint32_t* packed, int64_t g_total,
         uint32_t w = wrow[lane] & row_mask;
         while (w) {
           int bit = __builtin_ctz(w);
-          out[k++] = base + row_byte0 + lane * 4 + (bit >> 3);
+          const int64_t off = row_byte0 + lane * 4 + (bit >> 3);
+          if (off < n_bytes) {
+            if (k >= cap) return -1;
+            out[k++] = base + off;
+          }
           w &= w - 1;
         }
       }

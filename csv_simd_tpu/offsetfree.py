@@ -33,6 +33,7 @@ from .errors import InvalidCsvFormat
 from .ops.stage1_v2 import pad_to_words
 from .ops.stage1_v3 import stage1_seq_xla
 from .tape import Header, NewLine
+from .utils import as_u8
 
 
 def fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
@@ -163,11 +164,7 @@ class PackedDeviceTape(TypedColumnsMixin):
     def __init__(self, data: bytes | np.ndarray,
                  dialect: Dialect = DEFAULT_DIALECT,
                  validate_utf8: bool = False):
-        arr = (
-            np.frombuffer(data, dtype=np.uint8)
-            if isinstance(data, (bytes, bytearray, memoryview))
-            else np.asarray(data, dtype=np.uint8)
-        )
+        arr = as_u8(data)
         if arr.size >= 2**31:
             raise ValueError(
                 "PackedDeviceTape uses int32 flat byte positions: shard "
@@ -250,15 +247,22 @@ class PackedDeviceTape(TypedColumnsMixin):
         bytes — no re-scan; only the prefix cumsum is recomputed."""
         import json
 
-        z = np.load(path, allow_pickle=False)
+        import os
+
+        try:
+            z = np.load(path, allow_pickle=False)
+        except OSError:
+            # np.savez_compressed appends '.npz' to suffix-less paths:
+            # a save/load round-trip with the same path must work
+            p = os.fspath(path)
+            if not p.endswith(".npz") and os.path.exists(p + ".npz"):
+                z = np.load(p + ".npz", allow_pickle=False)
+            else:
+                raise
         meta = json.loads(bytes(z["meta"]).decode())
         if meta.get("encoding") != "packed_seq":
             raise InvalidCsvFormat(f"not a packed_seq artifact: {meta.get('encoding')}")
-        arr = (
-            np.frombuffer(data, dtype=np.uint8)
-            if isinstance(data, (bytes, bytearray, memoryview))
-            else np.asarray(data, dtype=np.uint8)
-        )
+        arr = as_u8(data)
         if meta["n_bytes"] != arr.size:
             raise InvalidCsvFormat("artifact does not match these bytes")
         if arr.size >= 2**31:

@@ -22,6 +22,7 @@ expressions trace under jnp for on-device validation.
 from __future__ import annotations
 
 import numpy as np
+from ..utils import as_u8
 
 TOO_SHORT = 1 << 0
 TOO_LONG = 1 << 1
@@ -66,11 +67,7 @@ _T1H, _T1L, _T2H = _tables()
 
 
 def _as_u8(data) -> np.ndarray:
-    return (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    return as_u8(data)
 
 
 def is_ascii(data: bytes | np.ndarray) -> bool:

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..device_tape import TypedColumnsMixin, _gather_fields
 from .sharded import AXIS
+from ..utils import as_u8
 
 _PREFIX_JIT = None
 
@@ -75,11 +76,7 @@ class ShardedTape(TypedColumnsMixin):
     @classmethod
     def from_tape(cls, tape, mesh: Mesh) -> "ShardedTape":
         raw = tape.data_bytes
-        host = (
-            np.frombuffer(raw, dtype=np.uint8)
-            if isinstance(raw, (bytes, bytearray, memoryview))
-            else np.asarray(raw, dtype=np.uint8)
-        )
+        host = as_u8(raw)
         return cls(
             host,
             np.asarray(tape.index),
@@ -215,11 +212,7 @@ class ShardedPackedTape(TypedColumnsMixin):
         from .sharded import pad_words_for_mesh, sharded_stage1
 
         dialect = dialect or DEFAULT_DIALECT
-        arr = (
-            np.frombuffer(data, dtype=np.uint8)
-            if isinstance(data, (bytes, bytearray, memoryview))
-            else np.asarray(data, dtype=np.uint8)
-        )
+        arr = as_u8(data)
         self.n_bytes = arr.size
         self.header = Header.parse(arr, delimiter=dialect.delimiter)
         n_shards = mesh.devices.size

@@ -43,6 +43,7 @@ from ..ops.stage1_v3 import (
 )
 from ..ops.stage1_v4 import stage1_fused_v4
 from ..ops.swar import swar_eq, swar_prefix_xor_bytes, swar_word_parity
+from ..utils import as_u8
 
 AXIS = "data"
 
@@ -184,11 +185,7 @@ def build_index_sharded(
 ) -> np.ndarray:
     """End-to-end sharded build -> host int64 structural index with
     sentinel, bit-identical to the single-device / golden result."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     mesh = mesh or make_mesh()
     n_shards = mesh.devices.size
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")

@@ -23,6 +23,7 @@ import numpy as np
 
 from .config import DEFAULT_DIALECT, Dialect
 from .errors import IoError
+from .utils import as_u8
 
 DEFAULT_CHUNK_BYTES = 64 * 1024 * 1024
 
@@ -91,11 +92,7 @@ class StreamingIndexBuilder:
         thread-safe). Host backends pass the bytes through."""
         from .index import _resolve_backend
 
-        arr = (
-            np.frombuffer(chunk, dtype=np.uint8)
-            if isinstance(chunk, (bytes, bytearray, memoryview))
-            else np.asarray(chunk, dtype=np.uint8)
-        )
+        arr = as_u8(chunk)
         if arr.size and _resolve_backend(self._backend) in ("pallas", "jnp"):
             import jax.numpy as jnp
 

@@ -28,6 +28,7 @@ import numpy as np
 
 from .errors import InvalidCsvFormat, InvalidState
 from .serve import RecordSourceMixin
+from .utils import as_u8
 
 _BOM_BYTES = (0xEF, 0xBB, 0xBF)
 
@@ -64,11 +65,7 @@ class Header:
 
     @classmethod
     def parse(cls, data, delimiter: int = 0x2C) -> "Header":
-        arr = (
-            np.frombuffer(data, dtype=np.uint8)
-            if isinstance(data, (bytes, bytearray, memoryview))
-            else np.asarray(data, dtype=np.uint8)
-        )
+        arr = as_u8(data)
         n = arr.size
         # find the first \r/\n without scanning the whole (possibly GiB)
         # buffer: widen the probe window geometrically

@@ -5,15 +5,12 @@ mask/word visualisers for kernel debugging."""
 from __future__ import annotations
 
 import numpy as np
+from ..utils import as_u8
 
 
 def byte_report(data: bytes | np.ndarray, head: int = 1024, tail: int = 100) -> str:
     """Printable report of the first `head` and last `tail` bytes."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     n = arr.size
 
     def render(chunk: np.ndarray) -> str:
@@ -31,11 +28,7 @@ def byte_report(data: bytes | np.ndarray, head: int = 1024, tail: int = 100) -> 
 def mask_report(data: bytes | np.ndarray, mask: np.ndarray, width: int = 64) -> str:
     """Render bytes with a ^ under every set mask position — the visual
     check for quote-masking bugs."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray, memoryview))
-        else np.asarray(data, dtype=np.uint8)
-    )
+    arr = as_u8(data)
     m = np.asarray(mask)
     lines = []
     for start in range(0, arr.size, width):

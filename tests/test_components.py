@@ -253,3 +253,17 @@ def test_cli_typed_columns(tmp_path):
              "2", "--type", "int32")
     assert r.returncode == 0, r.stderr
     assert r.stdout.split() == ["3", "4", "<not", "ok>"]
+
+
+def test_artifact_path_without_npz_suffix(tmp_path):
+    """np.savez appends '.npz' to suffix-less paths; a save/load
+    round-trip with the SAME path string must still work."""
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.artifact import load_tape, save_tape
+
+    data = b"a,b\n1,2\n3,4\n"
+    tape = create_from_bytes(data, backend="golden")
+    p = str(tmp_path / "idx")  # no suffix
+    save_tape(tape, p)
+    t2 = load_tape(p, data)
+    assert t2.seek_field(0, 1) == b"2"

@@ -250,3 +250,47 @@ def test_column_decimal64_packed_tape():
     vals, ok = pt.column_decimal64(1, scale=2)
     np.testing.assert_array_equal(ok, [True, True, False])
     np.testing.assert_array_equal(vals, [525, -1200, 0])
+
+
+def test_float32_rejects_digitless():
+    """'.', '-.', '+.', ' .' are not numbers: ok=False (the same
+    n_digits guard the exp-float and decimal parsers always had)."""
+    from csv_simd_tpu.frame import _resolve_tape
+
+    csv = b"v\n.\n-.\n+.\n .\n1.\n.5\n2\n"
+    tape, _ = _resolve_tape(csv, None, "auto", "offsets", False)
+    vals, ok = tape.column_float32(0)
+    assert list(np.asarray(ok, bool)) == [
+        False, False, False, False, True, True, True
+    ]
+    assert np.asarray(vals)[4:].tolist() == [1.0, 0.5, 2.0]
+    # exp variant agrees
+    vals, ok = tape.column_float32_exp(0)
+    assert list(np.asarray(ok, bool))[:4] == [False] * 4
+
+
+def test_filter_equals_rejects_long_needle():
+    """A needle longer than max_len must raise, not silently compare
+    the truncated window (which would false-positive on any field
+    sharing the prefix + true length)."""
+    import pytest
+
+    from csv_simd_tpu.frame import _resolve_tape
+
+    csv = b"v\nabcdYY\nabcdXX\n"
+    tape, _ = _resolve_tape(csv, None, "auto", "offsets", False)
+    with pytest.raises(ValueError, match="max_len"):
+        tape.filter_equals(0, b"abcdXX", max_len=4)
+    hits = tape.filter_equals(0, b"abcdXX", max_len=8)
+    assert hits.tolist() == [1]
+
+
+def test_datetime_window_too_small_raises():
+    import pytest
+
+    from csv_simd_tpu.frame import _resolve_tape
+
+    csv = b"t\n2024-01-02 03:04:05\n"
+    tape, _ = _resolve_tape(csv, None, "auto", "offsets", False)
+    with pytest.raises(ValueError, match=">= 21"):
+        tape.column_datetime64(0, max_len=20)

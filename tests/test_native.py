@@ -76,3 +76,18 @@ def test_native_custom_dialect():
     offs, _ = native.host_stage1(data, dialect=d, n_threads=1)
     want = golden.structural_index(data, d)[1:]
     np.testing.assert_array_equal(offs, want)
+
+
+def test_extract_offsets_v3_overflow_guard():
+    """Packed words with more set bits than n_bytes allows (corrupted
+    or foreign arrays) previously overflowed the output buffer (glibc
+    abort); now out-of-range bits are dropped, every emitted offset is
+    < n_bytes, and the capacity can never be exceeded."""
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    bogus = np.full((8, 128), -1, np.int32)  # every bit set
+    out = native.extract_offsets_v3(bogus, tile=8, n_bytes=10)
+    assert out.tolist() == list(range(10))  # only in-range offsets
+    out = native.extract_offsets_v3(bogus, tile=8, n_bytes=8 * 512)
+    assert out.size == 8 * 512
+    assert out.min() == 0 and out.max() == 8 * 512 - 1
