@@ -553,9 +553,13 @@ def describe(source, columns=None, qs=(0.25, 0.5, 0.75), *, where=None,
         col = override.get(name) or resolve(f)
         entry: Dict = {"type": col.type}
         if col.type in ("str", "bytes"):
-            vc = value_counts(src_obj, f, col, where=where,
-                              schema=wsch, dialect=dialect,
-                              sample=sample)
+            # reuse the precomputed record sets: value_counts(where=)
+            # would re-run the pushdown per text column per tape
+            vc = _merge_value_counts([
+                value_counts(t, f, col, records=r, dialect=dialect,
+                             sample=sample)
+                for t, r in zip(tapes, recs)
+            ])
             n = int(np.sum(vc["count"]))
             entry["stats"] = Stats(n, n, None, None, None)
             entry["distinct"] = int(len(vc["keys"]))
@@ -636,12 +640,23 @@ def _between_mask(vals, ok, lo, hi):
     return ok & (vals >= lo) & (vals <= hi)
 
 
+def _text_literal(value) -> bytes:
+    """Predicate literal -> bytes for text-column compares. Non-string
+    literals compare by their text form (WHERE zip = 12345 on a str
+    column means the text "12345" — bytes(int) would have built an
+    int-sized NUL buffer instead)."""
+    if isinstance(value, str):
+        return value.encode()
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return bytes(value)
+    return str(value).encode()
+
+
 def _decoded_eq_mask(tape, field: int, value, dialect, window: int):
     """Device mask: stage-2 decoded field == value (bytes compare)."""
     from .device_tape import _filter_equals
 
-    if isinstance(value, str):
-        value = value.encode()
+    value = _text_literal(value)
     n = int(getattr(tape, "num_data_records",
                     int(tape.record_cnt) - 1))
     out, lengths, valid = tape.gather_decoded(
@@ -650,7 +665,7 @@ def _decoded_eq_mask(tape, field: int, value, dialect, window: int):
         max_len=window, dialect=dialect,
     )
     needle = np.zeros(window, np.uint8)
-    raw = np.frombuffer(bytes(value), np.uint8)[:window]
+    raw = np.frombuffer(value, np.uint8)[:window]
     needle[: raw.size] = raw
     return _filter_equals(out, lengths, valid, jnp.asarray(needle),
                           len(value))
@@ -694,8 +709,7 @@ def _decoded_match_mask(tape, field: int, value, dialect, window: int,
                         mode: str):
     """Device mask for startswith/endswith/contains over the stage-2
     DECODED field text."""
-    if isinstance(value, str):
-        value = value.encode()
+    value = _text_literal(value)
     k = len(value)
     if k == 0:
         # every valid row contains/starts/ends with the empty string
@@ -716,7 +730,7 @@ def _decoded_match_mask(tape, field: int, value, dialect, window: int,
         max_len=window, dialect=dialect,
     )
     needle = np.zeros(window, np.uint8)
-    needle[:k] = np.frombuffer(bytes(value), np.uint8)
+    needle[:k] = np.frombuffer(value, np.uint8)
     return np.asarray(
         _substr_mask(out, jnp.asarray(lengths), jnp.asarray(valid),
                      jnp.asarray(needle), k, mode)
@@ -727,6 +741,12 @@ def _typed_literal(col: Col, value):
     """Host conversion of a predicate literal to the column's device
     value domain (days / epoch units / scaled decimal)."""
     if col.type == "int32":
+        if isinstance(value, float) and not value.is_integer():
+            raise ValueError(
+                f"literal {value!r} is not an integer: comparisons "
+                "against an int32 column need integral literals (type "
+                "the column as float to compare fractions)"
+            )
         return int(value)
     if col.type in ("float32", "float"):
         return np.float32(value)
@@ -841,21 +861,33 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
 
     if col.type in ("str", "bytes"):
         if op == "in":
+            from .device_tape import _filter_equals
+
+            lits = [_text_literal(v) for v in value]
             window = col.max_len or _true_window(tape, field, 16)
-            window = max(
-                window,
-                max((len(str(v).encode() if isinstance(v, str) else v)
-                     for v in value), default=1),
+            window = max(window,
+                         max((len(b) for b in lits), default=1))
+            n = int(getattr(tape, "num_data_records",
+                            int(tape.record_cnt) - 1))
+            if not lits:
+                return np.zeros(n, bool)
+            # ONE decoded gather; each list element is then a cheap
+            # device compare over the same gathered tensor (per-value
+            # gathers would re-read the column once per element)
+            out, lengths, valid = tape.gather_decoded(
+                jnp.arange(n, dtype=jnp.int32),
+                jnp.full((n,), field, jnp.int32),
+                max_len=window, dialect=dialect,
             )
             m = None
-            for v in value:
-                mv = np.asarray(
-                    _decoded_eq_mask(tape, field, v, dialect, window)
-                )
+            for b in lits:
+                needle = np.zeros(window, np.uint8)
+                needle[: len(b)] = np.frombuffer(b, np.uint8)
+                mv = np.asarray(_filter_equals(
+                    out, lengths, valid, jnp.asarray(needle), len(b)
+                ))
                 m = mv if m is None else (m | mv)
-            return m if m is not None else np.zeros(
-                int(getattr(tape, "num_data_records",
-                            int(tape.record_cnt) - 1)), bool)
+            return m
         if op in _STR_OPS:
             window = col.max_len or _true_window(tape, field, 16)
             return _decoded_match_mask(tape, field, value, dialect,
@@ -865,7 +897,7 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
                 f"op {op!r} needs a typed column; {name!r} is "
                 f"{col.type} (give an explicit schema to order on text)"
             )
-        lit = value.encode() if isinstance(value, str) else bytes(value)
+        lit = _text_literal(value)
         window = col.max_len or _true_window(tape, field, 16)
         window = max(window, len(lit), 1)
         m = np.asarray(_decoded_eq_mask(tape, field, value, dialect,
@@ -1110,19 +1142,37 @@ def infer_col(tape, names, field: int, sample: int) -> Col:
                         sample=sample)[names[field]]
 
 
-def value_counts(source, column, spec=None, *, where=None, schema=None,
-                 dialect=None, backend: str = "auto",
+def _merge_value_counts(parts: List[Dict]) -> Dict:
+    """Associative combine of per-tape value_counts results."""
+    acc: Dict = {}
+    for p in parts:
+        for k, c in zip(list(p["keys"]), list(p["count"])):
+            acc[k] = acc.get(k, 0) + int(c)
+    ks = sorted(acc)
+    dtype = parts[0]["keys"].dtype if parts else object
+    return {"keys": np.array(ks, dtype=dtype),
+            "count": np.array([acc[k] for k in ks], np.int64)}
+
+
+def value_counts(source, column, spec=None, *, where=None, records=None,
+                 schema=None, dialect=None, backend: str = "auto",
                  engine: str = "offsets", sample: int = 256) -> Dict:
     """Distinct values of a column with their row counts.
 
     Typed columns count on device (segment grouping); str/bytes
     factorize the decoded text. Returns {"keys": (G,) array ascending,
     "count": (G,) int64}; rows failing the typed parse are excluded.
+    `records` restricts to explicit ids (mutually exclusive with
+    `where`, single tape only — callers that already pushed a filter
+    down, like describe, pass it to avoid re-evaluating the where).
     A CsvCorpus counts per file and merges (associative combine)."""
     from .corpus_api import CsvCorpus
     from .frame import _resolve_tape, _true_window
 
     if isinstance(source, CsvCorpus):
+        if records is not None:
+            raise ValueError("records= over a corpus is ambiguous; "
+                             "pass where= instead")
         col = _lock_corpus_spec(source, column, spec, sample)
         wsch = _lock_where_schema(source, where, schema, sample)
         parts = [
@@ -1130,20 +1180,14 @@ def value_counts(source, column, spec=None, *, where=None, schema=None,
                          dialect=dialect, sample=sample)
             for t in source.device_tapes()
         ]
-        acc: Dict = {}
-        for p in parts:
-            for k, c in zip(list(p["keys"]), list(p["count"])):
-                acc[k] = acc.get(k, 0) + int(c)
-        ks = sorted(acc)
-        dtype = parts[0]["keys"].dtype
-        return {"keys": np.array(ks, dtype=dtype),
-                "count": np.array([acc[k] for k in ks], np.int64)}
+        return _merge_value_counts(parts)
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     field = _field_index(names, column)
     col = parse_spec(spec) if spec is not None else infer_col(
         tape, names, field, sample)
-    records = None
     if where is not None:
+        if records is not None:
+            raise ValueError("pass either where= or records=, not both")
         records = select_records(tape, where, names=names, schema=schema,
                                  dialect=dialect, sample=sample)
     if col.type in ("str", "bytes"):
@@ -1301,10 +1345,15 @@ def group_aggregate(keys, vals, key_ok=None, val_ok=None):
     sums, mns, mxs, _cnt = _group_reduce(vals, ok, order, seg, is_float)
     g = int(n_groups)
     counts = np.asarray(counts)[:g].astype(np.int64)
-    assert counts.max(initial=0) < 2**20, (
-        "group larger than 2**20 rows: integer digit-split sum would "
-        "not be exact — shard the input first"
-    )
+    if not is_float and counts.max(initial=0) >= 2**20:
+        # the ceiling protects integer digit-split exactness only;
+        # float sums have no such cliff (and a bare assert would
+        # vanish under python -O)
+        raise ValueError(
+            "group larger than 2**20 rows: integer digit-split sum "
+            "would not be exact — aggregate per file (CsvCorpus) or "
+            "shard the input first"
+        )
     return {
         "keys": np.asarray(gk)[:g],
         "sum": _combine_digit_sums(sums, g, is_float),
@@ -1532,10 +1581,13 @@ def _group_multi(kind, kv, kok, decode, values: Dict) -> Dict:
         order, seg, _sok, gk, counts, n_groups = _group_order(kv, kok)
         g = int(n_groups)
         counts_h = np.asarray(counts)[:g].astype(np.int64)
-        assert counts_h.max(initial=0) < 2**20, (
-            "group larger than 2**20 rows: integer digit-split sum "
-            "would not be exact — shard the input first"
-        )
+        if (any(not isf for _, _, isf in values.values())
+                and counts_h.max(initial=0) >= 2**20):
+            raise ValueError(
+                "group larger than 2**20 rows: integer digit-split "
+                "sum would not be exact — aggregate per file "
+                "(CsvCorpus) or shard the input first"
+            )
         aggs = {}
         for name, (vv, vok, isf) in values.items():
             vok2 = jnp.asarray(vok, bool) & kok

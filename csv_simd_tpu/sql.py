@@ -567,11 +567,19 @@ def _rename(fr, mapping: Dict[str, str]):
 
 def _order_group_rows(names, columns, order, n: int):
     """Stable multi-key host sort of n result rows; object-int columns
-    compare exactly (Python ints)."""
+    compare exactly (Python ints). None aggregates (groups whose
+    per-value count is 0) and NaN means sort LAST in both
+    directions, like the row-level parse-failure convention."""
     idx = list(range(n))
     for key_name, desc in reversed(order):
         col = columns[key_name]
-        idx.sort(key=lambda i: col[i], reverse=desc)
+
+        def _isnull(v):
+            return v is None or (isinstance(v, float) and v != v)
+
+        idx.sort(key=lambda i: 0 if _isnull(col[i]) else col[i],
+                 reverse=desc)
+        idx.sort(key=lambda i: _isnull(col[i]))  # stable: nulls last
     return np.asarray(idx, np.int64)
 
 
@@ -801,6 +809,10 @@ def _frame_scalar_aggs(ast: _Ast, fr, resolve) -> SqlResult:
                 val, t = int(ok.sum()), "int64"
             else:
                 sel = np.asarray(fr._columns[c])[ok]
+                if sel.dtype.kind == "M":
+                    # datetime64 -> epoch ints, matching the non-join
+                    # aggregate paths (dates reduce as epoch values)
+                    sel = sel.astype(np.int64)
                 isf = col.type in ("float", "float32")
                 if sel.size == 0:
                     val = np.nan if it.fn == "mean" else None
@@ -899,8 +911,10 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
             # never reduced, only their validity is counted
             values[c] = (np.zeros(len(fr), np.int64), ok, False)
         else:
-            values[c] = (np.asarray(fr._columns[c]), ok,
-                         col.type in ("float", "float32"))
+            vv = np.asarray(fr._columns[c])
+            if vv.dtype.kind == "M":
+                vv = vv.astype(np.int64)  # epoch ints, like non-join
+            values[c] = (vv, ok, col.type in ("float", "float32"))
     if not values:
         # COUNT(*)/DISTINCT: ride a dummy value (aggregates unread)
         values[keys[0]] = (np.zeros(len(fr), np.int64),
@@ -909,6 +923,36 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
     if ast2.having is not None:
         g = _filter_groups(g, _having_mask(g, ast2.having))
     return _groups_to_result(ast2, keys, g)
+
+
+def _count_rows(src, where, kw) -> int:
+    """COUNT(*) with no other aggregate: the record count (or the
+    pushed-down selection size) — never materializes columns."""
+    from .corpus_api import CsvCorpus
+    from .frame import _resolve_tape
+    from .query import _lock_where_schema, select_records
+
+    if isinstance(src, CsvCorpus):
+        if where is None:
+            return int(src.num_records)
+        names = src.header_names()
+        wsch = _lock_where_schema(src, where, kw["schema"],
+                                  kw["sample"])
+        return sum(
+            len(select_records(t, where, names=names, schema=wsch,
+                               dialect=kw["dialect"],
+                               sample=kw["sample"]))
+            for t in src.device_tapes()
+        )
+    tape, names = _resolve_tape(src, kw["dialect"], kw["backend"],
+                                kw["engine"], False)
+    if where is None:
+        return int(getattr(tape, "num_data_records",
+                           int(tape.record_cnt) - 1))
+    return len(select_records(tape, where, names=names,
+                              schema=kw["schema"],
+                              dialect=kw["dialect"],
+                              sample=kw["sample"]))
 
 
 def _run_scalar_aggs(ast: _Ast, src, kw):
@@ -942,21 +986,14 @@ def _run_scalar_aggs(ast: _Ast, src, kw):
     names, columns, types = [], {}, {}
     for it in ast.items:
         if it.fn == "count" and it.col is None:
-            probe = ast.items[0].col
-            if probe is None:
-                for other in ast.items:
-                    if other.col is not None:
-                        probe = other.col
-                        break
-            if probe is None:
-                from .frame import read_typed
-
-                fr = read_typed(src, kw["schema"], where=ast.where,
-                                engine=kw["engine"], backend=kw["backend"],
-                                dialect=kw["dialect"], sample=kw["sample"])
-                val, t = len(fr), "int64"
-            else:
+            probe = next((o.col for o in ast.items
+                          if o.col is not None), None)
+            if probe is not None:
+                # COUNT(*) = Stats.count (rows after where) — shares
+                # the device stats another item already needs
                 val, t = _stats(probe).count, "int64"
+            else:
+                val, t = _count_rows(src, ast.where, kw), "int64"
         else:
             st = _stats(it.col)
             if it.fn == "count":
@@ -1022,8 +1059,17 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
             )
         (on_l, on_r)[sa == "r"].append(ca)
         (on_l, on_r)[sb == "r"].append(cb)
+    # resolve both sources ONCE (each resolve on a path/bytes source is
+    # a full structural-index build) and hand the tapes to join_typed —
+    # the name list for ref resolution comes from the same resolve
+    from .frame import _resolve_tape
+
+    lt, ln = _resolve_tape(left_src, kw["dialect"], kw["backend"],
+                           kw["engine"], False)
+    rt, _rn = _resolve_tape(right_src, kw["dialect"], kw["backend"],
+                            kw["engine"], False)
     fr = join_typed(
-        left_src, right_src,
+        lt, rt,
         on_l if len(on_l) > 1 else on_l[0],
         right_on=on_r if len(on_r) > 1 else on_r[0],
         how=ast.join_how, schema=kw["schema"],
@@ -1031,12 +1077,6 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
         engine=kw["engine"], backend=kw["backend"],
         dialect=kw["dialect"], sample=kw["sample"],
     )
-    # resolve select/where/order refs against the joined frame's names
-    # (right-side collisions carry the join suffix)
-    from .frame import _resolve_tape
-
-    _, ln = _resolve_tape(left_src, kw["dialect"], kw["backend"],
-                          kw["engine"], False)
     l_names = set(ln)
 
     def _frame_col(ref: str) -> str:
@@ -1163,20 +1203,30 @@ def _frame_leaf(fr, leaf, resolve) -> np.ndarray:
         raise SqlError(f"op {op!r} needs a text column; {name!r} is "
                        f"{col.type}")
     v = np.asarray(vals)
+
+    def _lit(x):
+        # frame date/datetime columns materialize as datetime64; the
+        # epoch ints _typed_literal returns must convert to the same
+        # dtype or numpy comparisons raise
+        y = _typed_literal(col, x)
+        if col.type == "date":
+            return np.datetime64(int(y), "D")
+        if col.type == "datetime":
+            return np.datetime64(int(y), col.unit)
+        return y
+
+    import operator as _op
+
+    cmp_fn = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le,
+              ">": _op.gt, ">=": _op.ge}
     if op == "between":
-        lo = _typed_literal(col, lit[0])
-        hi = _typed_literal(col, lit[1])
-        return ok & (v >= lo) & (v <= hi)
+        return ok & (v >= _lit(lit[0])) & (v <= _lit(lit[1]))
     if op == "in":
-        lits = [_typed_literal(col, x) for x in lit]
         m = np.zeros(len(fr), bool)
-        for x in lits:
-            m |= (v == x)
+        for x in lit:
+            m |= (v == _lit(x))
         return ok & m
-    x = _typed_literal(col, lit)
-    cmp = {"==": v == x, "!=": v != x, "<": v < x, "<=": v <= x,
-           ">": v > x, ">=": v >= x}[op]
-    return ok & np.asarray(cmp, bool)
+    return ok & np.asarray(cmp_fn[op](v, _lit(lit)), bool)
 
 
 def _order_frame(fr, order):

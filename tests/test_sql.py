@@ -371,3 +371,54 @@ def test_sql_over_corpus(tmp_path):
             c)
     assert list(r["sym"]) == ["AA", "BB", "CC"]
     assert r["sum_qty"].tolist() == [4, 2, 4]
+
+
+def test_join_where_on_date_and_min_date():
+    # date columns over a JOIN: WHERE compares datetime64 frames
+    # against converted literals; MIN/MAX reduce as epoch values
+    L = (b"k,day\nA,2024-01-02\nB,2024-03-04\nC,2024-05-06\n")
+    R = b"k,v\nA,1\nB,2\nC,3\n"
+    t = {"l": L, "r": R}
+    fr = sql("SELECT k, day FROM l JOIN r ON l.k = r.k "
+             "WHERE day > '2024-02-01'", tables=t)
+    assert [str(s) for s in fr["k"]] == ["B", "C"]
+    r = sql("SELECT MIN(day), MAX(day) FROM l JOIN r ON l.k = r.k",
+            tables=t)
+    assert r["min_day"][0] == int(np.datetime64("2024-01-02", "D")
+                                  .astype(np.int64))
+    r = sql("SELECT k, MIN(day) FROM l JOIN r ON l.k = r.k "
+            "GROUP BY k ORDER BY k", tables=t)
+    assert len(r) == 3
+
+
+def test_int32_fractional_literal_rejected():
+    with pytest.raises(ValueError, match="not an integer"):
+        sql("SELECT sym FROM t WHERE qty >= 5.5", CSV, schema=S)
+
+
+def test_text_column_numeric_literal():
+    # numbers against text columns compare as text, never crash
+    csv = b"zip,v\n12345,1\n99,2\n"
+    fr = sql("SELECT zip FROM t WHERE zip = 12345", csv)
+    assert [str(s) for s in fr["zip"]] == ["12345"]
+    fr = sql("SELECT zip FROM t WHERE zip IN (99, 12345)", csv)
+    assert len(fr) == 2
+
+
+def test_order_by_agg_with_null_groups():
+    # a group whose values all fail the parse has SUM None: it must
+    # sort LAST in both directions, not crash
+    csv = b"sym,qty\nAA,1\nBB,oops\nBB,bad\nAA,3\n"
+    r = sql("SELECT sym, SUM(qty) AS s FROM t GROUP BY sym "
+            "ORDER BY s DESC", csv, schema={"qty": "int32"})
+    assert list(r["sym"]) == ["AA", "BB"]
+    r = sql("SELECT sym, SUM(qty) AS s FROM t GROUP BY sym "
+            "ORDER BY s ASC", csv, schema={"qty": "int32"})
+    assert list(r["sym"]) == ["AA", "BB"]
+
+
+def test_count_star_only_no_materialization():
+    r = sql("SELECT COUNT(*) FROM t", CSV)
+    assert r["count"][0] == len(ROWS)
+    r = sql("SELECT COUNT(*) FROM t WHERE sym = 'MSFT'", CSV)
+    assert r["count"][0] == sum(1 for x in ROWS if x[0] == "MSFT")
