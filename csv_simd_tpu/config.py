@@ -55,16 +55,38 @@ class Dialect:
         for b in roles:
             if not 0 <= b <= 0xFF:
                 raise ValueError(f"byte value out of range: {b}")
-        if len(set(roles)) != len(roles):
-            raise ValueError("dialect byte roles must be distinct")
+        core = [self.delimiter, self.quote, *self.newlines]
+        if len(set(core)) != len(core):
+            raise ValueError(
+                "delimiter, quote and newline bytes must be distinct"
+            )
+        # space/escape are classified-but-inert for stage-1 (trim and
+        # escape act in stage-2 decode only), so they may legitimately
+        # coincide with the delimiter/newlines — e.g. a space-delimited
+        # dialect. They must not equal the QUOTE though: decode trims
+        # spaces before unquoting, which would strip the quotes.
+        if self.quote in (self.space, self.escape):
+            raise ValueError(
+                "space/escape must differ from the quote byte "
+                "(stage-2 trim runs before unquote)"
+            )
 
     def code_map(self) -> Dict[int, int]:
-        """byte value -> bit-set code."""
-        m = {b: CODE_NEWLINE for b in self.newlines}
-        m[self.delimiter] = CODE_DELIM
-        m[self.space] = CODE_SPACE
-        m[self.escape] = CODE_ESCAPE
-        m[self.quote] = CODE_QUOTE
+        """byte value -> bit-set code. Colliding roles OR their codes
+        (a space-delimited dialect classifies 0x20 as DELIM|SPACE —
+        plain dict assignment would have silently dropped the
+        structural bit)."""
+        m: Dict[int, int] = {}
+
+        def add(b: int, code: int) -> None:
+            m[b] = m.get(b, 0) | code
+
+        for b in self.newlines:
+            add(b, CODE_NEWLINE)
+        add(self.delimiter, CODE_DELIM)
+        add(self.space, CODE_SPACE)
+        add(self.escape, CODE_ESCAPE)
+        add(self.quote, CODE_QUOTE)
         return m
 
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from .config import DEFAULT_DIALECT, Dialect
 from .ops.classify import classify_masks
+from .ops.compact import extract_offsets_device
 from .ops.pack import pack_words
 from .ops.scan import in_quote_parity, parity_out
 from .utils import as_u8
@@ -107,7 +108,9 @@ def stage1_words(
     backend: str = "auto",
     carry_in: int = 0,
 ):
-    """bytes -> (packed words np.uint32 (rows,4), rows, parity_out int)."""
+    """bytes -> (packed words int32 (rows//32, 128) sublane-major
+    [ops/pack.pack_words layout], n_bytes, parity_out int) for the v1/v2
+    pipelines (unpack with ops/pack.unpack_words_host)."""
     arr = as_u8(data)
     b2d = pad_to_grid(arr)
     backend = _resolve_backend(backend)
@@ -228,10 +231,7 @@ def _device_offsets_v3(w2d, carry_in, dialect: Dialect, capacity: int):
     bits = jnp.stack(
         [(masked >> (8 * b + 7)) & 1 for b in range(4)], axis=-1
     ).reshape(rows, lanes * 4)
-    flat = bits.reshape(-1)
-    count = jnp.sum(flat, dtype=jnp.int32)
-    (offsets,) = jnp.nonzero(flat, size=capacity, fill_value=flat.shape[0])
-    return offsets.astype(jnp.int32), count
+    return extract_offsets_device(bits, capacity)
 
 
 def build_index_device(
@@ -243,6 +243,13 @@ def build_index_device(
     returns (offsets int32 device array with leading 0 sentinel, count).
     Capacity grows from the density heuristic (the reference reserves
     len/6, design_notes_2.md:14) until the compaction fits."""
+    _arr_guard = as_u8(data)
+    if _arr_guard.size >= 2**31:
+        raise ValueError(
+            "build_index_device uses int32 flat byte positions; inputs "
+            ">= 2 GiB route through build_index (streamed int64 "
+            "rebasing) or parallel.sharded/serving"
+        )
     from .ops.stage1_v2 import pad_to_words
 
     arr = as_u8(data)

@@ -27,9 +27,11 @@ def extract_offsets_device(mask2d: jnp.ndarray, capacity: int):
     """Compact set positions of a (rows, lanes) 0/1 mask into a
     fixed-capacity int32 offsets array (flat byte order).
 
-    Returns (offsets[capacity], count). Slots past `count` hold n (one past
-    the last flat position), matching jnp.nonzero fill. If count > capacity
-    the result is truncated — callers check and re-run with a larger cap.
+    Returns (offsets[capacity], count). Slots past `count` hold the
+    PADDED flat size rows*lanes (jnp.nonzero's fill_value) — not the
+    input byte count, which padding makes smaller. If count > capacity
+    the result is truncated — callers check and re-run with a larger
+    cap.
     """
     flat = mask2d.reshape(-1)
     count = jnp.sum(flat, dtype=jnp.int32)

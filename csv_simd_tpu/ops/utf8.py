@@ -21,7 +21,10 @@ expressions trace under jnp for on-device validation.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+
 from ..utils import as_u8
 
 TOO_SHORT = 1 << 0
@@ -84,56 +87,56 @@ def validate_utf8_device(arr) -> bool:
     fused scan's non-ASCII counter fires (ASCII-only buffers never pay
     for this pass). Reference intent: avx/utf8check.rs:139-246 (dead
     there, live here)."""
-    import jax
-    import jax.numpy as jnp
-
     n = int(arr.shape[0])
     if n == 0:
         return True
+    return int(_utf8_errs_jit(jnp.asarray(arr))) == 0
 
-    @jax.jit
-    def _check(a):
-        # direct range logic instead of the 3 nibble LUTs: per-element
-        # table gathers lower catastrophically on TPU (the same trap as
-        # `nonzero`), while these ~20 vectorised compares run at memory
-        # speed. Conditions are RFC 3629 verbatim; equivalence with the
-        # LUT construction is pinned by the differential tests.
-        cur = a.astype(jnp.int32)
 
-        def shift(k):
-            return jnp.pad(cur, (k, 0))[:n]
+@jax.jit
+def _utf8_errs_jit(a):
+    """Error count of the device UTF-8 check (module-level jit: a
+    per-call closure would re-trace and, through the tunnel,
+    re-compile on every invocation)."""
+    n = a.shape[0]
+    # direct range logic instead of the 3 nibble LUTs: per-element
+    # table gathers lower catastrophically on TPU (the same trap as
+    # `nonzero`), while these ~20 vectorised compares run at memory
+    # speed. Conditions are RFC 3629 verbatim; equivalence with the
+    # LUT construction is pinned by the differential tests.
+    cur = a.astype(jnp.int32)
 
-        p1, p2, p3 = shift(1), shift(2), shift(3)
-        is_cont = (cur & 0xC0) == 0x80
-        lead2 = (p1 & 0xE0) == 0xC0
-        lead3 = (p1 & 0xF0) == 0xE0
-        lead4 = (p1 & 0xF8) == 0xF0
-        lead3_2 = (p2 & 0xF0) == 0xE0
-        lead4_2 = (p2 & 0xF8) == 0xF0
-        lead4_3 = (p3 & 0xF8) == 0xF0
-        must_cont = lead2 | lead3 | lead4 | lead3_2 | lead4_2 | lead4_3
-        bad_cont = is_cont != must_cont
-        # overlong / surrogate / out-of-range at the first continuation
-        bad_first = (
-            ((p1 == 0xC0) | (p1 == 0xC1))                      # overlong 2B
-            | ((p1 == 0xE0) & (cur < 0xA0) & is_cont)          # overlong 3B
-            | ((p1 == 0xED) & (cur >= 0xA0) & is_cont)         # surrogate
-            | ((p1 == 0xF0) & (cur < 0x90) & is_cont)          # overlong 4B
-            | ((p1 == 0xF4) & (cur >= 0x90) & is_cont)         # > U+10FFFF
-            | (p1 >= 0xF5)                                     # invalid lead
-        )
-        errs = jnp.sum(bad_cont | bad_first)
-        # truncated multi-byte sequence at the buffer end
-        tail = (
-            (a[n - 1] >= 0xC0).astype(jnp.int32)
-            + (a[n - 2] >= 0xE0).astype(jnp.int32) * (1 if n >= 2 else 0)
-            + (a[n - 3] >= 0xF0).astype(jnp.int32) * (1 if n >= 3 else 0)
-        )
-        return errs + tail
+    def shift(k):
+        return jnp.pad(cur, (k, 0))[:n]
 
-    import jax.numpy as jnp  # noqa: F811
+    p1, p2, p3 = shift(1), shift(2), shift(3)
+    is_cont = (cur & 0xC0) == 0x80
+    lead2 = (p1 & 0xE0) == 0xC0
+    lead3 = (p1 & 0xF0) == 0xE0
+    lead4 = (p1 & 0xF8) == 0xF0
+    lead3_2 = (p2 & 0xF0) == 0xE0
+    lead4_2 = (p2 & 0xF8) == 0xF0
+    lead4_3 = (p3 & 0xF8) == 0xF0
+    must_cont = lead2 | lead3 | lead4 | lead3_2 | lead4_2 | lead4_3
+    bad_cont = is_cont != must_cont
+    # overlong / surrogate / out-of-range at the first continuation
+    bad_first = (
+        ((p1 == 0xC0) | (p1 == 0xC1))                      # overlong 2B
+        | ((p1 == 0xE0) & (cur < 0xA0) & is_cont)          # overlong 3B
+        | ((p1 == 0xED) & (cur >= 0xA0) & is_cont)         # surrogate
+        | ((p1 == 0xF0) & (cur < 0x90) & is_cont)          # overlong 4B
+        | ((p1 == 0xF4) & (cur >= 0x90) & is_cont)         # > U+10FFFF
+        | (p1 >= 0xF5)                                     # invalid lead
+    )
+    errs = jnp.sum(bad_cont | bad_first)
+    # truncated multi-byte sequence at the buffer end
+    tail = (
+        (a[n - 1] >= 0xC0).astype(jnp.int32)
+        + (a[n - 2] >= 0xE0).astype(jnp.int32) * (1 if n >= 2 else 0)
+        + (a[n - 3] >= 0xF0).astype(jnp.int32) * (1 if n >= 3 else 0)
+    )
+    return errs + tail
 
-    return int(_check(jnp.asarray(arr))) == 0
 
 
 def validate_utf8(data: bytes | np.ndarray) -> bool:

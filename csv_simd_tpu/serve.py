@@ -76,7 +76,10 @@ class RecordSourceMixin:
         """Vectorised (start, end) byte ranges for (record, field) pairs.
 
         start is already past the leading delimiter. Callers must have
-        validated ranges (use `valid_records`)."""
+        validated 0 <= record < num_data_records and
+        0 <= field < field_cnt themselves (seek_field does; an
+        out-of-range field here silently reads into the adjacent
+        stride slot)."""
         slots = (np.asarray(record_idx) + 1) * self.record_jump_size + np.asarray(
             field_idx
         )

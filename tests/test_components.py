@@ -267,3 +267,26 @@ def test_artifact_path_without_npz_suffix(tmp_path):
     save_tape(tape, p)
     t2 = load_tape(p, data)
     assert t2.seek_field(0, 1) == b"2"
+
+
+def test_space_delimited_dialect():
+    """A space-delimited dialect is expressible: the (inert) space role
+    collides with the delimiter, and the colliding codes OR together
+    (plain dict assignment used to drop the structural bit)."""
+    import pytest
+
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.config import Dialect
+
+    d = Dialect(delimiter=0x20)
+    data = b'a b\n1 "x y"\n2 z\n'
+    for backend in ("golden", "jnp", "pallas"):
+        t = create_from_bytes(data, backend=backend, dialect=d)
+        assert t.field_cnt == 2
+        assert t.seek_field(0, 1) == b'"x y"'
+        assert t.seek_field(1, 1) == b"z"
+    # quote must still differ from space/escape (trim precedes unquote)
+    with pytest.raises(ValueError, match="quote"):
+        Dialect(quote=0x20)
+    with pytest.raises(ValueError, match="distinct"):
+        Dialect(delimiter=0x0A)
