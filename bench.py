@@ -155,10 +155,11 @@ def main():
     import csv as _pycsv
     import io as _io
 
+    _sample = data[: 1 << 24]
     t0 = time.time()
-    for _row in _pycsv.reader(_io.StringIO(data[: 1 << 24].decode("utf-8", "replace"))):
+    for _row in _pycsv.reader(_io.StringIO(_sample.decode("utf-8", "replace"))):
         pass
-    pycsv_gbps = (1 << 24) / (time.time() - t0) / 1e9
+    pycsv_gbps = len(_sample) / (time.time() - t0) / 1e9
 
     per_s1 = _marginal(stage1_chain, w2d, 32, 96)
     per_build = _marginal(build_chain, w2d, 16, 48)

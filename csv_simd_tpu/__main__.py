@@ -623,19 +623,18 @@ def main(argv=None) -> int:
         if args.cmd == "json-index":
             import numpy as np
 
-            from .experiments.json_device import (
-                json_depths_device,
-                json_structural_index_device,
-            )
+            from .experiments.json_device import json_depths_device
 
             with open(args.file, "rb") as f:
                 raw = f.read()
-            offs = json_structural_index_device(raw)
             import jax.numpy as jnp
 
-            _m, depth = json_depths_device(
+            # one device pass: the depths call already returns the
+            # structural mask, so the offsets are its flatnonzero
+            mask, depth = json_depths_device(
                 jnp.asarray(np.frombuffer(raw, dtype=np.uint8))
             )
+            offs = np.flatnonzero(np.asarray(mask))
             depth = np.asarray(depth)
             print(f"{len(offs)} structural chars")
             for o in offs[: args.limit]:
