@@ -17,8 +17,11 @@ Supported grammar (case-insensitive keywords):
     [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
     [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n]
 
-- item: column | agg(column) [AS alias] with agg in
-  SUM/MIN/MAX/COUNT/AVG/MEAN; COUNT(*) counts group rows.
+- item: column | agg(column) | COALESCE(col, col [, ...]) [AS alias]
+  with agg in SUM/MIN/MAX/COUNT/AVG/MEAN; COUNT(*) counts group rows.
+  COALESCE takes the first non-NULL column per row (same column type
+  required; plain selections and joins — e.g. merging the two key
+  columns of a FULL OUTER JOIN).
 - table: a bare identifier resolved through the `tables` mapping, or a
   'quoted path' / "quoted path" opened as a CSV file.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
@@ -130,6 +133,8 @@ class _Item:
     def default_name(self) -> str:
         if self.kind == "col":
             return self.col
+        if self.kind == "coalesce":
+            return "coalesce"
         if self.fn == "count" and self.col is None:
             return "count"
         return f"{self.fn}_{self.col}"
@@ -228,6 +233,17 @@ class _Parser:
 
     def _item_core(self) -> _Item:
         k, v = self.peek()
+        if k == "name" and v.lower() == "coalesce" \
+                and self.peek(1) == ("punc", "("):
+            self.next()
+            self.expect("punc", "(")
+            cols = [self._colref()]
+            while self.accept("punc", ","):
+                cols.append(self._colref())
+            self.expect("punc", ")")
+            if len(cols) < 2:
+                raise SqlError("COALESCE needs at least two columns")
+            return _Item("coalesce", col=tuple(cols))
         if k == "name" and v.lower() in _AGG_FNS \
                 and self.peek(1) == ("punc", "("):
             fn = self.next()[1].lower()
@@ -522,10 +538,16 @@ def _run_select(ast: _Ast, src, kw):
     if ast.having is not None:
         raise SqlError("HAVING needs GROUP BY")
     star = any(it.kind == "star" for it in ast.items)
-    cols = None if star else [it.col for it in ast.items]
-    if star and kw["schema"]:
-        # SELECT * keeps every column; the schema only overrides types
-        cols = _all_columns(src, kw)
+    has_coalesce = any(it.kind == "coalesce" for it in ast.items)
+    if star:
+        cols = _all_columns(src, kw) if kw["schema"] else None
+    else:
+        # read the union of referenced columns (coalesce inputs too)
+        cols = []
+        for it in ast.items:
+            for c in (it.col if it.kind == "coalesce" else (it.col,)):
+                if c not in cols:
+                    cols.append(c)
     order_keys, order_desc = None, False
     if ast.order_by:
         for it, _ in ast.order_by:
@@ -541,11 +563,70 @@ def _run_select(ast: _Ast, src, kw):
         engine=kw["engine"], backend=kw["backend"],
         dialect=kw["dialect"], sample=kw["sample"],
     )
+    if has_coalesce:
+        return _project_items(fr, ast.items, lambda c: c)
     alias = {it.col: it.alias for it in ast.items
              if it.kind == "col" and it.alias}
     if alias:
         fr = _rename(fr, alias)
     return fr
+
+
+def _coalesce_column(fr, cols):
+    """First non-NULL value per row across same-typed columns."""
+    base = fr.schema[cols[0]]
+    for c in cols[1:]:
+        if fr.schema[c].type != base.type:
+            raise SqlError(
+                f"COALESCE column types disagree: {cols[0]!r} is "
+                f"{base.type!r}, {c!r} is {fr.schema[c].type!r}"
+            )
+    n = len(fr)
+    vals = np.array(fr._columns[cols[0]], copy=True)
+    got = np.zeros(n, bool)
+    for c in cols:
+        okm = fr._ok[c]
+        ok = np.ones(n, bool) if okm is None else np.asarray(okm, bool)
+        if base.type in ("str", "bytes"):
+            # text never fails a parse; over a join the absent side is
+            # flagged by the ok mask (or shows as empty text)
+            ok = ok & np.array(
+                [len(v) > 0 for v in fr._columns[c]], bool
+            )
+        take = ok & ~got
+        vals[take] = np.asarray(fr._columns[c])[take]
+        got |= ok
+    okm = got if not got.all() else None
+    return vals, okm, base
+
+
+def _project_items(fr, items, resolve):
+    """Project a materialized frame onto SELECT items (cols +
+    coalesce), applying aliases."""
+    from .frame import Frame
+
+    names, cols_out, oks_out, schema_out = [], {}, {}, {}
+    for it in items:
+        if it.kind == "coalesce":
+            srcs = [resolve(c) for c in it.col]
+            vals, okm, col = _coalesce_column(fr, srcs)
+            nm = it.alias or "coalesce"
+        elif it.kind == "col":
+            srcn = resolve(it.col)
+            vals, okm, col = (fr._columns[srcn], fr._ok[srcn],
+                              fr.schema[srcn])
+            nm = it.alias or srcn
+        else:
+            raise SqlError(
+                f"item {it.name()!r} is not valid in a plain selection"
+            )
+        if nm in cols_out:
+            raise SqlError(f"duplicate output column {nm!r} (use AS)")
+        names.append(nm)
+        cols_out[nm], oks_out[nm], schema_out[nm] = vals, okm, col
+    out = Frame(names, cols_out, oks_out, schema_out, len(fr))
+    out.records = fr.records
+    return out
 
 
 def _rename(fr, mapping: Dict[str, str]):
@@ -1108,34 +1189,36 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
         return _frame_scalar_aggs(ast, fr, _frame_col)
     if ast.having is not None:
         raise SqlError("HAVING needs GROUP BY")
+    star = any(it.kind == "star" for it in ast.items)
+    # project BEFORE ordering so ORDER BY can reference output aliases
+    # (incl. COALESCE results); non-projected columns still order via
+    # the joined frame — both share row order until the sort
+    proj = None if star else _project_items(fr, ast.items, _frame_col)
     if ast.order_by:
         for it, _ in ast.order_by:
             if it.kind != "col":
                 raise SqlError(
                     "ORDER BY aggregates over a JOIN is not supported"
                 )
-        fr = _order_frame(fr, [(_frame_col(it.col), d)
-                               for it, d in ast.order_by])
-    if ast.limit is not None:
-        fr = fr.take(np.arange(min(ast.limit, len(fr))))
-    star = any(it.kind == "star" for it in ast.items)
-    if not star:
-        sel = [_frame_col(it.col) for it in ast.items]
-        out_names = [it.alias or s for it, s in zip(ast.items, sel)]
-        from .frame import Frame
 
-        if len(set(out_names)) != len(out_names):
-            raise SqlError(f"duplicate output names: {out_names} (use AS)")
-        sub = Frame(
-            out_names,
-            {o: fr._columns[s] for o, s in zip(out_names, sel)},
-            {o: fr._ok[s] for o, s in zip(out_names, sel)},
-            {o: fr.schema[s] for o, s in zip(out_names, sel)},
-            len(fr),
+        def _order_col(ref):
+            if proj is not None and ref in proj._columns:
+                return proj._columns[ref], proj._ok[ref]
+            name = _frame_col(ref)
+            return fr._columns[name], fr._ok[name]
+
+        from .query import _host_multi_order_perm
+
+        perm = _host_multi_order_perm(
+            len(fr), _order_col,
+            [(it.col, d) for it, d in ast.order_by],
         )
-        sub.records = fr.records
-        fr = sub
-    return fr
+        fr = fr.take(perm)
+        proj = None if proj is None else proj.take(perm)
+    out = fr if proj is None else proj
+    if ast.limit is not None:
+        out = out.take(np.arange(min(ast.limit, len(out))))
+    return out
 
 
 def _frame_mask(fr, expr, resolve) -> np.ndarray:

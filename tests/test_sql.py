@@ -422,3 +422,30 @@ def test_count_star_only_no_materialization():
     assert r["count"][0] == len(ROWS)
     r = sql("SELECT COUNT(*) FROM t WHERE sym = 'MSFT'", CSV)
     assert r["count"][0] == sum(1 for x in ROWS if x[0] == "MSFT")
+
+
+def test_coalesce_outer_join_key():
+    t = {"l": LEFT, "r": RIGHT}
+    fr = sql("SELECT COALESCE(l.sym, r.sym) AS key, qty, price "
+             "FROM l FULL OUTER JOIN r ON l.sym = r.sym "
+             "ORDER BY key", tables=t)
+    want = sorted({"AAPL", "MSFT", "ZZZZ", "XXXX"} | set())
+    assert sorted(set(map(str, fr["key"]))) == want
+    assert fr.ok("key") is None or all(fr.ok("key"))
+    # ORDER BY a non-projected column after projection still works
+    fr = sql("SELECT l.sym AS a FROM l LEFT JOIN r ON l.sym = r.sym "
+             "ORDER BY qty DESC LIMIT 2", tables=t)
+    assert [str(s) for s in fr["a"]] == ["AAPL", "ZZZZ"]
+
+
+def test_coalesce_single_table_and_errors():
+    csv = b"a,b\n1,5\nx,7\n3,y\nx,z\n"
+    fr = sql("SELECT COALESCE(a, b) AS v, a FROM t", csv,
+             schema={"a": "int32", "b": "int32"})
+    assert fr["v"].tolist() == [1, 7, 3, 0]
+    assert list(fr.ok("v")) == [True, True, True, False]
+    with pytest.raises(SqlError, match="at least two"):
+        sql("SELECT COALESCE(a) FROM t", csv)
+    with pytest.raises(SqlError, match="types disagree"):
+        sql("SELECT COALESCE(a, b) FROM t", csv,
+            schema={"a": "int32", "b": "str"})
