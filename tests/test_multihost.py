@@ -18,28 +18,32 @@ def _free_port() -> int:
     return port
 
 
-def test_two_host_sharded_build():
+@pytest.mark.parametrize("n_hosts", [2, 4])
+def test_multi_host_sharded_build(n_hosts):
+    """2- and 4-process global meshes (8 and 16 shards): the parity /
+    count collectives must stitch identically at any host count."""
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = [
         subprocess.Popen(
-            [sys.executable, "tools/multihost_demo.py", coord, "2", str(i)],
+            [sys.executable, "tools/multihost_demo.py", coord,
+             str(n_hosts), str(i)],
             cwd="/root/repo",
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
-        for i in range(2)
+        for i in range(n_hosts)
     ]
     try:
-        out0, err0 = procs[0].communicate(timeout=240)
-        out1, err1 = procs[1].communicate(timeout=60)
+        outs = [procs[0].communicate(timeout=240)]
+        outs += [p.communicate(timeout=60) for p in procs[1:]]
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         pytest.fail("multihost demo timed out")
-    assert procs[0].returncode == 0, err0[-2000:]
-    assert procs[1].returncode == 0, err1[-2000:]
-    assert "MULTIHOST_OK" in out0
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+    assert "MULTIHOST_OK" in outs[0][0]
