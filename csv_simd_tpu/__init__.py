@@ -42,6 +42,7 @@ from .offsetfree import PackedDeviceTape
 from .frame import Col, Frame, infer_schema, read_typed, write_csv
 from .join import join_records, join_typed
 from .sql import SqlError, SqlResult, sql
+from .sql import explain as explain_sql
 from .query import (
     Stats,
     column_quantiles,
@@ -108,6 +109,7 @@ __all__ = [
     "select_records",
     "value_counts",
     "sql",
+    "explain_sql",
     "SqlResult",
     "SqlError",
 ]

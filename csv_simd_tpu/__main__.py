@@ -540,6 +540,9 @@ def main(argv=None) -> int:
                 right_schema=_sch(args.right_schema),
                 backend=args.backend, engine=args.engine,
             )
+            if isinstance(fr, str):  # EXPLAIN: the plan text
+                print(fr)
+                return 0
             print(fr)
             for name in fr.names:
                 vals = fr[name][: args.limit]

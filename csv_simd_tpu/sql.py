@@ -48,7 +48,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["sql", "SqlResult", "SqlError"]
+__all__ = ["sql", "explain", "SqlResult", "SqlError"]
 
 
 class SqlError(ValueError):
@@ -459,10 +459,16 @@ class SqlResult:
         return f"SqlResult(rows={self.num_records}, columns=[{cols}])"
 
 
+def _strip_explain(query: str) -> str:
+    q = query.lstrip()
+    return q[8:] if q[:8].lower() == "explain " else query
+
+
 def table_refs(query: str) -> List[str]:
-    """The bare (unquoted) FROM/JOIN table names of a statement, in
-    order — the CLI binds positional file arguments to these."""
-    ast = _Parser(query).parse()
+    """The bare (unquoted) FROM/JOIN table names of a statement
+    (EXPLAIN prefix tolerated), in order — the CLI binds positional
+    file arguments to these."""
+    ast = _Parser(_strip_explain(query)).parse()
     out = []
     for t in (ast.table, ast.join_table):
         if t is not None and t[0] == "name":
@@ -471,6 +477,68 @@ def table_refs(query: str) -> List[str]:
 
 
 # ------------------------------------------------------------- executor
+
+
+def explain(query: str) -> str:
+    """The compiled plan of a statement, as text: which device
+    primitives it maps onto and what pushes down where. Parses only —
+    no source needed, nothing executes."""
+    ast = _Parser(query).parse()
+    has_agg = any(it.kind == "agg" for it in ast.items)
+    lines = []
+    if ast.join_table is not None:
+        lines.append(
+            f"JOIN ({ast.join_how}): device sort-merge "
+            "(join.join_records — right side sorts once, per-left-row "
+            "searchsorted, host pair expansion)"
+        )
+        on = ", ".join(f"{a} = {b}" for a, b in ast.join_on)
+        lines.append(f"  on: {on}")
+    if ast.where is not None:
+        tgt = ("host mask over the joined frame"
+               if ast.join_table is not None
+               else "device predicate masks (query.select_records "
+               "pushdown: only matching rows are ever gathered)")
+        lines.append(f"WHERE -> {tgt}")
+        lines.append(f"  tree: {ast.where!r}")
+    if ast.group_by or (ast.distinct and not has_agg):
+        how = ("host group over the joined frame (query._group_multi)"
+               if ast.join_table is not None
+               else "device group-by (query.groupby_typed: one stable "
+               "key sort + segment reduces; exact digit-split int "
+               "sums)")
+        keys = ast.group_by or [it.col for it in ast.items
+                                if it.kind == "col"]
+        lines.append(f"GROUP BY {', '.join(map(str, keys))} -> {how}")
+    elif has_agg:
+        lines.append(
+            "scalar aggregates -> device column stats "
+            "(query.column_stats)" if ast.join_table is None
+            else "scalar aggregates -> host reduce over the joined "
+            "frame"
+        )
+    if ast.having is not None:
+        lines.append(f"HAVING (post-merge group filter): {ast.having!r}")
+    if ast.order_by:
+        keys = ", ".join(
+            f"{it.name()} {'DESC' if d else 'ASC'}"
+            for it, d in ast.order_by
+        )
+        where_ = ("host stable multi-key sort"
+                  if (ast.join_table is not None or ast.group_by
+                      or ast.distinct)
+                  else "device sort (top-k when LIMIT)")
+        lines.append(f"ORDER BY {keys} -> {where_}")
+    if ast.limit is not None:
+        lines.append(f"LIMIT {ast.limit}")
+    items = ", ".join(
+        "*" if it.kind == "star" else it.name() for it in ast.items
+    )
+    lines.append(f"SELECT {items} -> "
+                 + ("SqlResult (host arrays)"
+                    if has_agg or ast.group_by or ast.distinct
+                    else "Frame (typed device-parsed columns)"))
+    return "\n".join(lines)
 
 
 def sql(query: str, source=None, *, tables: Optional[Dict] = None,
@@ -489,7 +557,10 @@ def sql(query: str, source=None, *, tables: Optional[Dict] = None,
              would otherwise flip a column to str); `right_schema`
              covers the JOINed table.
     Returns a Frame (plain selection / join) or SqlResult (aggregate /
-    GROUP BY / DISTINCT)."""
+    GROUP BY / DISTINCT). A statement prefixed with EXPLAIN returns
+    the plan text instead (see explain())."""
+    if query.lstrip()[:8].lower() == "explain ":
+        return explain(_strip_explain(query))
     ast = _Parser(query).parse()
 
     def _resolve(table, fallback_ok: bool):

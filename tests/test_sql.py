@@ -449,3 +449,24 @@ def test_coalesce_single_table_and_errors():
     with pytest.raises(SqlError, match="types disagree"):
         sql("SELECT COALESCE(a, b) FROM t", csv,
             schema={"a": "int32", "b": "str"})
+
+
+def test_explain():
+    from csv_simd_tpu.sql import explain
+
+    plan = explain("SELECT sym, SUM(qty) AS s FROM t WHERE qty > 0 "
+                   "GROUP BY sym HAVING COUNT(*) > 2 "
+                   "ORDER BY s DESC LIMIT 5")
+    assert "pushdown" in plan and "GROUP BY sym" in plan
+    assert "HAVING" in plan and "LIMIT 5" in plan
+    # EXPLAIN prefix through sql() needs no source and runs nothing
+    plan2 = sql("EXPLAIN SELECT * FROM a LEFT JOIN b ON a.k = b.k")
+    assert isinstance(plan2, str) and "sort-merge" in plan2
+
+
+def test_cli_explain(capsys):
+    from csv_simd_tpu.__main__ import main
+
+    assert main(["sql", "EXPLAIN SELECT COUNT(*) FROM t"]) == 0
+    out = capsys.readouterr().out
+    assert "column stats" in out
