@@ -133,6 +133,22 @@ def main():
     assert list(fr["qty"]) == sorted(
         (q for _s, q in rows), reverse=True)[:5]
     print("relational stack (parse/filter/group/sort) on chip: OK")
+
+    from csv_simd_tpu.sql import sql as run_sql
+
+    r = run_sql(
+        "SELECT sym, COUNT(*), SUM(qty) AS s FROM t WHERE qty > 0 "
+        "GROUP BY sym ORDER BY s DESC", pt,
+    )
+    want = {}
+    for s2, q in rows:
+        if q > 0:
+            c, t_ = want.get(s2, (0, 0))
+            want[s2] = (c + 1, t_ + q)
+    got = {k: (int(c), int(t_))
+           for k, c, t_ in zip(r["sym"], r["count"], r["s"])}
+    assert got == want, (got, want)
+    print("SQL end-to-end on chip: OK")
     print("ALL ON-HARDWARE CHECKS PASSED")
 
 
