@@ -15,6 +15,7 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from csv_simd_tpu import create_from_bytes, golden
+from csv_simd_tpu.config import Dialect
 from csv_simd_tpu.index import build_index
 from csv_simd_tpu.streaming import StreamingIndexBuilder
 
@@ -169,3 +170,32 @@ def test_select_records_matches_python_oracle(rows, op, lit):
             "<=": operator.le, ">": operator.gt, ">=": operator.ge}[op]
     expect = [i for i, (_s, q) in enumerate(rows) if pyop(q, lit)]
     assert list(ids) == expect
+
+
+_dialects = st.builds(
+    lambda d, q: Dialect(delimiter=d, quote=q),
+    st.sampled_from([0x2C, 0x3B, 0x09, 0x7C, 0x20]),  # , ; tab | space
+    st.sampled_from([0x22, 0x27, 0x60]),              # " ' `
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(soup, _dialects)
+def test_backends_agree_any_dialect(data, dialect):
+    """Random delimiter/quote pairs (incl. space-delimited): every
+    backend must match golden under the same dialect."""
+    want = golden.structural_index(data, dialect)
+    np.testing.assert_array_equal(
+        build_index(data, dialect=dialect, backend="jnp"), want
+    )
+    np.testing.assert_array_equal(
+        build_index(data, dialect=dialect, backend="pallas"), want
+    )
+    try:
+        from csv_simd_tpu import native
+
+        if native.available():
+            offs, _ = native.host_stage1(data, dialect, n_threads=2)
+            np.testing.assert_array_equal(offs, want[1:])
+    except RuntimeError:
+        pass
