@@ -15,7 +15,7 @@ Supported grammar (case-insensitive keywords):
     FROM table [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN table
                  ON a.col = b.col [AND a.col2 = b.col2 ...] ]
     [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
-    [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n]
+    [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n [OFFSET m]]
 
 - item: column | agg(column) | COALESCE(col, col [, ...]) [AS alias]
   with agg in SUM/MIN/MAX/COUNT/AVG/MEAN; COUNT(*) counts group rows.
@@ -73,7 +73,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having",
     "order", "limit", "and", "or", "not", "between", "in", "like",
     "as", "asc", "desc", "join", "inner", "left", "right", "full",
-    "outer", "semi", "anti", "on", "is", "null",
+    "outer", "semi", "anti", "on", "is", "null", "offset",
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
@@ -156,6 +156,7 @@ class _Ast:
         self.having = None
         self.order_by: List[Tuple[object, bool]] = []  # (_Item, desc)
         self.limit: Optional[int] = None
+        self.offset: int = 0
 
 
 class _Parser:
@@ -213,6 +214,8 @@ class _Parser:
             ast.order_by = self._order_items()
         if self.accept("kw", "limit"):
             ast.limit = int(self.expect("num")[1])
+            if self.accept("kw", "offset"):
+                ast.offset = int(self.expect("num")[1])
         self.expect("end")
         return ast
 
@@ -530,7 +533,8 @@ def explain(query: str) -> str:
                   else "device sort (top-k when LIMIT)")
         lines.append(f"ORDER BY {keys} -> {where_}")
     if ast.limit is not None:
-        lines.append(f"LIMIT {ast.limit}")
+        lines.append(f"LIMIT {ast.limit}"
+                     + (f" OFFSET {ast.offset}" if ast.offset else ""))
     items = ", ".join(
         "*" if it.kind == "star" else it.name() for it in ast.items
     )
@@ -628,12 +632,15 @@ def _run_select(ast: _Ast, src, kw):
                 )
         order_keys = [it.col for it, _ in ast.order_by]
         order_desc = [d for _, d in ast.order_by]
+    fetch = None if ast.limit is None else ast.limit + ast.offset
     fr = read_typed(
         src, kw["schema"], columns=cols, where=ast.where,
-        order_by=order_keys, descending=order_desc, limit=ast.limit,
+        order_by=order_keys, descending=order_desc, limit=fetch,
         engine=kw["engine"], backend=kw["backend"],
         dialect=kw["dialect"], sample=kw["sample"],
     )
+    if ast.offset:
+        fr = fr.take(np.arange(min(ast.offset, len(fr)), len(fr)))
     if has_coalesce:
         return _project_items(fr, ast.items, lambda c: c)
     alias = {it.col: it.alias for it in ast.items
@@ -856,10 +863,12 @@ def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
         perm = _order_group_rows(names, columns, order, n)
         for nm in list(columns):
             columns[nm] = columns[nm][perm]
-    if ast.limit is not None:
+    if ast.limit is not None or ast.offset:
+        lo = ast.offset
+        hi = n if ast.limit is None else lo + ast.limit
         for nm in list(columns):
-            columns[nm] = columns[nm][: ast.limit]
-        n = min(n, ast.limit)
+            columns[nm] = columns[nm][lo:hi]
+        n = max(0, min(n, hi) - lo)
     columns = {nm: columns[nm] for nm in names}
     return SqlResult(names, columns, types, n)
 
@@ -1021,6 +1030,7 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
     ast2.having = _resolve_having(ast.having, resolve)
     ast2.order_by = [(_res_order(it), d) for it, d in ast.order_by]
     ast2.limit = ast.limit
+    ast2.offset = ast.offset
 
     keys = ast2.group_by or [it.col for it in ast2.items
                              if it.kind == "col"]
@@ -1287,8 +1297,11 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
         fr = fr.take(perm)
         proj = None if proj is None else proj.take(perm)
     out = fr if proj is None else proj
-    if ast.limit is not None:
-        out = out.take(np.arange(min(ast.limit, len(out))))
+    if ast.limit is not None or ast.offset:
+        lo = min(ast.offset, len(out))
+        hi = (len(out) if ast.limit is None
+              else min(lo + ast.limit, len(out)))
+        out = out.take(np.arange(lo, hi))
     return out
 
 

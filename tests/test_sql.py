@@ -470,3 +470,19 @@ def test_cli_explain(capsys):
     assert main(["sql", "EXPLAIN SELECT COUNT(*) FROM t"]) == 0
     out = capsys.readouterr().out
     assert "column stats" in out
+
+
+def test_limit_offset():
+    csv = b"v\n" + b"".join(b"%d\n" % i for i in range(20))
+    fr = sql("SELECT v FROM t ORDER BY v LIMIT 5 OFFSET 3", csv)
+    assert fr["v"].tolist() == [3, 4, 5, 6, 7]
+    r = sql("SELECT v, COUNT(*) FROM t GROUP BY v ORDER BY v "
+            "LIMIT 4 OFFSET 10", csv)
+    assert r["v"].tolist() == [10, 11, 12, 13]
+    fr = sql("SELECT l.sym FROM l JOIN r ON l.sym = r.sym "
+             "ORDER BY l.sym LIMIT 2 OFFSET 1",
+             tables={"l": LEFT, "r": RIGHT})
+    assert [str(s) for s in fr["sym"]] == ["AAPL", "MSFT"]
+    # offset past the end is empty, not an error
+    fr = sql("SELECT v FROM t LIMIT 5 OFFSET 100", csv)
+    assert len(fr) == 0
