@@ -290,3 +290,30 @@ def test_space_delimited_dialect():
         Dialect(quote=0x20)
     with pytest.raises(ValueError, match="distinct"):
         Dialect(delimiter=0x0A)
+
+
+def test_cli_remaining_commands(tmp_path, capsys):
+    """Smoke the CLI commands no other test drives: info, record,
+    typed column, describe."""
+    from csv_simd_tpu.__main__ import main
+
+    p = tmp_path / "t.csv"
+    p.write_bytes(
+        b"sym,qty,price\nAA,5,1.25\nBB,50,2.50\nAA,500,0.75\n"
+    )
+    assert main(["--backend", "golden", "info", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "header" in out or "Tape" in out
+    assert main(["--backend", "golden", "record", str(p), "1"]) == 0
+    out = capsys.readouterr().out
+    assert "50" in out
+    assert main(["column", str(p), "1", "--type", "int32"]) == 0
+    out = capsys.readouterr().out
+    assert "500" in out
+    assert main(["column", str(p), "2", "--type", "decimal",
+                 "--scale", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "1.25" in out  # CLI formats decimals back with the point
+    assert main(["describe", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "qty" in out and "mean" in out
