@@ -17,7 +17,11 @@ Supported grammar (case-insensitive keywords):
     [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
     [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n [OFFSET m]]
 
-- item: column | agg(column) | COALESCE(col, col [, ...]) [AS alias]
+- item: column | agg(column) | COALESCE(col, col [, ...]) |
+  CASE WHEN expr THEN val [...] [ELSE val] END [AS alias]
+  (CASE values: literals — numbers make a float column, strings a
+  text one — or same-typed column refs, or a mix where literals
+  convert into the columns' type; no match and no ELSE is NULL)
   with agg in SUM/MIN/MAX/COUNT/AVG/MEAN; COUNT(*) counts group rows.
   COALESCE takes the first non-NULL column per row (same column type
   required; plain selections and joins — e.g. merging the two key
@@ -74,6 +78,7 @@ _KEYWORDS = {
     "order", "limit", "and", "or", "not", "between", "in", "like",
     "as", "asc", "desc", "join", "inner", "left", "right", "full",
     "outer", "semi", "anti", "on", "is", "null", "offset",
+    "case", "when", "then", "end", "else",
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
@@ -135,6 +140,8 @@ class _Item:
             return self.col
         if self.kind == "coalesce":
             return "coalesce"
+        if self.kind == "case":
+            return "case"
         if self.fn == "count" and self.col is None:
             return "count"
         return f"{self.fn}_{self.col}"
@@ -234,8 +241,31 @@ class _Parser:
             it.alias = self.expect("name")[1]
         return it
 
+    def _case_value(self):
+        k, v = self.peek()
+        if k in ("num", "str"):
+            self.next()
+            return ("lit", _num(v) if k == "num" else v)
+        return ("col", self._colref())
+
     def _item_core(self) -> _Item:
         k, v = self.peek()
+        if k == "kw" and v == "case":
+            self.next()
+            branches = []
+            while self.accept("kw", "when"):
+                cond = self._expr(having=False)
+                self.expect("kw", "then")
+                branches.append((cond, self._case_value()))
+            if not branches:
+                raise SqlError("CASE needs at least one WHEN branch")
+            else_v = (self._case_value()
+                      if self.accept("kw", "else") else None)
+            self.expect("kw", "end")
+            it = _Item("case")
+            it.branches = branches
+            it.else_value = else_v
+            return it
         if k == "name" and v.lower() == "coalesce" \
                 and self.peek(1) == ("punc", "("):
             self.next()
@@ -613,14 +643,16 @@ def _run_select(ast: _Ast, src, kw):
     if ast.having is not None:
         raise SqlError("HAVING needs GROUP BY")
     star = any(it.kind == "star" for it in ast.items)
-    has_coalesce = any(it.kind == "coalesce" for it in ast.items)
+    has_computed = any(it.kind in ("coalesce", "case")
+                       for it in ast.items)
     if star:
         cols = _all_columns(src, kw) if kw["schema"] else None
     else:
-        # read the union of referenced columns (coalesce inputs too)
+        # read the union of referenced columns (coalesce inputs and
+        # CASE condition/value columns too)
         cols = []
         for it in ast.items:
-            for c in (it.col if it.kind == "coalesce" else (it.col,)):
+            for c in _item_input_cols(it):
                 if c not in cols:
                     cols.append(c)
     order_keys, order_desc = None, False
@@ -641,13 +673,32 @@ def _run_select(ast: _Ast, src, kw):
     )
     if ast.offset:
         fr = fr.take(np.arange(min(ast.offset, len(fr)), len(fr)))
-    if has_coalesce:
+    if has_computed:
         return _project_items(fr, ast.items, lambda c: c)
     alias = {it.col: it.alias for it in ast.items
              if it.kind == "col" and it.alias}
     if alias:
         fr = _rename(fr, alias)
     return fr
+
+
+def _item_input_cols(it: _Item):
+    """Every source column a SELECT item needs materialized."""
+    from .query import _where_leaves
+
+    if it.kind == "coalesce":
+        return list(it.col)
+    if it.kind == "case":
+        out = []
+        vals = [v for _, v in it.branches]
+        if it.else_value is not None:
+            vals.append(it.else_value)
+        for cond, _ in it.branches:
+            for leaf in _where_leaves(cond):
+                out.append(leaf[0])
+        out.extend(v for k, v in vals if k == "col")
+        return out
+    return [it.col]
 
 
 def _coalesce_column(fr, cols):
@@ -678,6 +729,81 @@ def _coalesce_column(fr, cols):
     return vals, okm, base
 
 
+def _case_column(fr, it, resolve):
+    """Evaluate a CASE item over a materialized frame: first matching
+    WHEN branch wins; no match and no ELSE -> NULL (ok=False). THEN/
+    ELSE values must be either all literals (numbers -> float column,
+    any string -> text) or all same-typed column refs."""
+    from .frame import Col
+
+    from .query import _typed_literal
+
+    n = len(fr)
+    vals_spec = [v for _, v in it.branches]
+    if it.else_value is not None:
+        vals_spec.append(it.else_value)
+    col_refs = [resolve(v) for k, v in vals_spec if k == "col"]
+    lits = [v for k, v in vals_spec if k == "lit"]
+    if col_refs:
+        base = fr.schema[col_refs[0]]
+        for c in col_refs[1:]:
+            if fr.schema[c].type != base.type:
+                raise SqlError(
+                    "CASE column values must share one type: "
+                    f"{col_refs[0]!r} is {base.type!r}, {c!r} is "
+                    f"{fr.schema[c].type!r}"
+                )
+        text = base.type in ("str", "bytes")
+        if text and any(not isinstance(x, str) for x in lits):
+            raise SqlError(
+                "CASE literals for a text column must be strings"
+            )
+        out = np.array(fr._columns[col_refs[0]], copy=True)
+        col = base
+    else:
+        text = any(isinstance(x, str) for x in lits)
+        out = (np.empty(n, object) if text
+               else np.zeros(n, np.float64))
+        col = Col("str") if text else Col("float")
+        base = None
+        if text:
+            out[:] = ""
+    ok = np.zeros(n, bool)
+    assigned = np.zeros(n, bool)
+
+    def _value(spec, rows):
+        kind, v = spec
+        if kind == "lit":
+            if base is None:
+                return (str(v) if text else np.float64(v)), None
+            # literal in a column-typed CASE: convert to the column's
+            # value domain (scaled decimal, epoch, int32 ...)
+            return ((str(v) if text else _typed_literal(base, v)),
+                    None)
+        srcn = resolve(v)
+        okm = fr._ok[srcn]
+        return (np.asarray(fr._columns[srcn])[rows],
+                None if okm is None else np.asarray(okm, bool)[rows])
+
+    for cond, vspec in it.branches:
+        m = _frame_mask(fr, cond, resolve) & ~assigned
+        rows = np.flatnonzero(m)
+        if rows.size:
+            v, vok = _value(vspec, rows)
+            out[rows] = v
+            ok[rows] = True if vok is None else vok
+        assigned |= m
+    if it.else_value is not None:
+        rows = np.flatnonzero(~assigned)
+        if rows.size:
+            v, vok = _value(it.else_value, rows)
+            out[rows] = v
+            ok[rows] = True if vok is None else vok
+        assigned[:] = True
+    okm = ok if not ok.all() else None
+    return out, okm, col
+
+
 def _project_items(fr, items, resolve):
     """Project a materialized frame onto SELECT items (cols +
     coalesce), applying aliases."""
@@ -685,7 +811,10 @@ def _project_items(fr, items, resolve):
 
     names, cols_out, oks_out, schema_out = [], {}, {}, {}
     for it in items:
-        if it.kind == "coalesce":
+        if it.kind == "case":
+            vals, okm, col = _case_column(fr, it, resolve)
+            nm = it.alias or "case"
+        elif it.kind == "coalesce":
             srcs = [resolve(c) for c in it.col]
             vals, okm, col = _coalesce_column(fr, srcs)
             nm = it.alias or "coalesce"

@@ -486,3 +486,38 @@ def test_limit_offset():
     # offset past the end is empty, not an error
     fr = sql("SELECT v FROM t LIMIT 5 OFFSET 100", csv)
     assert len(fr) == 0
+
+
+def test_case_when():
+    csv = b"sym,qty\nAA,5\nBB,-3\nCC,x\nDD,40\n"
+    s = {"qty": "int32"}
+    fr = sql("SELECT sym, CASE WHEN qty > 10 THEN 'big' WHEN qty > 0 "
+             "THEN 'small' ELSE 'neg' END AS size FROM t", csv,
+             schema=s)
+    assert [str(v) for v in fr["size"]] == [
+        "small", "neg", "neg", "big"   # parse-fail row falls to ELSE
+    ]
+    # mixed column/literal values convert into the column's domain
+    fr = sql("SELECT CASE WHEN qty > 0 THEN qty ELSE 0 END AS c "
+             "FROM t", csv, schema=s)
+    assert fr["c"].tolist() == [5, 0, 0, 40]
+    # no ELSE -> NULL for unmatched rows
+    fr = sql("SELECT CASE WHEN qty > 10 THEN 1 END AS f FROM t", csv,
+             schema=s)
+    assert list(fr.ok("f")) == [False, False, False, True]
+    # over a join, incl. IS NULL conditions
+    L = b"sym,qty\nAAPL,10\nZZZZ,30\n"
+    R = b"sym,price\nAAPL,1.25\n"
+    fr = sql("SELECT l.sym, CASE WHEN price IS NULL THEN 'nope' "
+             "ELSE 'hit' END AS m FROM l LEFT JOIN r ON l.sym = r.sym",
+             tables={"l": L, "r": R})
+    assert [str(v) for v in fr["m"]] == ["hit", "nope"]
+    # first matching branch wins
+    fr = sql("SELECT CASE WHEN qty > 0 THEN 'a' WHEN qty > 10 "
+             "THEN 'b' END AS w FROM t", csv, schema=s)
+    assert str(fr["w"][3]) == "a"
+    with pytest.raises(SqlError, match="at least one WHEN"):
+        sql("SELECT CASE END FROM t", csv)
+    with pytest.raises(SqlError, match="must be strings"):
+        sql("SELECT CASE WHEN qty > 0 THEN sym ELSE 5 END FROM t",
+            csv, schema=s)
