@@ -670,7 +670,6 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
             )
         from .query import (
             _field_index,
-            _host_order_perm,
             _lock_corpus_spec,
             _lock_where_schema,
             select_records,
