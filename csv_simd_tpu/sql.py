@@ -223,6 +223,8 @@ class _Parser:
             ast.limit = int(self.expect("num")[1])
             if self.accept("kw", "offset"):
                 ast.offset = int(self.expect("num")[1])
+            if ast.limit < 0 or ast.offset < 0:
+                raise SqlError("LIMIT/OFFSET must be non-negative")
         self.expect("end")
         return ast
 

@@ -486,6 +486,8 @@ def test_limit_offset():
     # offset past the end is empty, not an error
     fr = sql("SELECT v FROM t LIMIT 5 OFFSET 100", csv)
     assert len(fr) == 0
+    with pytest.raises(SqlError, match="non-negative"):
+        sql("SELECT v FROM t LIMIT -1", csv)
 
 
 def test_case_when():
