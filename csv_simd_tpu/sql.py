@@ -220,13 +220,21 @@ class _Parser:
             self.expect("kw", "by")
             ast.order_by = self._order_items()
         if self.accept("kw", "limit"):
-            ast.limit = int(self.expect("num")[1])
+            ast.limit = self._int_literal("LIMIT")
             if self.accept("kw", "offset"):
-                ast.offset = int(self.expect("num")[1])
-            if ast.limit < 0 or ast.offset < 0:
-                raise SqlError("LIMIT/OFFSET must be non-negative")
+                ast.offset = self._int_literal("OFFSET")
         self.expect("end")
         return ast
+
+    def _int_literal(self, what: str) -> int:
+        tok = self.expect("num")[1]
+        try:
+            v = int(tok)
+        except ValueError:
+            raise SqlError(f"{what} must be an integer, got {tok!r}")
+        if v < 0:
+            raise SqlError(f"{what} must be non-negative, got {v}")
+        return v
 
     def _select_items(self) -> List[_Item]:
         items = []
@@ -615,6 +623,8 @@ def sql(query: str, source=None, *, tables: Optional[Dict] = None,
 
     kw = dict(engine=engine, backend=backend, dialect=dialect,
               sample=sample, schema=schema, right_schema=right_schema)
+    if ast.join_table is None and ast.table[0] == "name":
+        _dequalify_ast(ast, ast.table[1])
     if ast.join_table is not None:
         return _run_join(ast, _resolve(ast.table, True),
                          _resolve(ast.join_table, False), kw)
@@ -639,49 +649,148 @@ def _all_columns(src, kw) -> List[str]:
     return list(names)
 
 
+def _dequalify_ast(ast: _Ast, tname: str) -> None:
+    """Strip 't.' qualifiers in place when t is the single FROM
+    table's bare name (SELECT t.k FROM t is ordinary SQL)."""
+    pre = tname + "."
+
+    def deq(ref):
+        if isinstance(ref, str) and ref.startswith(pre):
+            return ref[len(pre):]
+        return ref
+
+    def deq_where(e):
+        if e is None:
+            return None
+        if isinstance(e, tuple) and len(e) == 3 \
+                and isinstance(e[1], str):
+            return (deq(e[0]), e[1], e[2])
+        if isinstance(e, tuple) and len(e) == 2 \
+                and e[0] in ("and", "or"):
+            return (e[0], [deq_where(x) for x in e[1]])
+        if isinstance(e, tuple) and len(e) == 2 and e[0] == "not":
+            return ("not", deq_where(e[1]))
+        if isinstance(e, list):
+            return [deq_where(x) for x in e]
+        return e
+
+    def deq_item(it: _Item) -> _Item:
+        it2 = _Item(it.kind, fn=it.fn, alias=it.alias)
+        if isinstance(it.col, tuple):
+            it2.col = tuple(deq(c) for c in it.col)
+        else:
+            it2.col = deq(it.col)
+        if it.kind == "case":
+            it2.branches = [
+                (deq_where(cond), (k, deq(v) if k == "col" else v))
+                for cond, (k, v) in it.branches
+            ]
+            ev = it.else_value
+            it2.else_value = (
+                None if ev is None
+                else (ev[0], deq(ev[1]) if ev[0] == "col" else ev[1])
+            )
+        return it2
+
+    ast.items = [it if it.kind == "star" else deq_item(it)
+                 for it in ast.items]
+    ast.group_by = [deq(k) for k in ast.group_by]
+    ast.order_by = [(deq_item(it), d) for it, d in ast.order_by]
+    ast.where = deq_where(ast.where)
+    ast.having = deq_where(ast.having)  # 't.col.fn' -> 'col.fn'
+
+
 def _run_select(ast: _Ast, src, kw):
     from .frame import read_typed
 
     if ast.having is not None:
         raise SqlError("HAVING needs GROUP BY")
-    star = any(it.kind == "star" for it in ast.items)
-    has_computed = any(it.kind in ("coalesce", "case")
-                       for it in ast.items)
-    if star:
+    star_count = sum(1 for it in ast.items if it.kind == "star")
+    pure_star = star_count == len(ast.items) and star_count > 0
+    if star_count and not pure_star:
+        # SELECT *, extra: expand the star into explicit column items
+        items = []
+        for it in ast.items:
+            if it.kind == "star":
+                items.extend(_Item("col", col=c)
+                             for c in _all_columns(src, kw))
+            else:
+                items.append(it)
+    else:
+        items = ast.items
+    has_computed = any(it.kind in ("coalesce", "case") for it in items)
+    for it in items:
+        if it.kind == "agg":
+            raise SqlError(
+                f"aggregate {it.name()!r} needs GROUP BY (or no "
+                "plain columns)"
+            )
+    # ORDER BY resolution: a key naming an output item orders by that
+    # item (alias); a computed item needs host ordering after the
+    # projection — a plain column (or a col-item alias) pushes down
+    # to the device sort
+    out_items = {} if pure_star else {it.name(): it for it in items}
+    order_keys, order_desc = [], []
+    host_order = []  # [(ref, desc)] — resolved against proj then fr
+    for it, d in ast.order_by:
+        if it.kind != "col":
+            raise SqlError("ORDER BY aggregates needs GROUP BY")
+        target = out_items.get(it.col)
+        if target is not None and target.kind == "col":
+            order_keys.append(target.col)
+            order_desc.append(d)
+        elif target is not None:
+            host_order.append((it.col, d))
+        else:
+            order_keys.append(it.col)
+            order_desc.append(d)
+    if host_order and order_keys:
+        # mixed device/host keys would not compose lexicographically:
+        # move the WHOLE sort to host (refs resolve against the
+        # projection first, then the source frame)
+        host_order = [(it.col, d) for it, d in ast.order_by]
+        order_keys = []
+    if pure_star:
         cols = _all_columns(src, kw) if kw["schema"] else None
     else:
-        # read the union of referenced columns (coalesce inputs and
-        # CASE condition/value columns too)
+        # read the union of referenced columns (coalesce inputs, CASE
+        # condition/value columns, host-order source columns)
         cols = []
-        for it in ast.items:
+        for it in items:
             for c in _item_input_cols(it):
                 if c not in cols:
                     cols.append(c)
-    order_keys, order_desc = None, False
-    if ast.order_by:
-        for it, _ in ast.order_by:
-            if it.kind != "col":
-                raise SqlError(
-                    "ORDER BY aggregates needs GROUP BY"
-                )
-        order_keys = [it.col for it, _ in ast.order_by]
-        order_desc = [d for _, d in ast.order_by]
-    fetch = None if ast.limit is None else ast.limit + ast.offset
+        for k, _d in host_order:
+            if k not in out_items and k not in cols:
+                cols.append(k)
+    fetch = (None if (ast.limit is None or host_order)
+             else ast.limit + ast.offset)
     fr = read_typed(
         src, kw["schema"], columns=cols, where=ast.where,
-        order_by=order_keys, descending=order_desc, limit=fetch,
+        order_by=(order_keys or None), descending=order_desc,
+        limit=fetch,
         engine=kw["engine"], backend=kw["backend"],
         dialect=kw["dialect"], sample=kw["sample"],
     )
-    if ast.offset:
-        fr = fr.take(np.arange(min(ast.offset, len(fr)), len(fr)))
-    if has_computed:
-        return _project_items(fr, ast.items, lambda c: c)
-    alias = {it.col: it.alias for it in ast.items
-             if it.kind == "col" and it.alias}
-    if alias:
-        fr = _rename(fr, alias)
-    return fr
+    proj = (fr if pure_star and not has_computed
+            else _project_items(fr, items, lambda c: c))
+    if host_order:
+        from .query import _host_multi_order_perm
+
+        def _order_col(ref):
+            if ref in proj._columns:
+                return proj._columns[ref], proj._ok[ref]
+            return fr._columns[ref], fr._ok[ref]
+
+        perm = _host_multi_order_perm(len(proj), _order_col, host_order)
+        fr = fr.take(perm)
+        proj = proj.take(perm) if proj is not fr else fr
+    lo = min(ast.offset, len(proj))
+    hi = (len(proj) if ast.limit is None
+          else min(lo + ast.limit, len(proj)))
+    if lo or hi < len(proj):
+        proj = proj.take(np.arange(lo, hi))
+    return proj
 
 
 def _item_input_cols(it: _Item):
@@ -718,12 +827,6 @@ def _coalesce_column(fr, cols):
     for c in cols:
         okm = fr._ok[c]
         ok = np.ones(n, bool) if okm is None else np.asarray(okm, bool)
-        if base.type in ("str", "bytes"):
-            # text never fails a parse; over a join the absent side is
-            # flagged by the ok mask (or shows as empty text)
-            ok = ok & np.array(
-                [len(v) > 0 for v in fr._columns[c]], bool
-            )
         take = ok & ~got
         vals[take] = np.asarray(fr._columns[c])[take]
         got |= ok
@@ -855,7 +958,7 @@ def _rename(fr, mapping: Dict[str, str]):
     return out
 
 
-def _order_group_rows(names, columns, order, n: int):
+def _order_group_rows(columns, order, n: int):
     """Stable multi-key host sort of n result rows; object-int columns
     compare exactly (Python ints). None aggregates (groups whose
     per-value count is 0) and NaN means sort LAST in both
@@ -889,10 +992,12 @@ def _agg_array(g_aggs, col: str, fn: str):
             float(a) / int(b) if b else np.nan for a, b in zip(s, cnt)
         ]), "float")
     arr = np.asarray(g_aggs[col][fn])
+    # device-path float aggregates come back float32, host-path
+    # float64 — both are "float" outputs
+    t = "float" if arr.dtype.kind == "f" else "int64"
     if (cnt == 0).any():
         arr = np.array([v if c else None
                         for v, c in zip(arr.tolist(), cnt)], object)
-    t = "float" if arr.dtype == np.float64 else "int64"
     return arr, t
 
 
@@ -920,6 +1025,10 @@ def _run_groupby(ast: _Ast, src, kw):
         for col in _having_cols(expr):
             if col not in value_cols:
                 value_cols.append(col)
+    for it, _ in ast.order_by:
+        if (it.kind == "agg" and it.col is not None
+                and it.col not in value_cols):
+            value_cols.append(it.col)
     # groupby_typed needs >= 1 value column; COUNT(*)/DISTINCT use
     # none, so ride the first key with a forced numeric spec — the
     # (unused) value aggregates just come back not-ok, while the group
@@ -928,10 +1037,12 @@ def _run_groupby(ast: _Ast, src, kw):
     sch = kw["schema"] or {}
     key_spec = [sch.get(k) for k in keys]
     if probe_only:
-        # force a numeric probe spec even if the user typed the key as
-        # text: the probe's value aggregates are never read
+        # force a FLOAT probe spec: the probe's value aggregates are
+        # never read, and a float value also sidesteps the integer
+        # sum-exactness ceiling (COUNT(*) group-bys must work on
+        # >2^20-row groups)
         value_cols = [keys[0]]
-        value_spec = ["int32"]
+        value_spec = ["float"]
     else:
         value_spec = [sch.get(v) for v in value_cols]
     g = groupby_typed(
@@ -991,7 +1102,7 @@ def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
                     f"ORDER BY column {nm!r} is not in the result"
                 )
             order.append((nm, desc))
-        perm = _order_group_rows(names, columns, order, n)
+        perm = _order_group_rows(columns, order, n)
         for nm in list(columns):
             columns[nm] = columns[nm][perm]
     if ast.limit is not None or ast.offset:
@@ -1125,10 +1236,7 @@ def _frame_scalar_aggs(ast: _Ast, fr, resolve) -> SqlResult:
         names.append(nm)
         columns[nm] = np.asarray([val], object)
         types[nm] = t
-    n = 1 if ast.limit is None else min(1, ast.limit)
-    if n == 0:
-        columns = {nm: columns[nm][:0] for nm in names}
-    return SqlResult(names, columns, types, n)
+    return _slice_one_row(names, columns, types, ast)
 
 
 def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
@@ -1183,6 +1291,10 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
     for col in _having_cols(ast2.having):
         if col not in value_cols:
             value_cols.append(col)
+    for it, _ in ast2.order_by:
+        if (it.kind == "agg" and it.col is not None
+                and it.col not in value_cols):
+            value_cols.append(it.col)
     for it in agg_items:
         if (it.col is not None
                 and fr.schema[it.col].type in ("str", "bytes")
@@ -1248,6 +1360,16 @@ def _count_rows(src, where, kw) -> int:
                               sample=kw["sample"]))
 
 
+def _slice_one_row(names, columns, types, ast) -> SqlResult:
+    """LIMIT/OFFSET over the single scalar-aggregate result row."""
+    lo = min(ast.offset, 1)
+    hi = 1 if ast.limit is None else min(lo + ast.limit, 1)
+    n = max(0, hi - lo)
+    if n == 0:
+        columns = {nm: columns[nm][:0] for nm in names}
+    return SqlResult(names, columns, types, n)
+
+
 def _run_scalar_aggs(ast: _Ast, src, kw):
     """Aggregates with no GROUP BY: one result row over the (filtered)
     table, via per-column device stats."""
@@ -1302,10 +1424,7 @@ def _run_scalar_aggs(ast: _Ast, src, kw):
         names.append(nm)
         columns[nm] = np.asarray([val], object)
         types[nm] = t
-    n = 1 if ast.limit is None else min(1, ast.limit)
-    if n == 0:
-        columns = {nm: columns[nm][:0] for nm in names}
-    return SqlResult(names, columns, types, n)
+    return _slice_one_row(names, columns, types, ast)
 
 
 # ---------------------------------------------------------------- joins
@@ -1401,11 +1520,24 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
         return _frame_scalar_aggs(ast, fr, _frame_col)
     if ast.having is not None:
         raise SqlError("HAVING needs GROUP BY")
-    star = any(it.kind == "star" for it in ast.items)
+    star_count = sum(1 for it in ast.items if it.kind == "star")
+    if star_count and len(ast.items) > star_count:
+        # SELECT *, extra: the star expands to every joined column
+        items = []
+        for it in ast.items:
+            if it.kind == "star":
+                items.extend(_Item("col", col=n) for n in fr.names)
+            else:
+                items.append(it)
+    elif star_count:
+        items = None  # pure star: the joined frame as-is
+    else:
+        items = ast.items
     # project BEFORE ordering so ORDER BY can reference output aliases
     # (incl. COALESCE results); non-projected columns still order via
     # the joined frame — both share row order until the sort
-    proj = None if star else _project_items(fr, ast.items, _frame_col)
+    proj = (None if items is None
+            else _project_items(fr, items, _frame_col))
     if ast.order_by:
         for it, _ in ast.order_by:
             if it.kind != "col":

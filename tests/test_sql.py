@@ -523,3 +523,80 @@ def test_case_when():
     with pytest.raises(SqlError, match="must be strings"):
         sql("SELECT CASE WHEN qty > 0 THEN sym ELSE 5 END FROM t",
             csv, schema=s)
+
+
+def test_order_by_aggregate_not_selected():
+    csv = b"k,v,b\nAA,1,9\nBB,2,8\nAA,3,7\n"
+    s = {"v": "int32", "b": "int32"}
+    r = sql("SELECT k, SUM(v) FROM t GROUP BY k ORDER BY MAX(b) DESC",
+            csv, schema=s)
+    assert list(r["k"]) == ["AA", "BB"]      # max b: AA=9, BB=8
+    r = sql("SELECT k FROM t GROUP BY k ORDER BY SUM(v)", csv, schema=s)
+    assert list(r["k"]) == ["BB", "AA"]      # sums: BB=2, AA=4
+    # over a join too
+    t = {"l": JL, "r": JR}
+    r = sql("SELECT l.sym FROM l JOIN r ON l.sym = r.sym "
+            "GROUP BY l.sym ORDER BY SUM(qty) DESC", tables=t,
+            schema={"qty": "int32"})
+    assert list(r["sym"]) == ["AAPL", "MSFT"]
+
+
+def test_select_star_plus_items():
+    csv = b"k,v\nAA,1\nBB,2\n"
+    fr = sql("SELECT *, v AS w FROM t", csv, schema={"v": "int32"})
+    assert fr.names == ["k", "v", "w"]
+    assert fr["w"].tolist() == fr["v"].tolist()
+    fr = sql("SELECT *, COALESCE(l.sym, r.sym) AS m FROM l "
+             "FULL JOIN r ON l.sym = r.sym", tables={"l": LEFT,
+                                                     "r": RIGHT})
+    assert fr.names[-1] == "m"
+    assert "" not in [str(v) for v in fr["m"]]
+
+
+def test_qualified_single_table_refs():
+    csv = b"k,v\nAA,1\nBB,2\n"
+    fr = sql("SELECT t.k FROM t WHERE t.v > 1", csv,
+             schema={"v": "int32"})
+    assert [str(s) for s in fr["k"]] == ["BB"]
+    r = sql("SELECT t.k, SUM(t.v) FROM t GROUP BY t.k ORDER BY t.k",
+            csv, schema={"v": "int32"})
+    assert list(r["k"]) == ["AA", "BB"]
+
+
+def test_order_by_output_alias_plain():
+    csv = b"k,v\nAA,1\nBB,2\nCC,3\n"
+    fr = sql("SELECT k AS kk, v FROM t ORDER BY kk DESC", csv,
+             schema={"v": "int32"})
+    assert [str(s) for s in fr["kk"]] == ["CC", "BB", "AA"]
+    # computed alias ordering falls back to host sort
+    fr = sql("SELECT CASE WHEN v > 1 THEN 'hi' ELSE 'lo' END AS c, v "
+             "FROM t ORDER BY c, v DESC LIMIT 2", csv,
+             schema={"v": "int32"})
+    assert [str(s) for s in fr["c"]] == ["hi", "hi"]
+    assert fr["v"].tolist() == [3, 2]
+
+
+def test_count_star_large_group_and_scalar_offset():
+    big = b"k,v\n" + b"AA,1\n" * (2**20 + 5)
+    r = sql("SELECT k, COUNT(*) FROM t GROUP BY k", big)
+    assert r["count"].tolist() == [2**20 + 5]
+    r = sql("SELECT COUNT(*) FROM t LIMIT 1 OFFSET 1",
+            b"k\nAA\n")
+    assert len(r) == 0
+
+
+def test_float_agg_type_with_null_group():
+    r = sql("SELECT k, MAX(v) FROM t GROUP BY k ORDER BY k",
+            b"k,v\nAA,1.5\nBB,x\n", schema={"v": "float"})
+    assert r.schema["max_v"].type == "float"
+    assert r["max_v"].tolist() == [1.5, None]
+
+
+def test_coalesce_keeps_empty_text():
+    fr = sql("SELECT COALESCE(a, b) AS c FROM t", b"a,b\n,x\ny,z\n")
+    assert [str(v) for v in fr["c"]] == ["", "y"]
+
+
+def test_limit_non_integer_rejected():
+    with pytest.raises(SqlError, match="must be an integer"):
+        sql("SELECT k FROM t LIMIT 1.5", b"k\n1\n")
