@@ -65,7 +65,11 @@ def _correctness_gate():
 
     rng = np.random.default_rng(2026)
     data = rng.choice(
-        np.frombuffer(b'ab"",\n\rx,z":; \t09', dtype=np.uint8), size=700_000
+        # incl. the raw-classify adversaries: bytes whose low-7 bits
+        # equal structural chars but with bit 7 set must stay inert
+        np.frombuffer(b'ab"",\n\rx,z":; \t09\xa2\x8a\x8d\xac\xff',
+                      dtype=np.uint8),
+        size=700_000,
     )
     ref = golden.structural_mask(data)
     w2d = jnp.asarray(pad_to_words(data))
