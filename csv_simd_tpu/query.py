@@ -56,7 +56,7 @@ from .frame import Col, parse_spec
 _CHUNK = 8192  # 16-bit half sums: 8192 * 65535 < 2**31 — int32-exact
 
 _OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in",
-        "startswith", "endswith", "contains", "isnull", "notnull")
+        "startswith", "endswith", "contains", "like", "isnull", "notnull")
 _STR_OPS = ("startswith", "endswith", "contains")
 
 _PY_OPS = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le,
@@ -737,6 +737,91 @@ def _decoded_match_mask(tape, field: int, value, dialect, window: int,
     )
 
 
+def _compile_like(pat: str):
+    """SQL LIKE pattern -> (mode, core). `%` is allowed leading and/or
+    trailing (general mid-pattern `%` needs backtracking — unsupported);
+    `_` anywhere in the core becomes a per-position wildcard compare on
+    device. Matching is byte-wise (`_` = one byte), consistent with the
+    byte-oriented serving layer."""
+    core = pat.strip("%")
+    if "%" in core:
+        raise ValueError("LIKE supports only leading/trailing %")
+    lead, trail = pat.startswith("%"), pat.endswith("%")
+    if lead and trail:
+        mode = "contains"
+    elif trail:
+        mode = "startswith"
+    elif lead:
+        mode = "endswith"
+    else:
+        mode = "exact"
+    return mode, core
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def _wild_mask(out, lengths, valid, needle, wild, k: int, mode: str):
+    """Device LIKE predicates with `_` wildcards over decoded fields.
+
+    Same shapes/convention as _substr_mask, plus wild (W,) bool marking
+    per-position wildcards in the needle and an extra mode "exact"
+    (whole-field match: lengths == k). A wildcard position accepts any
+    byte — `(byte == needle) | wild` per position."""
+    n, w = out.shape
+    o32 = out.astype(jnp.int32)
+    nd = needle[:k].astype(jnp.int32)[None, :]
+    wc = wild[:k][None, :]
+    if mode == "exact":
+        m = jnp.all((o32[:, :k] == nd) | wc, axis=1) & (lengths == k)
+    elif mode == "startswith":
+        m = jnp.all((o32[:, :k] == nd) | wc, axis=1) & (lengths >= k)
+    elif mode == "endswith":
+        start = jnp.maximum(lengths - k, 0)
+        idx = start[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+        tail = jnp.take_along_axis(o32, jnp.minimum(idx, w - 1), axis=1)
+        m = jnp.all((tail == nd) | wc, axis=1) & (lengths >= k)
+    else:  # contains: any alignment s with s + k <= len matches
+        n_starts = w - k + 1
+        hit = jnp.ones((n, n_starts), bool)
+        for j in range(k):  # k is static: unrolls to k fused compares
+            hit = hit & ((o32[:, j:j + n_starts] == nd[0, j]) | wc[0, j])
+        starts = jnp.arange(n_starts, dtype=jnp.int32)
+        in_range = starts[None, :] + k <= lengths[:, None]
+        m = jnp.any(hit & in_range, axis=1)
+    return valid & m
+
+
+def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
+    """Device mask for a full LIKE pattern (incl. `_` wildcards) over the
+    stage-2 DECODED field text."""
+    mode, core = _compile_like(
+        pat if isinstance(pat, str) else bytes(pat).decode()
+    )
+    core_b = core.encode()
+    k = len(core_b)
+    window = max(window, k, 1)
+    n = int(getattr(tape, "num_data_records",
+                    int(tape.record_cnt) - 1))
+    out, lengths, valid = tape.gather_decoded(
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.full((n,), field, jnp.int32),
+        max_len=window, dialect=dialect,
+    )
+    lengths, valid = jnp.asarray(lengths), jnp.asarray(valid)
+    if k == 0:
+        # '' matches only empty fields; '%'/'%x%'-degenerates match all
+        if mode == "exact":
+            return np.asarray(valid & (lengths == 0))
+        return np.asarray(valid)
+    needle = np.zeros(window, np.uint8)
+    needle[:k] = np.frombuffer(core_b, np.uint8)
+    wild = np.zeros(window, bool)
+    wild[:k] = needle[:k] == ord("_")
+    return np.asarray(
+        _wild_mask(out, lengths, valid, jnp.asarray(needle),
+                   jnp.asarray(wild), k, mode)
+    )
+
+
 def _typed_literal(col: Col, value):
     """Host conversion of a predicate literal to the column's device
     value domain (days / epoch units / scaled decimal)."""
@@ -892,6 +977,9 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
             window = col.max_len or _true_window(tape, field, 16)
             return _decoded_match_mask(tape, field, value, dialect,
                                        window, op)
+        if op == "like":
+            window = col.max_len or _true_window(tape, field, 16)
+            return _like_pattern_mask(tape, field, value, dialect, window)
         if op not in ("==", "!="):
             raise ValueError(
                 f"op {op!r} needs a typed column; {name!r} is "
@@ -904,7 +992,7 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
                                         window))
         return ~m if op == "!=" else m
 
-    if op in _STR_OPS:
+    if op in _STR_OPS or op == "like":
         raise ValueError(
             f"op {op!r} matches decoded text; {name!r} is {col.type} "
             "(give an explicit str/bytes schema for this column)"

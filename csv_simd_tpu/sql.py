@@ -31,7 +31,9 @@ Supported grammar (case-insensitive keywords):
 - expr: comparisons (= == != <> < <= > >=) of a column against a
   literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' ('abc%' ->
   startswith, '%abc' -> endswith, '%abc%' -> contains, '%' ->
-  match-all, no '%' -> text equality; '_' wildcards unsupported),
+  match-all, no '%' -> text equality; '_' matches exactly one byte
+  at its position — per-position device compares; mid-pattern '%'
+  unsupported),
   col IS [NOT] NULL (NULL = typed-parse failure; over a join also
   the absent side of an unmatched row), combined with NOT / AND / OR
   and parentheses (standard precedence).
@@ -438,11 +440,13 @@ class _Parser:
 
 
 def _like_leaf(col: str, pat: str):
-    if "_" in pat:
-        raise SqlError("LIKE '_' wildcards are not supported")
     core = pat.strip("%")
     if "%" in core:
         raise SqlError("LIKE supports only leading/trailing %")
+    if "_" in core:
+        # `_` wildcards compile to per-position device compares
+        # (query._wild_mask); the whole pattern travels as one leaf
+        return (col, "like", pat)
     if pat == "":
         return (col, "==", "")
     if core == "":

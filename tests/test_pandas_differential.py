@@ -67,6 +67,21 @@ def test_sql_where_order_matches_pandas():
     assert r["qty"].tolist() == want["qty"].tolist()
 
 
+def test_sql_like_matches_pandas_str_match():
+    df = _pdf()
+    cases = [
+        ("M_FT", r"^M.FT$"),
+        ("A_P%", r"^A.P"),
+        ("%_PL", r".PL$"),
+        ("%O_G%", r"O.G"),
+        ("____", r"^.{4}$"),
+    ]
+    for pat, rx in cases:
+        r = sql(f"SELECT sym FROM t WHERE sym LIKE '{pat}'", CSV)
+        want = df[df.sym.str.contains(rx)]["sym"].tolist()
+        assert [str(s) for s in r["sym"]] == want, pat
+
+
 RIGHT = (b"sym,price\n"
          b"MSFT,2.5\n"
          b"AAPL,1.25\n"

@@ -62,6 +62,50 @@ def test_where_like_and_bool_ops():
     assert [str(s) for s in fr["sym"]] == ["MSFT", "MSFT"]
 
 
+def test_where_like_underscore_wildcards():
+    # exact-length with per-position wildcards: _ matches any one byte
+    fr = sql("SELECT sym FROM t WHERE sym LIKE '_OOG'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["GOOG"]
+    fr = sql("SELECT sym FROM t WHERE sym LIKE 'M_FT'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["MSFT", "MSFT"]
+    # length discrimination: '____' matches only 4-byte fields
+    fr = sql("SELECT sym FROM t WHERE sym LIKE '____'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["AAPL", "MSFT", "AAPL",
+                                           "GOOG", "MSFT"]
+    # wildcard + trailing %: startswith with holes
+    fr = sql("SELECT sym FROM t WHERE sym LIKE 'A_P%'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["AAPL", "AAPL"]
+    # wildcard + leading %: endswith with holes
+    fr = sql("SELECT sym FROM t WHERE sym LIKE '%_PL'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["AAPL", "AAPL", "AA,PL"]
+    # contains with holes: G_O somewhere in the field
+    fr = sql("SELECT sym FROM t WHERE sym LIKE '%G_O%'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["GOOG"]
+    # '%_%' degenerates to "at least one byte"
+    fr = sql("SELECT sym FROM t WHERE sym LIKE '%_%'", CSV)
+    assert len(fr) == len(ROWS)
+    # NOT LIKE composes with the wildcard leaf
+    fr = sql("SELECT sym FROM t WHERE sym NOT LIKE '____'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["AA,PL"]
+
+
+def test_like_underscore_differential_python():
+    """Differential vs a Python fnmatch-style oracle over every pattern
+    shape, incl. `_` before/after the anchors."""
+    import re
+
+    pats = ["_A%", "%P_", "%_S%", "A_,__", "__%", "%__", "%", "_", "",
+            "A%", "%G", "M_FT", "x_z"]
+    for pat in pats:
+        rx = "^" + "".join(
+            ".*" if c == "%" else "." if c == "_" else re.escape(c)
+            for c in pat
+        ) + "$"
+        want = [r[0] for r in ROWS if re.match(rx, r[0], re.S)]
+        fr = sql(f"SELECT sym FROM t WHERE sym LIKE '{pat}'", CSV)
+        assert [str(s) for s in fr["sym"]] == want, pat
+
+
 def test_where_between_in_not():
     fr = sql("SELECT qty FROM t WHERE qty BETWEEN 5 AND 25", CSV,
              schema=S)
@@ -183,7 +227,7 @@ def test_errors():
     with pytest.raises(SqlError, match="cannot tokenize"):
         sql("SELECT a FROM t WHERE a ~ 3", CSV)
     with pytest.raises(SqlError, match="LIKE"):
-        sql("SELECT sym FROM t WHERE sym LIKE 'a_b'", CSV)
+        sql("SELECT sym FROM t WHERE sym LIKE 'a%b'", CSV)
     with pytest.raises(SqlError, match="compare aggregates"):
         sql("SELECT sym, SUM(qty) FROM t GROUP BY sym HAVING qty > 1",
             CSV, schema=S)

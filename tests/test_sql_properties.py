@@ -29,6 +29,16 @@ _leaf = st.one_of(
               st.integers(-60, 60), st.integers(-60, 60)),
     st.builds(lambda vs: ("qty", "in", vs),
               st.lists(st.integers(-60, 60), min_size=1, max_size=3)),
+    # LIKE patterns: optional %-anchors around a core drawn from the
+    # fixture's alphabet plus `_` wildcards (per-position device compares)
+    st.builds(
+        lambda lead, core, trail:
+            ("sym", "like", ("%" if lead else "") + core
+             + ("%" if trail else "")),
+        st.booleans(),
+        st.text(alphabet="APLMSTGO_ ,", max_size=5),
+        st.booleans(),
+    ),
 )
 
 _tree = st.recursive(
@@ -52,6 +62,8 @@ def _render(expr) -> str:
             return f"{col} BETWEEN {v[0]} AND {v[1]}"
         if op == "in":
             return f"{col} IN ({', '.join(str(x) for x in v)})"
+        if op == "like":
+            return f"{col} LIKE '{v}'"
         lit = f"'{v}'" if isinstance(v, str) else str(v)
         sql_op = {"==": "=", "!=": "<>"}.get(op, op)
         return f"{col} {sql_op} {lit}"
