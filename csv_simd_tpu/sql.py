@@ -43,8 +43,11 @@ Semantics follow the underlying layer, not full SQL: rows whose column
 fails its typed parse never satisfy a comparison (SQL NULL-ish), and
 NOT is a pure set complement (query.py's `not`). Aggregate queries
 return a SqlResult (host arrays, exact integer sums); plain selections
-return a Frame. GROUP BY / aggregates over a JOIN reduce on host
-over the joined frame (the join itself still runs on device).
+return a Frame. GROUP BY over a JOIN pushes down to per-side DEVICE
+group-bys combined on host when the group keys are the join keys
+(inner/left/right — _try_join_groupby_pushdown; EXPLAIN shows which
+plan applies); otherwise aggregates reduce on host over the joined
+frame (the join itself still runs on device).
 """
 
 from __future__ import annotations
@@ -526,6 +529,24 @@ def table_refs(query: str) -> List[str]:
 # ------------------------------------------------------------- executor
 
 
+def _keys_align_with_on(ast) -> bool:
+    """Syntactic check (no sources): every GROUP BY key names an ON
+    column (either side, alias-stripped) and covers each pair once."""
+    bare = [(a.split(".", 1)[-1], b.split(".", 1)[-1])
+            for a, b in ast.join_on]
+    if len(ast.group_by) != len(bare):
+        return False
+    taken = set()
+    for ref in ast.group_by:
+        c = ref.split(".", 1)[-1]
+        hit = next((i for i, (a, b) in enumerate(bare)
+                    if c in (a, b) and i not in taken), None)
+        if hit is None:
+            return False
+        taken.add(hit)
+    return True
+
+
 def explain(query: str) -> str:
     """The compiled plan of a statement, as text: which device
     primitives it maps onto and what pushes down where. Parses only —
@@ -549,11 +570,20 @@ def explain(query: str) -> str:
         lines.append(f"WHERE -> {tgt}")
         lines.append(f"  tree: {ast.where!r}")
     if ast.group_by or (ast.distinct and not has_agg):
-        how = ("host group over the joined frame (query._group_multi)"
-               if ast.join_table is not None
-               else "device group-by (query.groupby_typed: one stable "
-               "key sort + segment reduces; exact digit-split int "
-               "sums)")
+        if ast.join_table is None:
+            how = ("device group-by (query.groupby_typed: one stable "
+                   "key sort + segment reduces; exact digit-split int "
+                   "sums)")
+        elif ast.group_by and ast.join_how in ("inner", "left", "right") \
+                and _keys_align_with_on(ast):
+            how = ("device group-by PER SIDE + host group combine "
+                   "(join-aggregate pushdown: group keys = join keys, "
+                   "so SUM/COUNT scale by the other side's match count "
+                   "and the joined frame is never materialized; falls "
+                   "back to the host group if a WHERE conjunct "
+                   "straddles the join or key types disagree)")
+        else:
+            how = "host group over the joined frame (query._group_multi)"
         keys = ast.group_by or [it.col for it in ast.items
                                 if it.kind == "col"]
         lines.append(f"GROUP BY {', '.join(map(str, keys))} -> {how}")
@@ -1434,6 +1464,331 @@ def _run_scalar_aggs(ast: _Ast, src, kw):
 # ---------------------------------------------------------------- joins
 
 
+def _try_join_groupby_pushdown(ast, lt, ln, rt, rn, on_l, on_r,
+                               l_alias, r_alias, kw):
+    """GROUP BY over a join, pushed down: when the group keys are
+    exactly the join keys, an inner/left/right join's aggregates
+    decompose into PER-SIDE device group-bys (query.groupby_typed runs
+    where each table's values live) combined by tiny host arithmetic
+    over groups — the joined frame is never materialized:
+
+      group g pairs every left row with every right row of that key, so
+      COUNT(*) = nl*nr, SUM(l.c) = suml(c)*nr, COUNT(l.c) = cntl(c)*nr,
+      MIN/MAX(l.c) unchanged, AVG(l.c) = suml/cntl (the nr cancels);
+      LEFT JOIN keeps nl-row groups with no right match (multiplier 1).
+
+    Returns a SqlResult, or None when the statement is not eligible
+    (keys don't align with the ON pairs, a WHERE conjunct straddles the
+    join or sits on the nullable side of an outer join, FULL OUTER, or
+    the two sides type their keys differently) — the caller then falls
+    back to the host group over the joined frame."""
+    from .query import (
+        _filter_groups,
+        _having_mask,
+        _where_leaves,
+        groupby_typed,
+        infer_col,
+    )
+
+    how = ast.join_how
+    if how not in ("inner", "left", "right"):
+        return None
+
+    def _side_of(ref: str):
+        side, col = _split_qualified(ref, l_alias, r_alias)
+        if side is None:
+            if col in ln:
+                side = "l"  # bare name in both sides = left (frame rule)
+            elif col in rn:
+                side = "r"
+            else:
+                return None, col
+        elif col not in (ln if side == "l" else rn):
+            return None, col
+        return side, col
+
+    def _frame_name(side: str, col: str) -> str:
+        # mirror join_typed's column naming so output names (and the
+        # resolver the host path would use) are identical
+        return col + "_right" if (side == "r" and col in ln) else col
+
+    # --- group keys must cover the ON pairs exactly once each ---
+    pairs = list(zip(on_l, on_r))
+    if len(ast.group_by) != len(pairs):
+        return None
+    key_sides = []  # (side, col, pair_idx) in ast.group_by order
+    taken = set()
+    for ref in ast.group_by:
+        side, col = _side_of(ref)
+        if side is None:
+            return None
+        want = on_l if side == "l" else on_r
+        hit = next((i for i, c in enumerate(want)
+                    if c == col and i not in taken), None)
+        if hit is None:
+            return None
+        taken.add(hit)
+        key_sides.append((side, col, hit))
+
+    # --- both sides must type each key pair identically (else the
+    #     decoded group keys would not compare across sides) ---
+    sch_l = kw["schema"] or {}
+    sch_r = kw["right_schema"] or {}
+
+    def _key_col(side, col):
+        sch, tape, names = ((sch_l, lt, ln) if side == "l"
+                            else (sch_r, rt, rn))
+        from .frame import parse_spec
+
+        if sch.get(col) is not None:
+            return parse_spec(sch.get(col))
+        try:
+            f = next(i for i, n in enumerate(names) if n == col)
+        except StopIteration:
+            return None
+        return infer_col(tape, names, f, kw["sample"])
+
+    def _col_sig(c):
+        return (c.type, getattr(c, "unit", None), getattr(c, "scale", None))
+
+    for i, (kl, kr) in enumerate(pairs):
+        cl, cr = _key_col("l", kl), _key_col("r", kr)
+        if cl is None or cr is None or _col_sig(cl) != _col_sig(cr):
+            return None
+
+    # --- split WHERE into per-side conjuncts (bail if any straddles
+    #     the join or sits on the nullable side of a LEFT/RIGHT join:
+    #     post-join NULL semantics differ from a pre-join filter) ---
+    def _conjuncts(where):
+        if where is None:
+            return []
+        if isinstance(where, list):
+            return list(where)
+        if isinstance(where, tuple) and len(where) == 2 \
+                and where[0] == "and":
+            return list(where[1])
+        return [where]
+
+    def _rewrite(expr):
+        if isinstance(expr, tuple) and len(expr) == 3 \
+                and isinstance(expr[1], str):
+            return (_side_of(expr[0])[1], expr[1], expr[2])
+        if isinstance(expr, tuple) and len(expr) == 2 \
+                and expr[0] in ("and", "or"):
+            return (expr[0], [_rewrite(e) for e in expr[1]])
+        if isinstance(expr, tuple) and len(expr) == 2 \
+                and expr[0] == "not":
+            return ("not", _rewrite(expr[1]))
+        if isinstance(expr, list):
+            return [_rewrite(e) for e in expr]
+        return expr
+
+    where_side: Dict[str, list] = {"l": [], "r": []}
+    for cj in _conjuncts(ast.where):
+        sides = set()
+        for ref, _op, _v in _where_leaves(cj):
+            s, _c = _side_of(ref)
+            if s is None:
+                return None
+            sides.add(s)
+        if len(sides) != 1:
+            return None
+        s = sides.pop()
+        if (how == "left" and s == "r") or (how == "right" and s == "l"):
+            return None  # pre-filtering the nullable side is not
+            # equivalent to the post-join NULL semantics
+        where_side[s].append(_rewrite(cj))
+
+    # --- aggregate/HAVING/ORDER BY value columns, per side ---
+    agg_refs = [it.col for it in ast.items
+                if it.kind == "agg" and it.col is not None]
+    agg_refs += list(_having_cols(ast.having))
+    agg_refs += [it.col for it, _ in ast.order_by
+                 if it.kind == "agg" and it.col is not None]
+    side_vals: Dict[str, List[str]] = {"l": [], "r": []}
+    for ref in agg_refs:
+        side, col = _side_of(ref)
+        if side is None:
+            return None
+        if col not in side_vals[side]:
+            side_vals[side].append(col)
+    # non-count aggregates over text columns: let the host path raise
+    # its uniform error (bail keeps the two paths' diagnostics one)
+    for it in ast.items:
+        if it.kind == "agg" and it.col is not None and it.fn != "count":
+            side, col = _side_of(it.col)
+            c = _key_col(side, col)
+            if c is not None and c.type in ("str", "bytes"):
+                return None
+
+    # --- per-side device group-bys ---
+    def _side_group(side):
+        tape, names, sch = ((lt, ln, sch_l) if side == "l"
+                            else (rt, rn, sch_r))
+        keys = [pairs[i][0 if side == "l" else 1]
+                for i in range(len(pairs))]
+        key_spec = [sch.get(k) for k in keys]
+        vals = list(side_vals[side])
+        if vals:
+            val_spec = [sch.get(v) for v in vals]
+        else:
+            # COUNT(*)-style probe: value aggregates unread, group keys
+            # and per-group row counts are value-independent
+            vals, val_spec = [keys[0]], ["float"]
+        where = (where_side[side] or None)
+        return groupby_typed(
+            tape, keys if len(keys) > 1 else keys[0], vals,
+            key_spec=(key_spec if len(keys) > 1 else key_spec[0]),
+            value_spec=val_spec, where=where,
+            schema=(sch or None),
+            engine=kw["engine"], backend=kw["backend"],
+            dialect=kw["dialect"], sample=kw["sample"],
+        )
+
+    lg, rg = _side_group("l"), _side_group("r")
+
+    def _tuples(g):
+        ka = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
+        cols = [np.asarray(a).tolist() for a in ka]
+        return list(zip(*cols)) if cols and len(cols[0]) else []
+
+    lmap = {t: i for i, t in enumerate(_tuples(lg))}
+    rmap = {t: i for i, t in enumerate(_tuples(rg))}
+    # a group key taken from the OTHER side is absent (invalid) on the
+    # unmatched rows a LEFT/RIGHT join keeps — the host grouping drops
+    # those rows, so the effective semantics collapse to inner
+    key_side_set = {s for s, _c, _i in key_sides}
+    eff = how
+    if (how == "left" and "r" in key_side_set) or \
+            (how == "right" and "l" in key_side_set):
+        eff = "inner"
+    if eff == "inner":
+        out_keys = sorted(set(lmap) & set(rmap))
+    elif eff == "left":
+        out_keys = sorted(lmap)
+    else:
+        out_keys = sorted(rmap)
+
+    lcnt = np.asarray(lg["count"])
+    rcnt = np.asarray(rg["count"])
+    counts, rows_l, rows_r = [], [], []
+    for t in out_keys:
+        il, ir = lmap.get(t), rmap.get(t)
+        nl = int(lcnt[il]) if il is not None else 0
+        nr = int(rcnt[ir]) if ir is not None else 0
+        rows_l.append((il, nl, nr))
+        rows_r.append((ir, nl, nr))
+        if nl and nr:
+            counts.append(nl * nr)
+        else:
+            counts.append(nl if eff == "left" else nr)
+
+    aggs: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def _combine(side, col, g, rows):
+        a = g["aggs"][col]
+        is_f = np.asarray(a["sum"]).dtype.kind == "f"
+        sums, mins, maxs, cnts = [], [], [], []
+        for idx, nl, nr in rows:
+            # each row of this side appears once per matching row of
+            # the OTHER side; a LEFT(/RIGHT) join keeps unmatched
+            # left(/right) rows exactly once
+            other = nr if side == "l" else nl
+            kept_alone = (eff == "left" and side == "l") or \
+                (eff == "right" and side == "r")
+            m = other if other else (1 if kept_alone else 0)
+            c = int(a["count"][idx]) * m if idx is not None else 0
+            if idx is not None and c:
+                # plain Python scalars, matching the host reduce's
+                # object arrays (exact int sums at any magnitude)
+                if is_f:
+                    sums.append(float(a["sum"][idx]) * m)
+                    mins.append(float(a["min"][idx]))
+                    maxs.append(float(a["max"][idx]))
+                else:
+                    sums.append(int(a["sum"][idx]) * m)
+                    mins.append(int(a["min"][idx]))
+                    maxs.append(int(a["max"][idx]))
+            else:
+                sums.append(0.0 if is_f else 0)
+                mins.append(np.inf)
+                maxs.append(-np.inf)
+            cnts.append(c)
+        dt = np.float64 if is_f else object
+        return {
+            "sum": np.array(sums, dt), "min": np.array(mins, dt),
+            "max": np.array(maxs, dt),
+            "count": np.array(cnts, np.int64),
+        }
+
+    for col in side_vals["l"]:
+        aggs[_frame_name("l", col)] = _combine("l", col, lg, rows_l)
+    for col in side_vals["r"]:
+        aggs[_frame_name("r", col)] = _combine("r", col, rg, rows_r)
+
+    # decoded key columns, back in ast.group_by order
+    key_arrays = []
+    src_maps = {"l": (lg, lmap), "r": (rg, rmap)}
+    for pos, (side, col, pi) in enumerate(key_sides):
+        g, _m = src_maps[side]
+        ka = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
+        key_arrays.append(np.array([t[pi] for t in out_keys],
+                                   np.asarray(ka[pi]).dtype))
+
+    gdict = {"keys": key_arrays if len(key_arrays) > 1 else key_arrays[0],
+             "count": np.array(counts, np.int64), "aggs": aggs}
+
+    def _resolve_ref(ref: str) -> str:
+        side, col = _side_of(ref)
+        if side is None:
+            raise SqlError(f"no column {ref!r} in the joined result")
+        return _frame_name(side, col)
+
+    keys2 = [_frame_name(s, c) for s, c, _ in key_sides]
+    ast2 = _Ast()
+    ast2.distinct = ast.distinct
+    try:
+        ast2.items = [
+            _Item(it.kind,
+                  col=(_resolve_ref(it.col) if it.col is not None
+                       else None),
+                  fn=it.fn, alias=it.alias)
+            if it.kind != "star" else it
+            for it in ast.items
+        ]
+    except SqlError:
+        return None  # unknown column: the host path raises uniformly
+    for it in ast2.items:
+        if it.kind == "star" or (it.kind == "col"
+                                 and it.col not in keys2):
+            # SELECT * with GROUP BY / bare column outside the keys:
+            # fall back so the host path raises its canonical error
+            return None
+    ast2.group_by = keys2
+    ast2.having = _resolve_having(ast.having, _resolve_ref)
+    ord2 = []
+    for it, d in ast.order_by:
+        if it.kind == "col":
+            try:
+                it = _Item("col", col=_resolve_ref(it.col),
+                           alias=it.alias)
+            except SqlError:
+                pass  # output alias: resolved against the result
+        else:
+            it = _Item(it.kind, col=(_resolve_ref(it.col)
+                                     if it.col is not None else None),
+                       fn=it.fn, alias=it.alias)
+        ord2.append((it, d))
+    ast2.order_by = ord2
+    ast2.limit = ast.limit
+    ast2.offset = ast.offset
+
+    g = gdict
+    if ast2.having is not None:
+        g = _filter_groups(g, _having_mask(g, ast2.having))
+    return _groups_to_result(ast2, keys2, g)
+
+
 def _split_qualified(ref: str, l_alias: str, r_alias: str):
     """'a.col' -> (side, col); bare 'col' -> (None, col)."""
     if "." in ref:
@@ -1484,6 +1839,12 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
                            kw["engine"], False)
     rt, _rn = _resolve_tape(right_src, kw["dialect"], kw["backend"],
                             kw["engine"], False)
+    if ast.group_by:
+        res = _try_join_groupby_pushdown(
+            ast, lt, ln, rt, _rn, on_l, on_r, l_alias, r_alias, kw
+        )
+        if res is not None:
+            return res
     fr = join_typed(
         lt, rt,
         on_l if len(on_l) > 1 else on_l[0],
