@@ -136,6 +136,21 @@ def main(argv=None) -> int:
         help="force the jax platform (the JAX_PLATFORMS env var may be "
         "overridden by site configuration; this flag always wins)",
     )
+    p.add_argument(
+        "--delimiter", default=None, metavar="CHAR",
+        help="field delimiter byte (default ','; the reference "
+        "hardcoded this, tape.rs:216)",
+    )
+    p.add_argument(
+        "--quote", default=None, metavar="CHAR",
+        help="quote byte (default '\"')",
+    )
+    p.add_argument(
+        "--header-quotes", action="store_true",
+        help="parse the header quote-aware: quoted header names may "
+        "contain delimiters/newlines (default: the reference's raw "
+        "split, tape.rs:258-262)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("info")
@@ -388,6 +403,23 @@ def main(argv=None) -> int:
     from . import create
     from .errors import StructureError
 
+    dialect = None
+    if args.delimiter or args.quote or args.header_quotes:
+        from .config import Dialect
+
+        def _byte(s, what):
+            b = s.encode()
+            if len(b) != 1:
+                raise SystemExit(f"--{what} must be a single byte")
+            return b[0]
+
+        dialect = Dialect(
+            delimiter=(_byte(args.delimiter, "delimiter")
+                       if args.delimiter else 0x2C),
+            quote=_byte(args.quote, "quote") if args.quote else 0x22,
+            header_quotes=args.header_quotes,
+        )
+
     def _source(files):
         """One path stays a path (engine/backend flags apply); several
         build a CsvCorpus — the analytic commands then map per file and
@@ -397,6 +429,7 @@ def main(argv=None) -> int:
         from .corpus_api import CsvCorpus
 
         return CsvCorpus(files, backend=args.backend,
+                         dialect=dialect,
                          validate_utf8=args.validate_utf8)
 
     try:
@@ -406,7 +439,7 @@ def main(argv=None) -> int:
             key = _col_key(args.column)
             st = column_stats(
                 _source(args.file), key, args.spec, backend=args.backend,
-                engine=args.engine,
+                engine=args.engine, dialect=dialect,
                 where=_parse_where(args.where),
             )
             import json
@@ -425,7 +458,7 @@ def main(argv=None) -> int:
             rep = describe(
                 _source(args.file), columns=cols,
                 backend=args.backend, engine=args.engine,
-                where=_parse_where(args.where),
+                dialect=dialect, where=_parse_where(args.where),
             )
             for name, e in rep.items():
                 st = e["stats"]
@@ -454,7 +487,7 @@ def main(argv=None) -> int:
                 key_cols if len(key_cols) > 1 else key_cols[0],
                 val_cols if len(val_cols) > 1 else val_cols[0],
                 backend=args.backend, engine=args.engine,
-                where=_parse_where(args.where),
+                dialect=dialect, where=_parse_where(args.where),
                 having=_parse_where(args.having),
             )
             composite = isinstance(g["keys"], list)
@@ -503,6 +536,7 @@ def main(argv=None) -> int:
                 where=_parse_where(args.where),
                 right_where=_parse_where(args.right_where),
                 backend=args.backend, engine=args.engine,
+                dialect=dialect,
             )
             print(fr)
             for name in fr.names:
@@ -539,6 +573,7 @@ def main(argv=None) -> int:
                 schema=_sch(args.schema),
                 right_schema=_sch(args.right_schema),
                 backend=args.backend, engine=args.engine,
+                dialect=dialect,
             )
             if isinstance(fr, str):  # EXPLAIN: the plan text
                 print(fr)
@@ -556,7 +591,7 @@ def main(argv=None) -> int:
             vc = value_counts(
                 _source(args.file), _col_key(args.column), args.spec,
                 backend=args.backend, engine=args.engine,
-                where=_parse_where(args.where),
+                dialect=dialect, where=_parse_where(args.where),
             )
             keys, counts = vc["keys"], vc["count"]
             order = (
@@ -593,7 +628,7 @@ def main(argv=None) -> int:
             fr = read_typed(
                 _source(args.file), schema, columns=cols,
                 backend=args.backend,
-                engine=args.engine,
+                engine=args.engine, dialect=dialect,
                 # a corpus validates at build time (_source passes the
                 # flag to CsvCorpus); re-validating per read would raise
                 validate_utf8=args.validate_utf8 and not multi,
@@ -660,7 +695,9 @@ def main(argv=None) -> int:
 
             with open(args.file, "rb") as f:
                 raw = f.read()
-            pt = PackedDeviceTape(raw)
+            from .config import DEFAULT_DIALECT
+
+            pt = PackedDeviceTape(raw, dialect or DEFAULT_DIALECT)
             pt.save(args.out)
             print(
                 f"wrote {args.out}: packed_seq bitmask, "
@@ -668,7 +705,8 @@ def main(argv=None) -> int:
             )
             return 0
         tape = create(
-            args.file, backend=args.backend, validate_utf8=args.validate_utf8
+            args.file, dialect=dialect, backend=args.backend,
+            validate_utf8=args.validate_utf8,
         )
         if args.decode:
             from .decode import DecodedView

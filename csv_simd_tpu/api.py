@@ -72,7 +72,9 @@ def create_from_bytes(data: bytes, dialect=None, backend: str = "auto",
     dialect = dialect or DEFAULT_DIALECT
     if validate_utf8:
         _check_utf8(data)
-    header = Header.parse(data, delimiter=dialect.delimiter)
+    header = Header.parse(data, delimiter=dialect.delimiter,
+                          quote_aware=dialect.header_quotes,
+                          quote=dialect.quote)
     index = _build_index(data, dialect, backend)
     return Tape(data, index, header)
 

@@ -48,6 +48,13 @@ class Dialect:
     newlines: Tuple[int, ...] = (0x0A, 0x0D)
     space: int = 0x20
     escape: int = 0x5C
+    # Opt-in quote-aware HEADER parsing: the reference splits the header
+    # on raw delimiters (tape.rs:258-262 — a known gap preserved for
+    # parity by default). True = header names may be quoted and contain
+    # delimiters/newlines/escaped "" quotes (tape.Header.parse). The
+    # stage-1 index was always quote-aware; only the header split gated
+    # on this.
+    header_quotes: bool = False
 
     def __post_init__(self):
         roles = [self.delimiter, self.quote, self.space, self.escape]

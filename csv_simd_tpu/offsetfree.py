@@ -172,7 +172,9 @@ class PackedDeviceTape(TypedColumnsMixin):
                 "ShardedPackedTape) or serve via the int64 native path"
             )
         self.n_bytes = arr.size
-        header = Header.parse(arr, delimiter=dialect.delimiter)
+        header = Header.parse(arr, delimiter=dialect.delimiter,
+                              quote_aware=dialect.header_quotes,
+                              quote=dialect.quote)
         self.header = header
         w2d = jnp.asarray(pad_to_words(arr))
         use_pallas = jax.devices()[0].platform in ("tpu", "axon")

@@ -214,7 +214,9 @@ class ShardedPackedTape(TypedColumnsMixin):
         dialect = dialect or DEFAULT_DIALECT
         arr = as_u8(data)
         self.n_bytes = arr.size
-        self.header = Header.parse(arr, delimiter=dialect.delimiter)
+        self.header = Header.parse(arr, delimiter=dialect.delimiter,
+                              quote_aware=dialect.header_quotes,
+                              quote=dialect.quote)
         n_shards = mesh.devices.size
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         if use_pallas is None:

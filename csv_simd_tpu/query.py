@@ -534,33 +534,47 @@ def column_quantiles(source, column, qs=(0.25, 0.5, 0.75), spec=None, *,
     only the two neighbors of each quantile position leave HBM;
     decimal/datetime values sort as host int64 (decimal results are in
     SCALED units, like every decimal aggregate). Returns (len(qs),)
-    float64; NaNs when no value parses. A CsvCorpus pulls each file's
-    parsed values once and combines on host (order statistics are not
-    associative)."""
+    float64; NaNs when no value parses. A CsvCorpus keeps each file's
+    parsed values ON DEVICE and selects the exact ranks by a batched
+    bisect over rank counts (_quantiles_multi_device) — order
+    statistics are not associative, but rank counts are; host traffic
+    per file is a few scalars per step, independent of file size."""
     from .corpus_api import CsvCorpus
     from .frame import _resolve_tape
 
     if isinstance(source, CsvCorpus):
         col = _lock_corpus_spec(source, column, spec, sample)
+        if col.type in ("str", "bytes"):
+            raise ValueError(f"column {column!r} is {col.type}: "
+                             "quantiles need a numeric column")
         wsch = _lock_where_schema(source, where, schema, sample)
         names = source.header_names()
         field = _field_index(names, column)
-        parts_v, parts_ok = [], []
+        parts, host_v, host_ok = [], [], []
+        kind = None
         for dt in source.device_tapes():
             recs = (select_records(dt, where, names=names, schema=wsch,
                                    dialect=dialect, sample=sample)
                     if where is not None else None)
-            v, ok, _k = _parse_column(dt, field, col, dialect,
-                                      records=recs)
-            parts_v.append(np.asarray(v))
-            parts_ok.append(np.asarray(ok, bool))
-        vals = np.concatenate(parts_v) if parts_v else np.zeros(0)
-        okm = (np.concatenate(parts_ok) if parts_ok
-               else np.zeros(0, bool))
-        sel = vals[okm]
-        if sel.size == 0:
+            v, ok, kind = _parse_column(dt, field, col, dialect,
+                                        records=recs)
+            if kind == "i64host":
+                host_v.append(np.asarray(v))
+                host_ok.append(np.asarray(ok, bool))
+            else:
+                parts.append((v, ok))
+        if kind is None:
             return np.full(len(qs), np.nan)
-        return np.quantile(sel.astype(np.float64), list(qs))
+        if kind == "i64host":
+            # decimal/datetime values only exist as host int64
+            sel = np.concatenate(host_v)[np.concatenate(host_ok)]
+            if sel.size == 0:
+                return np.full(len(qs), np.nan)
+            return np.quantile(sel.astype(np.float64), list(qs))
+        # values stay on device per member tape; exact rank selection
+        # reads back R scalars per file per bisect step — host traffic
+        # independent of corpus size
+        return _quantiles_multi_device(parts, qs, kind == "float")
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
     field = _field_index(names, column)
     col = (parse_spec(spec) if spec is not None
@@ -666,9 +680,13 @@ def describe(source, columns=None, qs=(0.25, 0.5, 0.75), *, where=None,
                 entry["quantiles"] = (
                     np.full(len(qs), np.nan) if n_ok == 0
                     else _quantiles_from_sorted(srt, n_ok, qs))
+            elif kind in ("int", "float"):
+                # corpus: values stay on device per member tape — exact
+                # rank selection, host traffic independent of N
+                entry["quantiles"] = _quantiles_multi_device(
+                    list(zip(col_v, col_ok)), qs, kind == "float")
             else:
-                # corpus / host-i64 values: order statistics are not
-                # associative, so quantiles pool the parsed values
+                # host-i64 values (decimal/datetime): pool on host
                 allv = (np.concatenate([np.asarray(v) for v in col_v])
                         if col_v else np.zeros(0))
                 allok = (np.concatenate(

@@ -296,5 +296,7 @@ def create_streaming(
     import numpy as np
 
     data = np.frombuffer(mapped, dtype=np.uint8)
-    header = Header.parse(data, delimiter=dialect.delimiter)
+    header = Header.parse(data, delimiter=dialect.delimiter,
+                          quote_aware=dialect.header_quotes,
+                          quote=dialect.quote)
     return Tape(data, index, header)

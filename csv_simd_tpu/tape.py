@@ -55,6 +55,15 @@ class Header:
     - names split on the delimiter and trimmed (tape.rs:258-262). The
       reference hardcodes "," here even though `delimiter` is a field; we
       split on the configured delimiter (identical for the default dialect).
+
+    OPT-IN (quote_aware=True / Dialect(header_quotes=True)): the header
+    ends at the first newline OUTSIDE quotes, names split on unquoted
+    delimiters, and a trimmed name wrapped in quotes is unquoted with
+    RFC-4180 `""` unescaping — quoted header names may then contain
+    delimiters and newlines. Default stays the reference's raw split.
+    The structural INDEX was always quote-aware (the header row's quoted
+    delimiters are masked like any row's), so the uniform stride already
+    matches the quote-aware field count.
     """
 
     names: List[str]
@@ -64,16 +73,24 @@ class Header:
     record_offset: int  # byte offset of the header-terminating newline
 
     @classmethod
-    def parse(cls, data, delimiter: int = 0x2C) -> "Header":
+    def parse(cls, data, delimiter: int = 0x2C,
+              quote_aware: bool = False, quote: int = 0x22) -> "Header":
         arr = as_u8(data)
         n = arr.size
         # find the first \r/\n without scanning the whole (possibly GiB)
         # buffer: widen the probe window geometrically
         end = n
         probe = 64 * 1024
+        excl = None  # quote parity BEFORE each byte (quote-aware mode)
         while True:
             head = arr[: min(probe, n)]
-            hits = np.flatnonzero((head == 0x0D) | (head == 0x0A))
+            nl = (head == 0x0D) | (head == 0x0A)
+            if quote_aware:
+                incl = np.bitwise_xor.accumulate(
+                    (head == quote).astype(np.uint8))
+                excl = np.concatenate([np.zeros(1, np.uint8), incl[:-1]])
+                nl = nl & (excl == 0)
+            hits = np.flatnonzero(nl)
             if hits.size:
                 end = int(hits[0])
                 break
@@ -88,8 +105,25 @@ class Header:
         start = 0
         while start < n and arr[start] in _BOM_BYTES:
             start += 1
-        raw = bytes(arr[start:end]).decode("utf-8", errors="surrogateescape")
-        names = [name.strip() for name in raw.split(chr(delimiter))]
+        if not quote_aware:
+            raw = bytes(arr[start:end]).decode(
+                "utf-8", errors="surrogateescape")
+            names = [name.strip() for name in raw.split(chr(delimiter))]
+        else:
+            seg = arr[start:end]
+            pq = (excl[start:end] == 0) if excl is not None \
+                else np.ones(end - start, bool)
+            cuts = np.flatnonzero((seg == delimiter) & pq).tolist()
+            qc, qq = chr(quote), chr(quote) * 2
+            names = []
+            prev = 0
+            for cut in cuts + [end - start]:
+                name = bytes(seg[prev:cut]).decode(
+                    "utf-8", errors="surrogateescape").strip()
+                if len(name) >= 2 and name[0] == name[-1] == qc:
+                    name = name[1:-1].replace(qq, qc)
+                names.append(name)
+                prev = cut + 1
         return cls(
             names=names,
             new_line=new_line,

@@ -1024,3 +1024,95 @@ def test_describe_and_corpus_quantiles(tmp_path):
         cst.column_quantiles(c, "qty", (0.25, 0.5, 0.75), "int32"),
         cst.column_quantiles(CSV, "qty", (0.25, 0.5, 0.75), "int32"),
     )
+
+
+def test_corpus_quantiles_stay_on_device(tmp_path):
+    """Corpus quantiles select exact ranks on device (rank-count
+    bisect) — bit-equal to np.quantile over the pooled values, without
+    pooling them (VERDICT r2 #7). Negatives, ties, floats with
+    non-dyadic fractions, where-filters and all-invalid columns."""
+    from csv_simd_tpu import query as q
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    rng = np.random.default_rng(5)
+    n = 997  # odd, prime: exercises every interpolation fraction
+    ints = rng.integers(-5000, 5000, n)
+    ints[rng.integers(0, n, 40)] = ints[0]  # ties
+    flts = np.round(rng.normal(0, 3, n), 3).astype(np.float32)
+    files = []
+    cuts = [0, 311, 640, n]
+    for i in range(3):
+        rows = ["i,f"] + [
+            f"{ints[j]},{float(flts[j])!r}"
+            for j in range(cuts[i], cuts[i + 1])
+        ]
+        p = tmp_path / f"p{i}.csv"
+        p.write_text("\n".join(rows) + "\n")
+        files.append(str(p))
+    c = CsvCorpus(files, backend="golden")
+
+    calls = []
+    real = q._quantiles_multi_device
+
+    def spy(parts, qs_, is_float):
+        calls.append(len(parts))
+        return real(parts, qs_, is_float)
+
+    q._quantiles_multi_device = spy
+    try:
+        qs = (0.0, 0.1, 0.25, 0.5, 0.61803, 0.75, 0.9, 1.0)
+        got_i = cst.column_quantiles(c, "i", qs, "int32")
+        got_f = cst.column_quantiles(c, "f", qs, "float")
+        got_w = cst.column_quantiles(c, "i", (0.5,), "int32",
+                                     where=[("i", ">", 0)])
+    finally:
+        q._quantiles_multi_device = real
+    assert calls == [3, 3, 3], "corpus quantiles did not take the \
+device rank-selection path"
+    np.testing.assert_array_equal(
+        got_i, np.quantile(ints.astype(np.float64), list(qs)))
+    # the float oracle pools the PARSED float32s (the decoder, not the
+    # generator, defines the values the quantiles are over)
+    whole = "\n".join(
+        ["i,f"] + [f"{ints[j]},{float(flts[j])!r}" for j in range(n)]
+    ) + "\n"
+    parsed = np.asarray(
+        cst.read_typed(whole.encode(), {"f": "float"})["f"])
+    np.testing.assert_array_equal(
+        got_f, np.quantile(parsed.astype(np.float64), list(qs)))
+    np.testing.assert_array_equal(
+        got_w,
+        np.quantile(ints[ints > 0].astype(np.float64), [0.5]))
+    # describe over the corpus rides the same device selection
+    d = cst.describe(c, columns=["i"], qs=(0.5,))
+    np.testing.assert_array_equal(
+        d["i"]["quantiles"],
+        np.quantile(ints.astype(np.float64), [0.5]))
+
+
+def test_quantiles_device_selection_edge_cases():
+    """_quantiles_multi_device edges: single value, all-invalid,
+    extreme int32 values, +-0.0 and infinities in float32."""
+    import jax.numpy as jnp
+
+    from csv_simd_tpu.query import _quantiles_multi_device
+
+    one = [(jnp.asarray([7], jnp.int32), jnp.asarray([True]))]
+    np.testing.assert_array_equal(
+        _quantiles_multi_device(one, (0.0, 0.5, 1.0), False),
+        [7.0, 7.0, 7.0])
+    none = [(jnp.asarray([7], jnp.int32), jnp.asarray([False]))]
+    assert np.isnan(_quantiles_multi_device(none, (0.5,), False)).all()
+    ext = np.array([-2**31, 2**31 - 1, 0, -1], np.int64)
+    parts = [(jnp.asarray(ext[:2], jnp.int32),
+              jnp.asarray([True, True])),
+             (jnp.asarray(ext[2:], jnp.int32),
+              jnp.asarray([True, True]))]
+    np.testing.assert_array_equal(
+        _quantiles_multi_device(parts, (0.0, 0.5, 1.0), False),
+        np.quantile(ext.astype(np.float64), [0.0, 0.5, 1.0]))
+    fl = np.array([-np.inf, -1.5, -0.0, 0.0, 2.25, np.inf], np.float32)
+    partsf = [(jnp.asarray(fl), jnp.asarray([True] * 6))]
+    np.testing.assert_array_equal(
+        _quantiles_multi_device(partsf, (0.0, 0.25, 0.5, 1.0), True),
+        np.quantile(fl.astype(np.float64), [0.0, 0.25, 0.5, 1.0]))

@@ -94,3 +94,77 @@ def test_chunks(sample_csv):
 def test_tape_repr(sample_csv):
     tape = create_from_bytes(sample_csv, backend="golden")
     assert "records=15" in repr(tape)
+
+
+# ------------------------------------------- quote-aware headers (opt-in)
+
+
+def test_header_quotes_default_preserves_reference_gap():
+    """Default: the raw split (tape.rs:258-262) — a quoted header name
+    containing a delimiter inflates field_cnt, and full create() then
+    rejects 3-field data with the stride error, exactly like the
+    reference would."""
+    import pytest
+
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.errors import InvalidCsvFormat
+    from csv_simd_tpu.tape import Header
+
+    data = b'a,"b,c",d\n1,2,3\n'
+    h = Header.parse(np.frombuffer(data, np.uint8))
+    assert h.names == ["a", '"b', 'c"', "d"]
+    assert h.field_cnt == 4
+    with pytest.raises(InvalidCsvFormat):
+        create_from_bytes(data, backend="golden")
+
+
+def test_header_quotes_opt_in_end_to_end():
+    from csv_simd_tpu import create_from_bytes
+    from csv_simd_tpu.config import Dialect
+
+    data = b'a,"b,c",d\n1,2,3\n4,5,6\n'
+    tape = create_from_bytes(
+        data, backend="golden", dialect=Dialect(header_quotes=True))
+    assert tape.header_names() == ["a", "b,c", "d"]
+    assert tape.field_cnt == 3
+    assert tape.seek_field(0, 1) == b"2"
+    assert tape.seek_field(1, 2) == b"6"
+
+
+def test_header_quotes_newline_and_escapes():
+    from csv_simd_tpu.tape import Header, NewLine
+
+    # quoted newline inside a name; escaped "" quotes; CRLF sniff must
+    # key off the header-ENDING newline, not the quoted one
+    data = b'"x\ny",b\r\n1,2\r\n'
+    h = Header.parse(np.frombuffer(data, np.uint8),
+                     quote_aware=True)
+    assert h.names == ["x\ny", "b"]
+    assert h.new_line is NewLine.CRLF
+    assert h.record_offset == data.index(b"\r")
+    h2 = Header.parse(np.frombuffer(b'"he said ""hi""",v\n1,2\n',
+                                    np.uint8), quote_aware=True)
+    assert h2.names == ['he said "hi"', "v"]
+
+
+def test_header_quotes_custom_dialect_and_bom():
+    from csv_simd_tpu.tape import Header
+
+    # semicolon dialect with single-quote quoting + BOM skip
+    data = "﻿'a;x';b\n1;2\n".encode()
+    h = Header.parse(np.frombuffer(data, np.uint8), delimiter=0x3B,
+                     quote_aware=True, quote=0x27)
+    assert h.names == ["a;x", "b"]
+
+
+def test_header_quotes_full_pipeline_groupby():
+    """Quoted header + the relational layer: columns address by the
+    unquoted names across the whole stack."""
+    from csv_simd_tpu.config import Dialect
+    from csv_simd_tpu.query import groupby_typed
+
+    data = b'"sym,full",qty\nA,1\nB,2\nA,3\n'
+    g = groupby_typed(data, "sym,full", "qty",
+                      dialect=Dialect(header_quotes=True))
+    assert list(g["keys"]) == ["A", "B"]
+    assert [int(x) for x in g["sum"]] == [4, 2]
