@@ -833,24 +833,28 @@ def _decoded_match_mask(tape, field: int, value, dialect, window: int,
 
 
 def _compile_like(pat: str):
-    """SQL LIKE pattern -> (mode, core). `%` is allowed leading and/or
-    trailing (general mid-pattern `%` needs backtracking — unsupported);
-    `_` anywhere in the core becomes a per-position wildcard compare on
-    device. Matching is byte-wise (`_` = one byte), consistent with the
-    byte-oriented serving layer."""
-    core = pat.strip("%")
-    if "%" in core:
-        raise ValueError("LIKE supports only leading/trailing %")
-    lead, trail = pat.startswith("%"), pat.endswith("%")
-    if lead and trail:
-        mode = "contains"
-    elif trail:
-        mode = "startswith"
-    elif lead:
-        mode = "endswith"
-    else:
-        mode = "exact"
-    return mode, core
+    """SQL LIKE pattern -> (anchor_start, anchor_end, segments).
+
+    The pattern splits on `%` into literal segments (each may contain
+    `_` per-byte wildcards); anchor_start/anchor_end record whether the
+    first/last segment is pinned to the field's start/end. Empty
+    middle segments (`%%`) are no-ops and dropped. Matching is
+    byte-wise (`_` = one byte), consistent with the byte-oriented
+    serving layer. No backtracking is needed for EXISTENCE: greedy
+    earliest-match per middle segment is complete."""
+    parts = pat.split("%")
+    anchor_start = not pat.startswith("%")
+    anchor_end = not pat.endswith("%")
+    segs = []
+    for i, s in enumerate(parts):
+        keep = s or (anchor_start and i == 0) \
+            or (anchor_end and i == len(parts) - 1)
+        if keep:
+            segs.append(s)
+    if not segs:
+        segs = [""]  # pure '%'/'%%': one empty unanchored segment
+        anchor_start = anchor_end = False
+    return anchor_start, anchor_end, segs
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mode"))

@@ -49,7 +49,8 @@ def main():
     n_shards = len(devs)
     mesh = Mesh(np.array(devs), (AXIS,))
 
-    data = synthetic_wide_table(300_000)
+    data = synthetic_wide_table(
+        int(os.environ.get("MULTIHOST_BYTES", "300000")))
     arr = np.frombuffer(data, dtype=np.uint8)
     w2d = pad_to_words(arr, row_align=8 * n_shards)
     rows = w2d.shape[0]
@@ -73,8 +74,23 @@ def main():
         w_dev, 0, mesh, use_pallas=False, layout="seq"
     )
     assert int(total2) == want, (int(total2), want)
+    # timed passes for the scaling table (tools/scaling_table.py): the
+    # jit is warm from the calls above; collectives keep the processes
+    # in lockstep, so pid 0's wall clock is the group's
+    import time
+
+    reps = int(os.environ.get("MULTIHOST_TIME_REPS", "5"))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = sharded_stage1(w_dev, 0, mesh, use_pallas=False)
+        jax.block_until_ready(out[0])
+        best = min(best, time.time() - t0)
     if pid == 0:
+        padded_bytes = w2d.shape[0] * 512
         print(f"MULTIHOST_OK {total}", flush=True)
+        print(f"MULTIHOST_TIME {best:.6f} {padded_bytes} {n_shards}",
+              flush=True)
     jax.distributed.shutdown()
 
 
