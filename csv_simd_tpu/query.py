@@ -889,15 +889,76 @@ def _wild_mask(out, lengths, valid, needle, wild, k: int, mode: str):
     return valid & m
 
 
+def _seg_hits(o32, needles, wilds, s: int, k: int, w: int):
+    """(N, w-k+1) bool: does segment s match at each alignment?"""
+    n_starts = w - k + 1
+    hit = jnp.ones((o32.shape[0], n_starts), bool)
+    for j in range(k):  # k is static: unrolls to k fused compares
+        hit = hit & ((o32[:, j:j + n_starts] == needles[s, j])
+                     | wilds[s, j])
+    return hit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ks", "anchor_start", "anchor_end"))
+def _like_general_mask(out, lengths, valid, needles, wilds, ks: tuple,
+                       anchor_start: bool, anchor_end: bool):
+    """Multi-segment LIKE (mid-pattern `%`) on device: greedy in-order
+    matching. The anchored head matches at 0, each middle segment takes
+    its EARLIEST alignment past the cursor (greedy is complete for
+    existence), the anchored tail must start at len-k past the cursor.
+    needles/wilds are (S, W); ks the static per-segment byte lengths."""
+    n, w = out.shape
+    o32 = out.astype(jnp.int32)
+    ok = valid
+    cursor = jnp.zeros(n, jnp.int32)
+    segs = list(ks)
+    start_i = 0
+    if anchor_start:
+        k0 = segs[0]
+        if k0:
+            m = _seg_hits(o32, needles, wilds, 0, k0, w)
+            ok = ok & (lengths >= k0) & m[:, 0]
+        cursor = jnp.full(n, k0, jnp.int32)
+        start_i = 1
+    end_i = len(segs) - (1 if anchor_end else 0)
+    for s in range(start_i, end_i):
+        k = segs[s]
+        if k == 0:
+            continue
+        m = _seg_hits(o32, needles, wilds, s, k, w)
+        starts = jnp.arange(w - k + 1, dtype=jnp.int32)[None, :]
+        pos_ok = m & (starts >= cursor[:, None]) \
+            & (starts + k <= lengths[:, None])
+        exists = jnp.any(pos_ok, axis=1)
+        first = jnp.argmax(pos_ok, axis=1).astype(jnp.int32)
+        ok = ok & exists
+        cursor = jnp.where(exists, first + k, cursor)
+    if anchor_end:
+        k = segs[-1]
+        if k:
+            m = _seg_hits(o32, needles, wilds, len(segs) - 1, k, w)
+            start = lengths - k
+            idx = jnp.clip(start, 0, w - k)[:, None]
+            tail = jnp.take_along_axis(m, idx, axis=1)[:, 0]
+            ok = ok & (start >= cursor) & tail
+        else:
+            ok = ok & (cursor <= lengths)
+    return ok
+
+
 def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
-    """Device mask for a full LIKE pattern (incl. `_` wildcards) over the
-    stage-2 DECODED field text."""
-    mode, core = _compile_like(
+    """Device mask for a full LIKE pattern (`%` runs anywhere, `_`
+    per-byte wildcards) over the stage-2 DECODED field text. Single-
+    segment patterns take the specialized exact/startswith/endswith/
+    contains compares (_wild_mask); multi-segment patterns run the
+    greedy in-order matcher (_like_general_mask)."""
+    a_start, a_end, segs = _compile_like(
         pat if isinstance(pat, str) else bytes(pat).decode()
     )
-    core_b = core.encode()
-    k = len(core_b)
-    window = max(window, k, 1)
+    seg_b = [s.encode() for s in segs]
+    kmax = max((len(b) for b in seg_b), default=0)
+    window = max(window, kmax, 1)
     n = int(getattr(tape, "num_data_records",
                     int(tape.record_cnt) - 1))
     out, lengths, valid = tape.gather_decoded(
@@ -906,18 +967,34 @@ def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
         max_len=window, dialect=dialect,
     )
     lengths, valid = jnp.asarray(lengths), jnp.asarray(valid)
-    if k == 0:
-        # '' matches only empty fields; '%'/'%x%'-degenerates match all
-        if mode == "exact":
-            return np.asarray(valid & (lengths == 0))
-        return np.asarray(valid)
-    needle = np.zeros(window, np.uint8)
-    needle[:k] = np.frombuffer(core_b, np.uint8)
-    wild = np.zeros(window, bool)
-    wild[:k] = needle[:k] == ord("_")
+    if len(seg_b) == 1:
+        k = len(seg_b[0])
+        mode = {(True, True): "exact", (True, False): "startswith",
+                (False, True): "endswith",
+                (False, False): "contains"}[(a_start, a_end)]
+        if k == 0:
+            # '' matches only empty fields; '%' degenerates match all
+            if mode == "exact":
+                return np.asarray(valid & (lengths == 0))
+            return np.asarray(valid)
+        needle = np.zeros(window, np.uint8)
+        needle[:k] = np.frombuffer(seg_b[0], np.uint8)
+        wild = np.zeros(window, bool)
+        wild[:k] = needle[:k] == ord("_")
+        return np.asarray(
+            _wild_mask(out, lengths, valid, jnp.asarray(needle),
+                       jnp.asarray(wild), k, mode)
+        )
+    needles = np.zeros((len(seg_b), window), np.uint8)
+    wilds = np.zeros((len(seg_b), window), bool)
+    for i, b in enumerate(seg_b):
+        needles[i, : len(b)] = np.frombuffer(b, np.uint8)
+        wilds[i, : len(b)] = needles[i, : len(b)] == ord("_")
     return np.asarray(
-        _wild_mask(out, lengths, valid, jnp.asarray(needle),
-                   jnp.asarray(wild), k, mode)
+        _like_general_mask(out, lengths, valid, jnp.asarray(needles),
+                           jnp.asarray(wilds),
+                           tuple(len(b) for b in seg_b),
+                           a_start, a_end)
     )
 
 

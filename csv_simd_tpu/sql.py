@@ -29,11 +29,10 @@ Supported grammar (case-insensitive keywords):
 - table: a bare identifier resolved through the `tables` mapping, or a
   'quoted path' / "quoted path" opened as a CSV file.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
-  literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' ('abc%' ->
-  startswith, '%abc' -> endswith, '%abc%' -> contains, '%' ->
-  match-all, no '%' -> text equality; '_' matches exactly one byte
-  at its position — per-position device compares; mid-pattern '%'
-  unsupported),
+  literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' (full SQL
+  wildcards, matched byte-wise on device: '%' = any run anywhere
+  incl. mid-pattern — greedy in-order segment matching; '_' = exactly
+  one byte; no '%'/'_' -> text equality; '%' alone -> match-all),
   col IS [NOT] NULL (NULL = typed-parse failure; over a join also
   the absent side of an unmatched row), combined with NOT / AND / OR
   and parentheses (standard precedence).
@@ -444,11 +443,10 @@ class _Parser:
 
 def _like_leaf(col: str, pat: str):
     core = pat.strip("%")
-    if "%" in core:
-        raise SqlError("LIKE supports only leading/trailing %")
-    if "_" in core:
-        # `_` wildcards compile to per-position device compares
-        # (query._wild_mask); the whole pattern travels as one leaf
+    if "%" in core or "_" in core:
+        # mid-pattern `%` runs/`_` wildcards compile to device matchers
+        # (query._like_general_mask / _wild_mask); the whole pattern
+        # travels as one leaf
         return (col, "like", pat)
     if pat == "":
         return (col, "==", "")

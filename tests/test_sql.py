@@ -87,6 +87,14 @@ def test_where_like_underscore_wildcards():
     # NOT LIKE composes with the wildcard leaf
     fr = sql("SELECT sym FROM t WHERE sym NOT LIKE '____'", CSV)
     assert [str(s) for s in fr["sym"]] == ["AA,PL"]
+    # mid-pattern %: anchored head/tail with a gap
+    fr = sql("SELECT sym FROM t WHERE sym LIKE 'A%PL'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["AAPL", "AAPL", "AA,PL"]
+    fr = sql("SELECT sym FROM t WHERE sym LIKE 'M%T'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["MSFT", "MSFT"]
+    # three segments, middle unanchored
+    fr = sql("SELECT sym FROM t WHERE sym LIKE 'A%,%L'", CSV)
+    assert [str(s) for s in fr["sym"]] == ["AA,PL"]
 
 
 def test_like_underscore_differential_python():
@@ -95,7 +103,10 @@ def test_like_underscore_differential_python():
     import re
 
     pats = ["_A%", "%P_", "%_S%", "A_,__", "__%", "%__", "%", "_", "",
-            "A%", "%G", "M_FT", "x_z"]
+            "A%", "%G", "M_FT", "x_z",
+            # mid-pattern % runs: greedy in-order segment matching
+            "A%L", "A%A%L", "M%F_", "%S%T%", "A__%", "__%__", "G%%G",
+            "A%Z", "%O%O%", "A%%L", "_%_", "%,%"]
     for pat in pats:
         rx = "^" + "".join(
             ".*" if c == "%" else "." if c == "_" else re.escape(c)
@@ -226,8 +237,8 @@ def test_errors():
         sql("SELECT FROM t", CSV)
     with pytest.raises(SqlError, match="cannot tokenize"):
         sql("SELECT a FROM t WHERE a ~ 3", CSV)
-    with pytest.raises(SqlError, match="LIKE"):
-        sql("SELECT sym FROM t WHERE sym LIKE 'a%b'", CSV)
+    with pytest.raises(SqlError, match="cannot tokenize"):
+        sql("SELECT sym FROM t WHERE sym LIKE a%b", CSV)
     with pytest.raises(SqlError, match="compare aggregates"):
         sql("SELECT sym, SUM(qty) FROM t GROUP BY sym HAVING qty > 1",
             CSV, schema=S)

@@ -30,13 +30,13 @@ _leaf = st.one_of(
     st.builds(lambda vs: ("qty", "in", vs),
               st.lists(st.integers(-60, 60), min_size=1, max_size=3)),
     # LIKE patterns: optional %-anchors around a core drawn from the
-    # fixture's alphabet plus `_` wildcards (per-position device compares)
+    # fixture's alphabet plus `_` wildcards and mid-pattern `%` runs
     st.builds(
         lambda lead, core, trail:
             ("sym", "like", ("%" if lead else "") + core
              + ("%" if trail else "")),
         st.booleans(),
-        st.text(alphabet="APLMSTGO_ ,", max_size=5),
+        st.text(alphabet="APLMSTGO_% ,", max_size=6),
         st.booleans(),
     ),
 )

@@ -97,6 +97,46 @@ def fuzz_sql(seed: int, iters: int = 150) -> None:
     print(f"SQL-PANDAS DEEP FUZZ OK: {iters} iterations, 0 mismatches")
 
 
+def fuzz_like(seed: int, iters: int = 300) -> None:
+    """Random LIKE patterns (% runs and _ wildcards ANYWHERE) against a
+    regex oracle — the greedy in-order device matcher
+    (query._like_general_mask) must agree on every row."""
+    import re
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from csv_simd_tpu.sql import sql
+
+    rng = random.Random(seed + 3)
+    alphabet = "abcx,. "
+    pat_alphabet = alphabet + "%%__"  # wildcards twice as likely
+    for it in range(iters):
+        n_rows = rng.randint(1, 40)
+        vals = ["".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 12)))
+                for _ in range(n_rows)]
+        csv = "s,v\n" + "".join(
+            (f'"{s}"' if ("," in s or s != s.strip()) else s) + ",1\n"
+            for s in vals
+        )
+        pat = "".join(rng.choice(pat_alphabet)
+                      for _ in range(rng.randint(0, 8)))
+        rx = "^" + "".join(
+            ".*" if c == "%" else "." if c == "_" else re.escape(c)
+            for c in pat
+        ) + "$"
+        r = sql(f"SELECT s FROM t WHERE s LIKE '{pat}'", csv.encode(),
+                schema={"s": "str"})
+        got = [str(x) for x in r["s"]]
+        # the decoder strips quotes; quoted cells decode to the raw s
+        want = [s for s in vals if re.match(rx, s, re.S)]
+        assert got == want, (it, pat, vals, got, want)
+        if it % 50 == 0:
+            print("like iter", it, flush=True)
+    print(f"LIKE-REGEX DEEP FUZZ OK: {iters} iterations, 0 mismatches")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -104,3 +144,5 @@ if __name__ == "__main__":
         fuzz_index(seed)
     if mode in ("sql", "all"):
         fuzz_sql(seed)
+    if mode in ("like", "all"):
+        fuzz_like(seed)
