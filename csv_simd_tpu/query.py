@@ -832,28 +832,61 @@ def _decoded_match_mask(tape, field: int, value, dialect, window: int,
     )
 
 
-def _compile_like(pat: str):
-    """SQL LIKE pattern -> (anchor_start, anchor_end, segments).
+def _compile_like(pat: str, escape=None):
+    """SQL LIKE pattern -> (anchor_start, anchor_end, segments) with
+    segments as (utf8 bytes, per-byte wildcard flags).
 
-    The pattern splits on `%` into literal segments (each may contain
-    `_` per-byte wildcards); anchor_start/anchor_end record whether the
-    first/last segment is pinned to the field's start/end. Empty
-    middle segments (`%%`) are no-ops and dropped. Matching is
-    byte-wise (`_` = one byte), consistent with the byte-oriented
-    serving layer. No backtracking is needed for EXISTENCE: greedy
-    earliest-match per middle segment is complete."""
-    parts = pat.split("%")
-    anchor_start = not pat.startswith("%")
-    anchor_end = not pat.endswith("%")
-    segs = []
-    for i, s in enumerate(parts):
-        keep = s or (anchor_start and i == 0) \
+    The pattern splits on unescaped `%` into literal segments (each may
+    contain `_` per-byte wildcards); anchor_start/anchor_end record
+    whether the first/last segment is pinned to the field's start/end.
+    Empty middle segments (`%%`) are no-ops and dropped. An ESCAPE
+    character makes the following character literal (incl. `%`, `_` and
+    the escape itself). Matching is byte-wise (`_` = one byte),
+    consistent with the byte-oriented serving layer. No backtracking is
+    needed for EXISTENCE: greedy earliest-match per middle segment is
+    complete."""
+    toks = []  # (char, is_escaped_literal)
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if escape is not None and c == escape:
+            if i + 1 >= len(pat):
+                raise ValueError(
+                    "LIKE pattern ends with the escape character")
+            toks.append((pat[i + 1], True))
+            i += 2
+        else:
+            toks.append((c, False))
+            i += 1
+    anchor_start = not (toks and toks[0] == ("%", False))
+    anchor_end = not (toks and toks[-1] == ("%", False))
+    parts = [[]]
+    for c, lit in toks:
+        if c == "%" and not lit:
+            parts.append([])
+        else:
+            parts[-1].append((c, lit))
+    kept = []
+    for i, seg in enumerate(parts):
+        keep = seg or (anchor_start and i == 0) \
             or (anchor_end and i == len(parts) - 1)
         if keep:
-            segs.append(s)
-    if not segs:
-        segs = [""]  # pure '%'/'%%': one empty unanchored segment
+            kept.append(seg)
+    if not kept:
+        kept = [[]]  # pure '%'/'%%': one empty unanchored segment
         anchor_start = anchor_end = False
+    segs = []
+    for seg in kept:
+        bs = bytearray()
+        wild = []
+        for c, lit in seg:
+            b = c.encode()
+            bs += b
+            if c == "_" and not lit:
+                wild.append(True)
+            else:
+                wild.extend([False] * len(b))
+        segs.append((bytes(bs), wild))
     return anchor_start, anchor_end, segs
 
 
@@ -949,15 +982,18 @@ def _like_general_mask(out, lengths, valid, needles, wilds, ks: tuple,
 
 def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
     """Device mask for a full LIKE pattern (`%` runs anywhere, `_`
-    per-byte wildcards) over the stage-2 DECODED field text. Single-
-    segment patterns take the specialized exact/startswith/endswith/
-    contains compares (_wild_mask); multi-segment patterns run the
-    greedy in-order matcher (_like_general_mask)."""
+    per-byte wildcards, optional ESCAPE) over the stage-2 DECODED
+    field text. `pat` is the pattern string or (pattern, escape_char).
+    Single-segment patterns take the specialized exact/startswith/
+    endswith/contains compares (_wild_mask); multi-segment patterns run
+    the greedy in-order matcher (_like_general_mask)."""
+    escape = None
+    if isinstance(pat, tuple):
+        pat, escape = pat
     a_start, a_end, segs = _compile_like(
-        pat if isinstance(pat, str) else bytes(pat).decode()
+        pat if isinstance(pat, str) else bytes(pat).decode(), escape
     )
-    seg_b = [s.encode() for s in segs]
-    kmax = max((len(b) for b in seg_b), default=0)
+    kmax = max((len(b) for b, _w in segs), default=0)
     window = max(window, kmax, 1)
     n = int(getattr(tape, "num_data_records",
                     int(tape.record_cnt) - 1))
@@ -967,8 +1003,9 @@ def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
         max_len=window, dialect=dialect,
     )
     lengths, valid = jnp.asarray(lengths), jnp.asarray(valid)
-    if len(seg_b) == 1:
-        k = len(seg_b[0])
+    if len(segs) == 1:
+        b, wl = segs[0]
+        k = len(b)
         mode = {(True, True): "exact", (True, False): "startswith",
                 (False, True): "endswith",
                 (False, False): "contains"}[(a_start, a_end)]
@@ -978,22 +1015,22 @@ def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
                 return np.asarray(valid & (lengths == 0))
             return np.asarray(valid)
         needle = np.zeros(window, np.uint8)
-        needle[:k] = np.frombuffer(seg_b[0], np.uint8)
+        needle[:k] = np.frombuffer(b, np.uint8)
         wild = np.zeros(window, bool)
-        wild[:k] = needle[:k] == ord("_")
+        wild[:k] = wl
         return np.asarray(
             _wild_mask(out, lengths, valid, jnp.asarray(needle),
                        jnp.asarray(wild), k, mode)
         )
-    needles = np.zeros((len(seg_b), window), np.uint8)
-    wilds = np.zeros((len(seg_b), window), bool)
-    for i, b in enumerate(seg_b):
+    needles = np.zeros((len(segs), window), np.uint8)
+    wilds = np.zeros((len(segs), window), bool)
+    for i, (b, wl) in enumerate(segs):
         needles[i, : len(b)] = np.frombuffer(b, np.uint8)
-        wilds[i, : len(b)] = needles[i, : len(b)] == ord("_")
+        wilds[i, : len(b)] = wl
     return np.asarray(
         _like_general_mask(out, lengths, valid, jnp.asarray(needles),
                            jnp.asarray(wilds),
-                           tuple(len(b) for b in seg_b),
+                           tuple(len(b) for b, _w in segs),
                            a_start, a_end)
     )
 

@@ -29,10 +29,11 @@ Supported grammar (case-insensitive keywords):
 - table: a bare identifier resolved through the `tables` mapping, or a
   'quoted path' / "quoted path" opened as a CSV file.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
-  literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' (full SQL
-  wildcards, matched byte-wise on device: '%' = any run anywhere
-  incl. mid-pattern — greedy in-order segment matching; '_' = exactly
-  one byte; no '%'/'_' -> text equality; '%' alone -> match-all),
+  literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' [ESCAPE 'c']
+  (full SQL wildcards, matched byte-wise on device: '%' = any run
+  anywhere incl. mid-pattern — greedy in-order segment matching;
+  '_' = exactly one byte; ESCAPE makes the next char literal;
+  no '%'/'_' -> text equality; '%' alone -> match-all),
   col IS [NOT] NULL (NULL = typed-parse failure; over a join also
   the absent side of an unmatched row), combined with NOT / AND / OR
   and parentheses (standard precedence).
@@ -82,7 +83,7 @@ _KEYWORDS = {
     "order", "limit", "and", "or", "not", "between", "in", "like",
     "as", "asc", "desc", "join", "inner", "left", "right", "full",
     "outer", "semi", "anti", "on", "is", "null", "offset",
-    "case", "when", "then", "end", "else",
+    "case", "when", "then", "end", "else", "escape",
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
@@ -415,7 +416,13 @@ class _Parser:
             leaf = (col, "in", vals)
         elif self.accept("kw", "like"):
             pat = self.expect("str")[1]
-            leaf = _like_leaf(col, pat)
+            esc = None
+            if self.accept("kw", "escape"):
+                esc = self.expect("str")[1]
+                if len(esc) != 1:
+                    raise SqlError(
+                        f"ESCAPE needs a single character, got {esc!r}")
+            leaf = _like_leaf(col, pat, esc)
         else:
             if negate:
                 raise SqlError(
@@ -441,7 +448,11 @@ class _Parser:
         return (target, op, _num(v))
 
 
-def _like_leaf(col: str, pat: str):
+def _like_leaf(col: str, pat: str, esc=None):
+    if esc is not None:
+        # escapes change which %/_ are wildcards: the (pattern, escape)
+        # pair travels whole to query._compile_like
+        return (col, "like", (pat, esc))
     core = pat.strip("%")
     if "%" in core or "_" in core:
         # mid-pattern `%` runs/`_` wildcards compile to device matchers

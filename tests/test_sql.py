@@ -97,6 +97,32 @@ def test_where_like_underscore_wildcards():
     assert [str(s) for s in fr["sym"]] == ["AA,PL"]
 
 
+def test_like_escape_clause():
+    csv = (b"v,x\n"
+           b"100%,1\n"
+           b"100x,1\n"
+           b"a_b,1\n"
+           b"axb,1\n"
+           b"50%,1\n"
+           b"!bang,1\n")
+    # escaped % is a literal percent sign
+    r = sql("SELECT v FROM t WHERE v LIKE '100!%' ESCAPE '!'", csv)
+    assert [str(s) for s in r["v"]] == ["100%"]
+    # unescaped % still wildcards in the same pattern
+    r = sql("SELECT v FROM t WHERE v LIKE '%!%' ESCAPE '!'", csv)
+    assert [str(s) for s in r["v"]] == ["100%", "50%"]
+    # escaped _ is a literal underscore
+    r = sql("SELECT v FROM t WHERE v LIKE 'a!_b' ESCAPE '!'", csv)
+    assert [str(s) for s in r["v"]] == ["a_b"]
+    # the escape char escapes itself
+    r = sql("SELECT v FROM t WHERE v LIKE '!!%' ESCAPE '!'", csv)
+    assert [str(s) for s in r["v"]] == ["!bang"]
+    with pytest.raises(SqlError, match="single character"):
+        sql("SELECT v FROM t WHERE v LIKE 'a' ESCAPE 'xy'", csv)
+    with pytest.raises(ValueError, match="escape character"):
+        sql("SELECT v FROM t WHERE v LIKE 'a!' ESCAPE '!'", csv)
+
+
 def test_like_underscore_differential_python():
     """Differential vs a Python fnmatch-style oracle over every pattern
     shape, incl. `_` before/after the anchors."""
