@@ -172,6 +172,45 @@ def section_chip():
                       "padded_bytes": padded, "source": "measured"}))
 
 
+# --------------------------------------------- section: host native C++
+
+
+def section_native():
+    """The multithreaded C++ SWAR engine on THIS host: thread-scaling
+    GB/s — the measured '1 host (CPU)' row of the scaling story (and
+    the sensible streamed backend on this rig, PERF_NOTES 'Rig
+    constraint')."""
+    import numpy as np
+
+    from csv_simd_tpu import golden, native
+
+    if not native.available():
+        print(json.dumps({"error": f"native engine unavailable: "
+                          f"{native.build_error()}"}))
+        return
+    arr = _buffer(MB * 1024 * 1024)
+    want = int(golden.structural_mask(arr).sum())
+    rows = []
+    ncpu = os.cpu_count() or 1
+    threads = sorted({1, 2, 4, 8, min(16, ncpu), ncpu})
+    for t in (x for x in threads if x <= ncpu):
+        offs, _par = native.host_stage1(arr, n_threads=t)  # warm
+        assert offs.shape[0] == want
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            native.host_stage1(arr, n_threads=t)
+            best = min(best, time.time() - t0)
+        rows.append({"threads": t, "s_per_pass": round(best, 6),
+                     "gbps": round(arr.size / best / 1e9, 3)})
+    base = rows[0]["gbps"]
+    for r in rows:
+        r["speedup_vs_1"] = round(r["gbps"] / base, 2)
+        r["efficiency_vs_1"] = round(
+            r["gbps"] / (base * r["threads"]), 3)
+    print(json.dumps({"bytes": arr.size, "cpus": ncpu, "rows": rows}))
+
+
 # --------------------------------------------------- section: multihost
 
 
@@ -234,7 +273,8 @@ def _sub(section, extra_env=None):
 def main():
     if "--section" in sys.argv:
         which = sys.argv[sys.argv.index("--section") + 1]
-        {"virtual": section_virtual, "chip": section_chip}[which]()
+        {"virtual": section_virtual, "chip": section_chip,
+         "native": section_native}[which]()
         return
 
     table = {"buffer_mb": MB}
@@ -260,6 +300,8 @@ def main():
             "scan_gbps": 343.8, "build_gbps": 246.8,
             "sol_gbps_range": [536, 963],
         }
+    print("# host native C++ engine thread scaling...", file=sys.stderr)
+    table["host_native"] = _sub("native", {"JAX_PLATFORMS": "cpu"})
     print("# virtual 8-device CPU mesh...", file=sys.stderr)
     table["virtual_mesh"] = _sub(
         "virtual",
@@ -290,6 +332,18 @@ def main():
         ]
     else:
         lines += [f"- {chip.get('source', chip.get('error', '?'))}"]
+    lines += [
+        "",
+        "## 1 host, native C++ SWAR engine (thread scaling, this host)",
+        "",
+        "| threads | s/pass | GB/s | speedup vs 1 | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for r in table.get("host_native", {}).get("rows", []):
+        lines.append(
+            f"| {r['threads']} | {r['s_per_pass']} | {r['gbps']} | "
+            f"{r['speedup_vs_1']} | {r['efficiency_vs_1']} |"
+        )
     lines += [
         "",
         "## Virtual 8-device CPU mesh (sharded-path overhead profile)",
