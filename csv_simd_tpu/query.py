@@ -367,10 +367,17 @@ def _lock_where_schema(corpus, where, schema, sample: int):
     names = corpus.header_names()
     covered = {names[_field_index(names, k)] for k in out}
     for pred in _where_leaves(where):
-        name = names[_field_index(names, pred[0])]
-        if name not in covered:
-            out[name] = _lock_corpus_spec(corpus, name, None, sample)
-            covered.add(name)
+        if isinstance(pred[0], VExpr):
+            refs = pred[0].columns()
+            if isinstance(pred[2], VExpr):
+                refs += pred[2].columns()
+        else:
+            refs = [pred[0]]
+        for r in refs:
+            name = names[_field_index(names, r)]
+            if name not in covered:
+                out[name] = _lock_corpus_spec(corpus, name, None, sample)
+                covered.add(name)
     return out or None
 
 
@@ -391,7 +398,17 @@ def column_stats(source, column, spec=None, *, where=None, schema=None,
     from .frame import _resolve_tape, infer_schema
 
     if isinstance(source, CsvCorpus):
-        col = _lock_corpus_spec(source, column, spec, sample)
+        if isinstance(column, VExpr):
+            # lock every referenced column so per-file inference cannot
+            # change the expression's value domain across files
+            col = {
+                r: _lock_corpus_spec(source, r, (spec or {}).get(r)
+                                     if isinstance(spec, dict) else None,
+                                     sample)
+                for r in column.columns()
+            }
+        else:
+            col = _lock_corpus_spec(source, column, spec, sample)
         wsch = _lock_where_schema(source, where, schema, sample)
         return _combine_stats([
             column_stats(t, column, col, where=where, schema=wsch,
@@ -399,6 +416,23 @@ def column_stats(source, column, spec=None, *, where=None, schema=None,
             for t in source.device_tapes()
         ])
     tape, names = _resolve_tape(source, dialect, backend, engine, False)
+    if isinstance(column, VExpr):
+        # aggregate of an arithmetic expression: evaluate on device,
+        # then the usual exact reduces
+        records = None
+        if where is not None:
+            records = select_records(tape, where, names=names,
+                                     schema=schema, dialect=dialect,
+                                     sample=sample)
+        col_specs = {}
+        if isinstance(spec, dict):
+            for kk, ss in spec.items():
+                if ss is not None:
+                    col_specs[kk] = (ss if hasattr(ss, "type")
+                                     else parse_spec(ss))
+        vals, ok, isf = _eval_vexpr(tape, names, column.tree, col_specs,
+                                    dialect, sample, records=records)
+        return stats_float(vals, ok) if isf else stats_int(vals, ok)
     field = _field_index(names, column)
     if spec is None:
         inferred = infer_schema(tape, names, columns=[field],
@@ -1035,6 +1069,135 @@ def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
     )
 
 
+def _vexpr_text(t) -> str:
+    k = t[0]
+    if k == "col":
+        return t[1]
+    if k == "lit":
+        return repr(t[1])
+    if k == "neg":
+        return f"(- {_vexpr_text(t[1])})"
+    return f"({_vexpr_text(t[1])} {k} {_vexpr_text(t[2])})"
+
+
+class VExpr:
+    """A numeric VALUE expression over columns, as a tree:
+    ("col", name) | ("lit", number) | ("neg", a) | (op, a, b) with op
+    in "+-*/". Wrapping the tree in a class lets the predicate/SELECT
+    machinery tell an expression from a plain column-name string.
+
+    Semantics (documented, kernel-consistent): integer arithmetic runs
+    in int32 (two's-complement wrap, like the device layer); any float
+    operand or any division promotes the whole tree to float32;
+    x / 0 makes the row NOT-ok (SQL-NULL-ish, the layer's
+    parse-failure convention); a row is ok iff EVERY referenced column
+    parsed ok. decimal/datetime columns are rejected (scale algebra);
+    date columns participate as their day numbers."""
+
+    __slots__ = ("tree",)
+
+    def __init__(self, tree):
+        self.tree = tree
+
+    def columns(self):
+        def walk(t):
+            if t[0] == "col":
+                yield t[1]
+            elif t[0] == "neg":
+                yield from walk(t[1])
+            elif t[0] in ("+", "-", "*", "/"):
+                yield from walk(t[1])
+                yield from walk(t[2])
+        return list(walk(self.tree))
+
+    def __str__(self):
+        return _vexpr_text(self.tree)
+
+    def __repr__(self):
+        return f"VExpr({_vexpr_text(self.tree)})"
+
+
+def _eval_vexpr(tape, names, tree, col_specs, dialect, sample: int,
+                records=None):
+    """Evaluate a VExpr tree on device -> (vals, ok, is_float).
+
+    Columns parse through the usual typed device path (_parse_column);
+    the arithmetic is jnp ops over the parsed arrays, so the whole
+    expression evaluates where the values live before any readback."""
+    from .frame import infer_schema
+
+    k = tree[0]
+    if k == "lit":
+        v = tree[1]
+        isf = isinstance(v, float)
+        n = int(getattr(tape, "num_data_records",
+                        int(tape.record_cnt) - 1))
+        n = n if records is None else int(np.asarray(records).shape[0])
+        dt = jnp.float32 if isf else jnp.int32
+        return (jnp.full((n,), v, dt), jnp.ones((n,), bool), isf)
+    if k == "col":
+        name = tree[1]
+        field = _field_index(names, name)
+        cname = names[field]
+        col = col_specs.get(cname)
+        if col is None:
+            col = infer_schema(tape, names, columns=[field],
+                               sample=sample)[cname]
+            col_specs[cname] = col
+        if col.type in ("str", "bytes"):
+            raise ValueError(
+                f"column {cname!r} is {col.type}: arithmetic needs a "
+                "numeric column (give an explicit schema to type it)"
+            )
+        vals, ok, kind = _parse_column(tape, field, col, dialect,
+                                       records=records)
+        if kind == "i64host":
+            raise ValueError(
+                f"column {cname!r} is {col.type}: decimal/datetime "
+                "columns are not supported in arithmetic expressions "
+                "(their values are scaled host ints)"
+            )
+        return (jnp.asarray(vals), jnp.asarray(ok, bool),
+                kind == "float")
+    if k == "neg":
+        v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
+                                 dialect, sample, records)
+        return -v, ok, isf
+    va, oa, fa = _eval_vexpr(tape, names, tree[1], col_specs, dialect,
+                             sample, records)
+    vb, ob, fb = _eval_vexpr(tape, names, tree[2], col_specs, dialect,
+                             sample, records)
+    ok = oa & ob
+    isf = fa or fb or k == "/"
+    if isf:
+        va, vb = va.astype(jnp.float32), vb.astype(jnp.float32)
+    if k == "+":
+        return va + vb, ok, isf
+    if k == "-":
+        return va - vb, ok, isf
+    if k == "*":
+        return va * vb, ok, isf
+    # division: float32 always; /0 -> row not-ok (SQL-NULL-ish)
+    ok = ok & (vb != 0)
+    return va / jnp.where(vb == 0, jnp.float32(1), vb), ok, isf
+
+
+def _vexpr_cmp_mask(tape, names, lhs: VExpr, op: str, rhs,
+                    col_specs, dialect, sample: int) -> np.ndarray:
+    """Device mask for an arithmetic comparison leaf: expr op expr."""
+    rtree = rhs.tree if isinstance(rhs, VExpr) else ("lit", rhs)
+    va, oa, fa = _eval_vexpr(tape, names, lhs.tree, col_specs, dialect,
+                             sample)
+    vb, ob, fb = _eval_vexpr(tape, names, rtree, col_specs, dialect,
+                             sample)
+    if fa != fb:
+        va = va.astype(jnp.float32) if not fa else va
+        vb = vb.astype(jnp.float32) if not fb else vb
+    m = {"==": va == vb, "!=": va != vb, "<": va < vb,
+         "<=": va <= vb, ">": va > vb, ">=": va >= vb}[op]
+    return np.asarray(oa & ob & m)
+
+
 def _typed_literal(col: Col, value):
     """Host conversion of a predicate literal to the column's device
     value domain (days / epoch units / scaled decimal)."""
@@ -1134,6 +1297,14 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
             f"predicate must be (column, op, value), got {pred!r}"
         )
     key, op, value = pred
+    if isinstance(key, VExpr):
+        if op not in ("==", "!=", "<", "<=", ">", ">="):
+            raise ValueError(
+                f"op {op!r} needs a plain column, not an arithmetic "
+                "expression"
+            )
+        return _vexpr_cmp_mask(tape, names, key, op, value, col_specs,
+                               dialect, sample)
     if op not in _OPS:
         raise ValueError(f"unknown predicate op {op!r}; one of {_OPS}")
     field = _field_index(names, key)
@@ -2106,14 +2277,24 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
                         for k, s in zip(ks, kspecs)]
         else:
             locked_k = _lock_corpus_spec(source, key, key_spec, sample)
+        def _lock_value(v, s):
+            if isinstance(v, VExpr):
+                # lock every column the expression references so the
+                # value domain cannot drift across member files; the
+                # caller's dict spec (user schema entries) wins
+                sd = s if isinstance(s, dict) else {}
+                return {r: _lock_corpus_spec(source, r, sd.get(r),
+                                             sample)
+                        for r in v.columns()}
+            return _lock_corpus_spec(source, v, s, sample)
+
         if multi:
             vspecs = (list(value_spec) if value_spec is not None
                       else [None] * len(value))
-            locked_v = [_lock_corpus_spec(source, v, s, sample)
+            locked_v = [_lock_value(v, s)
                         for v, s in zip(value, vspecs)]
         else:
-            locked_v = _lock_corpus_spec(source, value, value_spec,
-                                         sample)
+            locked_v = _lock_value(value, value_spec)
         wsch = _lock_where_schema(source, where, schema, sample)
         parts = [
             groupby_typed(t, key, value, key_spec=locked_k,
@@ -2137,6 +2318,19 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
     )
 
     def _parse_value(v, spec):
+        if isinstance(v, VExpr):
+            # aggregate over an arithmetic expression: evaluate on
+            # device (spec, when a dict, locks the referenced columns;
+            # entries may be spec strings or Col objects)
+            specs = {}
+            if isinstance(spec, dict):
+                for kk, ss in spec.items():
+                    if ss is not None:
+                        specs[kk] = (ss if hasattr(ss, "type")
+                                     else parse_spec(ss))
+            vv, vok, isf = _eval_vexpr(tape, names, v.tree, specs,
+                                       dialect, sample, records=records)
+            return vv, vok, ("float" if isf else "int")
         vf = _field_index(names, v)
         vcol = (parse_spec(spec) if spec is not None
                 else infer_col(tape, names, vf, sample))
@@ -2156,7 +2350,8 @@ def groupby_typed(source, key, value, *, key_spec=None, value_spec=None,
                 f"{len(value)} value columns"
             )
         parsed = {
-            names[_field_index(names, v)]: _parse_value(v, s)
+            (str(v) if isinstance(v, VExpr)
+             else names[_field_index(names, v)]): _parse_value(v, s)
             for v, s in zip(value, vspecs)
         }
         if any(k == "i64host" for _, _, k in parsed.values()):

@@ -17,7 +17,12 @@ Supported grammar (case-insensitive keywords):
     [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
     [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n [OFFSET m]]
 
-- item: column | agg(column) | COALESCE(col, col [, ...]) |
+- item: column | arithmetic expression (`qty * price`, `(a + b) / 2`,
+  unary minus; int math runs in int32 with two's-complement wrap, any
+  float operand or division promotes to float32, x/0 or a NULL operand
+  makes the row NULL) | agg(column) | agg(expression) — SUM(qty*price)
+  etc. evaluate the expression on device before the group reduce |
+  COALESCE(col, col [, ...]) |
   CASE WHEN expr THEN val [...] [ELSE val] END [AS alias]
   (CASE values: literals — numbers make a float column, strings a
   text one — or same-typed column refs, or a mix where literals
@@ -33,7 +38,9 @@ Supported grammar (case-insensitive keywords):
   (full SQL wildcards, matched byte-wise on device: '%' = any run
   anywhere incl. mid-pattern — greedy in-order segment matching;
   '_' = exactly one byte; ESCAPE makes the next char literal;
-  no '%'/'_' -> text equality; '%' alone -> match-all),
+  no '%'/'_' -> text equality; '%' alone -> match-all); comparisons
+  may also be ARITHMETIC on either side (`qty * price > 100`,
+  `qty > price`), evaluated on device with the item semantics above,
   col IS [NOT] NULL (NULL = typed-parse failure; over a join also
   the absent side of an unmatched row), combined with NOT / AND / OR
   and parentheses (standard precedence).
@@ -68,12 +75,12 @@ class SqlError(ValueError):
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-        (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+        (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<str>'(?:[^']|'')*')
       | (?P<qid>"(?:[^"]|"")*")
       | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<op><=|>=|!=|<>|==|=|<|>)
-      | (?P<punc>[(),.*])
+      | (?P<punc>[(),.*+/-])
     )""",
     re.VERBOSE,
 )
@@ -147,6 +154,8 @@ class _Item:
             return "coalesce"
         if self.kind == "case":
             return "case"
+        if self.kind == "expr":
+            return str(self.expr)
         if self.fn == "count" and self.col is None:
             return "count"
         return f"{self.fn}_{self.col}"
@@ -231,12 +240,17 @@ class _Parser:
         self.expect("end")
         return ast
 
+    def _number(self):
+        """Numeric literal with optional unary minus (numbers tokenize
+        unsigned so `a-5` means subtraction, not the literal -5)."""
+        neg = bool(self.accept("punc", "-"))
+        v = _num(self.expect("num")[1])
+        return -v if neg else v
+
     def _int_literal(self, what: str) -> int:
-        tok = self.expect("num")[1]
-        try:
-            v = int(tok)
-        except ValueError:
-            raise SqlError(f"{what} must be an integer, got {tok!r}")
+        v = self._number()
+        if not isinstance(v, int):
+            raise SqlError(f"{what} must be an integer, got {v!r}")
         if v < 0:
             raise SqlError(f"{what} must be non-negative, got {v}")
         return v
@@ -258,9 +272,11 @@ class _Parser:
 
     def _case_value(self):
         k, v = self.peek()
-        if k in ("num", "str"):
+        if k == "num" or (k, v) == ("punc", "-"):
+            return ("lit", self._number())
+        if k == "str":
             self.next()
-            return ("lit", _num(v) if k == "num" else v)
+            return ("lit", v)
         return ("col", self._colref())
 
     def _item_core(self) -> _Item:
@@ -302,10 +318,26 @@ class _Parser:
                     raise SqlError(f"{fn}(*) is not a thing; name a column")
                 col = None
             else:
-                col = self._colref()
+                tree = self._vexpr()
+                if tree[0] == "col":
+                    col = tree[1]
+                else:
+                    # aggregate over an arithmetic expression: the
+                    # VExpr evaluates on device inside the group-by /
+                    # stats machinery
+                    from .query import VExpr
+
+                    col = VExpr(tree)
             self.expect("punc", ")")
             return _Item("agg", col=col, fn=fn)
-        return _Item("col", col=self._colref())
+        tree = self._vexpr()
+        if tree[0] == "col":
+            return _Item("col", col=tree[1])
+        from .query import VExpr
+
+        it = _Item("expr")
+        it.expr = VExpr(tree)
+        return it
 
     def _colref(self) -> str:
         name = self.expect("name")[1]
@@ -314,6 +346,41 @@ class _Parser:
             # it against the join sides
             name = f"{name}.{self.expect('name')[1]}"
         return name
+
+    # -- value expressions (arithmetic over columns/literals)
+    def _vexpr(self):
+        t = self._vterm()
+        while True:
+            if self.accept("punc", "+"):
+                t = ("+", t, self._vterm())
+            elif self.accept("punc", "-"):
+                t = ("-", t, self._vterm())
+            else:
+                return t
+
+    def _vterm(self):
+        t = self._vfactor()
+        while True:
+            if self.accept("punc", "*"):
+                t = ("*", t, self._vfactor())
+            elif self.accept("punc", "/"):
+                t = ("/", t, self._vfactor())
+            else:
+                return t
+
+    def _vfactor(self):
+        if self.accept("punc", "-"):
+            f = self._vfactor()
+            # fold a negated literal so `qty > -5` keeps the legacy
+            # (col, op, number) leaf shape
+            return ("lit", -f[1]) if f[0] == "lit" else ("neg", f)
+        if self.accept("punc", "("):
+            e = self._vexpr()
+            self.expect("punc", ")")
+            return e
+        if self.peek()[0] == "num":
+            return ("lit", _num(self.next()[1]))
+        return ("col", self._colref())
 
     def _table(self):
         k, v = self.next()
@@ -381,22 +448,43 @@ class _Parser:
     def _not_term(self, having: bool):
         if self.accept("kw", "not"):
             return ("not", self._not_term(having))
-        if self.accept("punc", "("):
-            e = self._expr(having)
-            self.expect("punc", ")")
-            return e
+        if self.peek() == ("punc", "("):
+            # "(" is ambiguous: boolean grouping `(a > 1 OR ...)` vs an
+            # arithmetic factor `(a + 1) > 2` — try the boolean parse
+            # and backtrack into a leaf when it doesn't close
+            save = self.i
+            try:
+                self.next()
+                e = self._expr(having)
+                self.expect("punc", ")")
+                return e
+            except SqlError:
+                self.i = save
         return self._having_leaf() if having else self._leaf()
 
     def _literal(self):
+        if self.peek() in (("punc", "-"),) or self.peek()[0] == "num":
+            return self._number()
         k, v = self.next()
-        if k == "num":
-            return _num(v)
         if k == "str":
             return v
         raise SqlError(f"expected a literal, got {v!r}")
 
     def _leaf(self):
-        col = self._colref()
+        lhs = self._vexpr()
+        if lhs[0] != "col":
+            # arithmetic comparison: expr op expr (device-evaluated)
+            from .query import VExpr
+
+            op = self.expect("op")[1]
+            if self.peek()[0] == "str":
+                raise SqlError(
+                    "arithmetic expressions compare against numbers, "
+                    f"got {self.peek()[1]!r}"
+                )
+            rhs = self._vexpr()
+            return (VExpr(lhs), op, VExpr(rhs))
+        col = lhs[1]
         if self.accept("kw", "is"):
             neg = bool(self.accept("kw", "not"))
             self.expect("kw", "null")
@@ -429,7 +517,18 @@ class _Parser:
                     "NOT here must be followed by BETWEEN/IN/LIKE"
                 )
             op = self.expect("op")[1]
-            leaf = (col, op, self._literal())
+            if self.peek()[0] == "str":
+                leaf = (col, op, self.next()[1])
+            else:
+                rhs = self._vexpr()
+                if rhs[0] == "lit":
+                    leaf = (col, op, rhs[1])
+                else:
+                    # column-vs-column / column-vs-expression compares
+                    # evaluate as arithmetic on device
+                    from .query import VExpr
+
+                    leaf = (VExpr(lhs), op, VExpr(rhs))
         return ("not", leaf) if negate else leaf
 
     def _having_leaf(self):
@@ -440,12 +539,13 @@ class _Parser:
                 "COUNT(*) >= 10 or SUM(qty) > 0"
             )
         op = self.expect("op")[1]
-        k, v = self.next()
-        if k != "num":
-            raise SqlError(f"HAVING compares against numbers, got {v!r}")
+        if self.peek()[0] != "num" and self.peek() != ("punc", "-"):
+            raise SqlError(
+                f"HAVING compares against numbers, got {self.peek()[1]!r}"
+            )
         target = "count" if (it.fn == "count" and it.col is None) \
             else f"{it.col}.{it.fn}"
-        return (target, op, _num(v))
+        return (target, op, self._number())
 
 
 def _like_leaf(col: str, pat: str, esc=None):
@@ -697,16 +797,31 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
     table's bare name (SELECT t.k FROM t is ordinary SQL)."""
     pre = tname + "."
 
+    from .query import VExpr
+
     def deq(ref):
         if isinstance(ref, str) and ref.startswith(pre):
             return ref[len(pre):]
         return ref
+
+    def deq_tree(t):
+        if t[0] == "col":
+            return ("col", deq(t[1]))
+        if t[0] == "neg":
+            return ("neg", deq_tree(t[1]))
+        if t[0] == "lit":
+            return t
+        return (t[0], deq_tree(t[1]), deq_tree(t[2]))
 
     def deq_where(e):
         if e is None:
             return None
         if isinstance(e, tuple) and len(e) == 3 \
                 and isinstance(e[1], str):
+            if isinstance(e[0], VExpr):
+                return (VExpr(deq_tree(e[0].tree)), e[1],
+                        VExpr(deq_tree(e[2].tree))
+                        if isinstance(e[2], VExpr) else e[2])
             return (deq(e[0]), e[1], e[2])
         if isinstance(e, tuple) and len(e) == 2 \
                 and e[0] in ("and", "or"):
@@ -723,6 +838,8 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
             it2.col = tuple(deq(c) for c in it.col)
         else:
             it2.col = deq(it.col)
+        if it.kind == "expr":
+            it2.expr = VExpr(deq_tree(it.expr.tree))
         if it.kind == "case":
             it2.branches = [
                 (deq_where(cond), (k, deq(v) if k == "col" else v))
@@ -761,7 +878,8 @@ def _run_select(ast: _Ast, src, kw):
                 items.append(it)
     else:
         items = ast.items
-    has_computed = any(it.kind in ("coalesce", "case") for it in items)
+    has_computed = any(it.kind in ("coalesce", "case", "expr")
+                       for it in items)
     for it in items:
         if it.kind == "agg":
             raise SqlError(
@@ -776,6 +894,11 @@ def _run_select(ast: _Ast, src, kw):
     order_keys, order_desc = [], []
     host_order = []  # [(ref, desc)] — resolved against proj then fr
     for it, d in ast.order_by:
+        if it.kind == "expr":
+            raise SqlError(
+                "ORDER BY an arithmetic expression: alias it in the "
+                "SELECT list and order by the alias"
+            )
         if it.kind != "col":
             raise SqlError("ORDER BY aggregates needs GROUP BY")
         target = out_items.get(it.col)
@@ -842,6 +965,8 @@ def _item_input_cols(it: _Item):
 
     if it.kind == "coalesce":
         return list(it.col)
+    if it.kind == "expr":
+        return it.expr.columns()
     if it.kind == "case":
         out = []
         vals = [v for _, v in it.branches]
@@ -853,6 +978,68 @@ def _item_input_cols(it: _Item):
         out.extend(v for k, v in vals if k == "col")
         return out
     return [it.col]
+
+
+def _expr_column(fr, vx, resolve):
+    """Evaluate an arithmetic item over a materialized frame, with the
+    SAME semantics as the device predicate evaluator (query._eval_vexpr):
+    int math in int32 (two's-complement wrap), any float operand or
+    division promotes to float32, x/0 and any not-ok operand make the
+    row not-ok. Date columns participate as day numbers."""
+    from .frame import parse_spec
+
+    n = len(fr)
+
+    def ev(t):
+        k = t[0]
+        if k == "lit":
+            isf = isinstance(t[1], float)
+            dt = np.float32 if isf else np.int32
+            return (np.full(n, t[1], dt), np.ones(n, bool), isf)
+        if k == "col":
+            name = resolve(t[1])
+            col = fr.schema[name]
+            if col.type in ("str", "bytes"):
+                raise SqlError(
+                    f"column {name!r} is {col.type}: arithmetic needs "
+                    "a numeric column"
+                )
+            if col.type in ("decimal", "datetime"):
+                raise SqlError(
+                    f"column {name!r} is {col.type}: decimal/datetime "
+                    "columns are not supported in arithmetic "
+                    "expressions"
+                )
+            vals = np.asarray(fr._columns[name])
+            if vals.dtype.kind == "M":
+                vals = vals.astype("datetime64[D]").astype(np.int64) \
+                    .astype(np.int32)
+            okm = fr._ok[name]
+            ok = (np.ones(n, bool) if okm is None
+                  else np.asarray(okm, bool))
+            return vals, ok, vals.dtype.kind == "f"
+        if k == "neg":
+            v, ok, isf = ev(t[1])
+            return -v, ok, isf
+        va, oa, fa = ev(t[1])
+        vb, ob, fb = ev(t[2])
+        ok = oa & ob
+        isf = fa or fb or k == "/"
+        if isf:
+            va, vb = va.astype(np.float32), vb.astype(np.float32)
+        if k == "+":
+            return va + vb, ok, isf
+        if k == "-":
+            return va - vb, ok, isf
+        if k == "*":
+            return va * vb, ok, isf
+        ok = ok & (vb != 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return va / np.where(vb == 0, np.float32(1), vb), ok, isf
+
+    vals, ok, isf = ev(vx.tree)
+    okm = None if ok.all() else ok
+    return vals, okm, parse_spec("float" if isf else "int32")
 
 
 def _coalesce_column(fr, cols):
@@ -962,6 +1149,9 @@ def _project_items(fr, items, resolve):
         if it.kind == "case":
             vals, okm, col = _case_column(fr, it, resolve)
             nm = it.alias or "case"
+        elif it.kind == "expr":
+            vals, okm, col = _expr_column(fr, it.expr, resolve)
+            nm = it.name()
         elif it.kind == "coalesce":
             srcs = [resolve(c) for c in it.col]
             vals, okm, col = _coalesce_column(fr, srcs)
@@ -1044,6 +1234,27 @@ def _agg_array(g_aggs, col: str, fn: str):
     return arr, t
 
 
+def _maybe_expr_ref(col: str):
+    """A HAVING target's column part may be the canonical text of an
+    expression aggregate (e.g. '(qty * price)' from
+    HAVING SUM(qty*price) > 50 with no matching SELECT item): re-parse
+    it back into a VExpr — the canonical text round-trips exactly, so
+    the aggs-dict key it produces matches the having target."""
+    if not any(ch in col for ch in "+-*/("):
+        return col
+    try:
+        p = _Parser(col)
+        t = p._vexpr()
+        p.expect("end")
+    except SqlError:
+        return col
+    if t[0] == "col":
+        return col
+    from .query import VExpr
+
+    return VExpr(t)
+
+
 def _run_groupby(ast: _Ast, src, kw):
     from .query import groupby_typed
 
@@ -1054,23 +1265,38 @@ def _run_groupby(ast: _Ast, src, kw):
     for it in ast.items:
         if it.kind == "star":
             raise SqlError("SELECT * cannot combine with GROUP BY")
+        if it.kind == "expr":
+            raise SqlError(
+                "arithmetic expressions cannot appear alongside "
+                "GROUP BY (aggregate them, or select them without "
+                "GROUP BY)"
+            )
         if it.kind == "col" and it.col not in keys:
             raise SqlError(
                 f"column {it.col!r} must appear in GROUP BY or inside "
                 "an aggregate"
             )
+    from .query import VExpr
+
+    def _vkey(c):
+        return c if isinstance(c, str) else str(c)
+
     agg_items = [it for it in ast.items if it.kind == "agg"]
-    value_cols: List[str] = []
+    value_cols: List[object] = []
+    seen = set()
     for it in agg_items:
-        if it.col is not None and it.col not in value_cols:
+        if it.col is not None and _vkey(it.col) not in seen:
+            seen.add(_vkey(it.col))
             value_cols.append(it.col)
     for expr in (ast.having,):
         for col in _having_cols(expr):
-            if col not in value_cols:
-                value_cols.append(col)
+            if col not in seen:
+                seen.add(col)
+                value_cols.append(_maybe_expr_ref(col))
     for it, _ in ast.order_by:
         if (it.kind == "agg" and it.col is not None
-                and it.col not in value_cols):
+                and _vkey(it.col) not in seen):
+            seen.add(_vkey(it.col))
             value_cols.append(it.col)
     # groupby_typed needs >= 1 value column; COUNT(*)/DISTINCT use
     # none, so ride the first key with a forced numeric spec — the
@@ -1087,7 +1313,13 @@ def _run_groupby(ast: _Ast, src, kw):
         value_cols = [keys[0]]
         value_spec = ["float"]
     else:
-        value_spec = [sch.get(v) for v in value_cols]
+        # a VExpr value's "spec" is the schema entries of its
+        # referenced columns (locks their types for the evaluation)
+        value_spec = [
+            ({r: sch[r] for r in v.columns() if r in sch} or None)
+            if isinstance(v, VExpr) else sch.get(v)
+            for v in value_cols
+        ]
     g = groupby_typed(
         src, keys if len(keys) > 1 else keys[0], value_cols,
         key_spec=(key_spec if len(keys) > 1 else key_spec[0]),
@@ -1128,7 +1360,8 @@ def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
         elif it.fn == "count" and it.col is None:
             _add(it.name(), np.asarray(g["count"]), "int64")
         else:
-            arr, t = _agg_array(g["aggs"], it.col, it.fn)
+            key = it.col if isinstance(it.col, str) else str(it.col)
+            arr, t = _agg_array(g["aggs"], key, it.fn)
             _add(it.name(), arr, t)
     if ast.order_by:
         order = []
@@ -1138,7 +1371,11 @@ def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
                 # ORDER BY an aggregate not in the SELECT list
                 arr, t = (np.asarray(g["count"]), "int64") \
                     if (it.fn == "count" and it.col is None) \
-                    else _agg_array(g["aggs"], it.col, it.fn)
+                    else _agg_array(
+                        g["aggs"],
+                        it.col if isinstance(it.col, str)
+                        else str(it.col),
+                        it.fn)
                 columns[nm] = np.asarray(arr)
             elif nm not in columns:
                 raise SqlError(
@@ -1241,9 +1478,18 @@ def _frame_scalar_aggs(ast: _Ast, fr, resolve) -> SqlResult:
         if it.fn == "count" and it.col is None:
             val, t = len(fr), "int64"
         else:
-            c = resolve(it.col)
-            col = fr.schema[c]
-            okm = fr._ok[c]
+            from .query import VExpr
+
+            if isinstance(it.col, VExpr):
+                # aggregate of an arithmetic expression over the
+                # joined frame (host twin of the device path)
+                colvals, okm, col = _expr_column(fr, it.col, resolve)
+                colvals = np.asarray(colvals)
+            else:
+                c = resolve(it.col)
+                col = fr.schema[c]
+                okm = fr._ok[c]
+                colvals = np.asarray(fr._columns[c])
             ok = (np.ones(len(fr), bool) if okm is None
                   else np.asarray(okm, bool))
             if col.type in ("str", "bytes") and it.fn != "count":
@@ -1254,7 +1500,7 @@ def _frame_scalar_aggs(ast: _Ast, fr, resolve) -> SqlResult:
             if it.fn == "count":
                 val, t = int(ok.sum()), "int64"
             else:
-                sel = np.asarray(fr._columns[c])[ok]
+                sel = colvals[ok]
                 if sel.dtype.kind == "M":
                     # datetime64 -> epoch ints, matching the non-join
                     # aggregate paths (dates reduce as epoch values)
@@ -1290,6 +1536,12 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
     def _res_item(it: _Item) -> _Item:
         if it.kind == "star":
             raise SqlError("SELECT * cannot combine with GROUP BY")
+        if not isinstance(it.col, (str, type(None))):
+            raise SqlError(
+                "aggregates over arithmetic expressions are not "
+                "supported with GROUP BY over a JOIN yet — join "
+                "first, or aggregate per side"
+            )
         return _Item(it.kind,
                      col=(resolve(it.col) if it.col is not None
                           else None),
@@ -1430,11 +1682,17 @@ def _run_scalar_aggs(ast: _Ast, src, kw):
             )
     stats: Dict[str, object] = {}
 
-    def _stats(col: str):
+    def _stats(col):
         if col not in stats:
+            from .query import VExpr
+
             sch = kw["schema"] or {}
+            spec = (
+                ({r: sch[r] for r in col.columns() if r in sch} or None)
+                if isinstance(col, VExpr) else sch.get(col)
+            )
             stats[col] = column_stats(
-                src, col, sch.get(col), where=ast.where,
+                src, col, spec, where=ast.where,
                 schema=kw["schema"], engine=kw["engine"],
                 backend=kw["backend"], dialect=kw["dialect"],
                 sample=kw["sample"],
@@ -1596,6 +1854,8 @@ def _try_join_groupby_pushdown(ast, lt, ln, rt, rn, on_l, on_r,
     for cj in _conjuncts(ast.where):
         sides = set()
         for ref, _op, _v in _where_leaves(cj):
+            if not isinstance(ref, str):
+                return None  # arithmetic leaf: host path handles it
             s, _c = _side_of(ref)
             if s is None:
                 return None
@@ -1616,6 +1876,8 @@ def _try_join_groupby_pushdown(ast, lt, ln, rt, rn, on_l, on_r,
                  if it.kind == "agg" and it.col is not None]
     side_vals: Dict[str, List[str]] = {"l": [], "r": []}
     for ref in agg_refs:
+        if not isinstance(ref, str):
+            return None  # expression aggregate: host path reports it
         side, col = _side_of(ref)
         if side is None:
             return None
@@ -1972,9 +2234,24 @@ def _frame_mask(fr, expr, resolve) -> np.ndarray:
 
 
 def _frame_leaf(fr, leaf, resolve) -> np.ndarray:
-    from .query import _typed_literal
+    from .query import VExpr, _typed_literal
 
     col_ref, op, lit = leaf
+    if isinstance(col_ref, VExpr):
+        # arithmetic comparison over the joined frame (host twin of
+        # query._vexpr_cmp_mask; same int32/float32/0-div semantics)
+        va, oka, _ = _expr_column(fr, col_ref, resolve)
+        rhs = lit if isinstance(lit, VExpr) else VExpr(("lit", lit))
+        vb, okb, _ = _expr_column(fr, rhs, resolve)
+        n = len(fr)
+        oa = np.ones(n, bool) if oka is None else oka
+        ob = np.ones(n, bool) if okb is None else okb
+        import operator as _oper
+
+        f = {"==": _oper.eq, "!=": _oper.ne, "<": _oper.lt,
+             "<=": _oper.le, ">": _oper.gt, ">=": _oper.ge}[op]
+        return oa & ob & f(np.asarray(va, np.float64),
+                           np.asarray(vb, np.float64))
     name = resolve(col_ref)
     col = fr.schema[name]
     vals = fr._columns[name]
