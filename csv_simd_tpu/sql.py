@@ -272,12 +272,17 @@ class _Parser:
 
     def _case_value(self):
         k, v = self.peek()
-        if k == "num" or (k, v) == ("punc", "-"):
-            return ("lit", self._number())
         if k == "str":
             self.next()
             return ("lit", v)
-        return ("col", self._colref())
+        tree = self._vexpr()
+        if tree[0] == "col":
+            return ("col", tree[1])
+        if tree[0] == "lit":
+            return ("lit", tree[1])
+        from .query import VExpr
+
+        return ("expr", VExpr(tree))
 
     def _item_core(self) -> _Item:
         k, v = self.peek()
@@ -840,16 +845,21 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
             it2.col = deq(it.col)
         if it.kind == "expr":
             it2.expr = VExpr(deq_tree(it.expr.tree))
+        def deq_cval(spec):
+            k, v = spec
+            if k == "col":
+                return (k, deq(v))
+            if k == "expr":
+                return (k, VExpr(deq_tree(v.tree)))
+            return spec
+
         if it.kind == "case":
             it2.branches = [
-                (deq_where(cond), (k, deq(v) if k == "col" else v))
-                for cond, (k, v) in it.branches
+                (deq_where(cond), deq_cval(val))
+                for cond, val in it.branches
             ]
             ev = it.else_value
-            it2.else_value = (
-                None if ev is None
-                else (ev[0], deq(ev[1]) if ev[0] == "col" else ev[1])
-            )
+            it2.else_value = None if ev is None else deq_cval(ev)
         return it2
 
     ast.items = [it if it.kind == "star" else deq_item(it)
@@ -974,8 +984,18 @@ def _item_input_cols(it: _Item):
             vals.append(it.else_value)
         for cond, _ in it.branches:
             for leaf in _where_leaves(cond):
-                out.append(leaf[0])
-        out.extend(v for k, v in vals if k == "col")
+                if isinstance(leaf[0], str):
+                    out.append(leaf[0])
+                else:  # arithmetic WHEN condition
+                    out.extend(leaf[0].columns())
+                    if not isinstance(leaf[2], str) \
+                            and hasattr(leaf[2], "columns"):
+                        out.extend(leaf[2].columns())
+        for k, v in vals:
+            if k == "col":
+                out.append(v)
+            elif k == "expr":
+                out.extend(v.columns())
         return out
     return [it.col]
 
@@ -1067,8 +1087,10 @@ def _coalesce_column(fr, cols):
 def _case_column(fr, it, resolve):
     """Evaluate a CASE item over a materialized frame: first matching
     WHEN branch wins; no match and no ELSE -> NULL (ok=False). THEN/
-    ELSE values must be either all literals (numbers -> float column,
-    any string -> text) or all same-typed column refs."""
+    ELSE values are literals (numbers -> float column, any string ->
+    text), same-typed column refs, arithmetic EXPRESSIONS (numeric:
+    the result is float32 if any value is float/division else int32),
+    or a literal/column/expression mix in the numeric cases."""
     from .frame import Col
 
     from .query import _typed_literal
@@ -1079,6 +1101,67 @@ def _case_column(fr, it, resolve):
         vals_spec.append(it.else_value)
     col_refs = [resolve(v) for k, v in vals_spec if k == "col"]
     lits = [v for k, v in vals_spec if k == "lit"]
+    exprs = [v for k, v in vals_spec if k == "expr"]
+    if exprs:
+        # expression values: a numeric CASE — every value must be
+        # numeric; float32 if anything is float, else int32
+        if any(isinstance(x, str) for x in lits):
+            raise SqlError(
+                "CASE mixing expression values with string literals"
+            )
+        ev = {}
+        isf = False
+        for vx in exprs:
+            vals, okm, c = _expr_column(fr, vx, resolve)
+            ev[id(vx)] = (np.asarray(vals), okm)
+            isf |= c.type in ("float", "float32")
+        for c in col_refs:
+            t = fr.schema[c].type
+            if t not in ("int32", "float", "float32"):
+                raise SqlError(
+                    "CASE with expression values needs numeric "
+                    f"columns; {c!r} is {t!r}"
+                )
+            isf |= t in ("float", "float32")
+        isf |= any(isinstance(x, float) for x in lits)
+        from .frame import parse_spec
+
+        dt = np.float32 if isf else np.int32
+        out = np.zeros(n, dt)
+        col = parse_spec("float" if isf else "int32")
+        ok = np.zeros(n, bool)
+        assigned = np.zeros(n, bool)
+
+        def _valuex(spec, rows):
+            kind, v = spec
+            if kind == "lit":
+                return dt(v), None
+            if kind == "expr":
+                vals, okm = ev[id(v)]
+                return (vals[rows].astype(dt),
+                        None if okm is None
+                        else np.asarray(okm, bool)[rows])
+            srcn = resolve(v)
+            okm = fr._ok[srcn]
+            return (np.asarray(fr._columns[srcn])[rows].astype(dt),
+                    None if okm is None else np.asarray(okm, bool)[rows])
+
+        for cond, vspec in it.branches:
+            m = _frame_mask(fr, cond, resolve) & ~assigned
+            rows = np.flatnonzero(m)
+            if rows.size:
+                v, vok = _valuex(vspec, rows)
+                out[rows] = v
+                ok[rows] = True if vok is None else vok
+            assigned |= m
+        if it.else_value is not None:
+            rows = np.flatnonzero(~assigned)
+            if rows.size:
+                v, vok = _valuex(it.else_value, rows)
+                out[rows] = v
+                ok[rows] = True if vok is None else vok
+        okm = ok if not ok.all() else None
+        return out, okm, col
     if col_refs:
         base = fr.schema[col_refs[0]]
         for c in col_refs[1:]:

@@ -166,6 +166,36 @@ def test_expression_errors():
         sql("SELECT sym FROM t WHERE qty + 1 > 'x'", CSV, schema=S)
 
 
+def test_case_with_expression_values():
+    # abs() via CASE: expression THEN values, column ELSE
+    r = sql("SELECT CASE WHEN qty < 0 THEN -qty ELSE qty END AS a "
+            "FROM t", CSV, schema=S)
+    okm = r.ok("a")
+    got = [None if okm is not None and not okm[i] else int(v)
+           for i, v in enumerate(r["a"])]
+    assert got == [abs(_q(x)) if _q(x) is not None else None
+                   for x in ROWS]
+    # mixed expr / column / literal values, int32 result
+    r = sql("SELECT CASE WHEN qty > 10 THEN qty * 2 WHEN qty > 0 "
+            "THEN qty ELSE 0 END AS v FROM t", CSV, schema=S)
+    assert str(r.schema["v"].type) == "int32"
+
+    def _case(x):
+        q = _q(x)
+        if q is None:
+            return 0  # NULL satisfies no WHEN -> ELSE
+        return q * 2 if q > 10 else (q if q > 0 else 0)
+
+    assert [int(v) for v in r["v"]] == [_case(x) for x in ROWS]
+    # float promotion when an expression value is float
+    r = sql("SELECT CASE WHEN qty > 0 THEN qty * price ELSE 0 END "
+            "AS w FROM t", CSV, schema=S)
+    assert r.schema["w"].type in ("float", "float32")
+    with pytest.raises(SqlError, match="string literals"):
+        sql("SELECT CASE WHEN qty > 0 THEN qty*2 ELSE 'x' END FROM t",
+            CSV, schema=S)
+
+
 def test_legacy_forms_unchanged():
     # negative literals everywhere they could appear
     r = sql("SELECT sym FROM t WHERE qty > -6 AND qty BETWEEN -5 AND 20 "

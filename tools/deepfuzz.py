@@ -137,6 +137,54 @@ def fuzz_like(seed: int, iters: int = 300) -> None:
     print(f"LIKE-REGEX DEEP FUZZ OK: {iters} iterations, 0 mismatches")
 
 
+def fuzz_expr(seed: int, iters: int = 200) -> None:
+    """Random arithmetic expression trees: the DEVICE evaluator
+    (query._eval_vexpr, driving WHERE) and the HOST twin
+    (sql._expr_column, driving SELECT items) must select the same rows
+    under identical int32-wrap / float32 / 0-div semantics."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from csv_simd_tpu.sql import sql
+
+    rng = random.Random(seed + 7)
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rng.choice(
+                ["a", "b", "f", str(rng.randint(0, 9)),
+                 f"(- {rng.randint(1, 9)})"])
+        op = rng.choice("+-*/")
+        return f"({gen(depth - 1)} {op} {gen(depth - 1)})"
+
+    for it in range(iters):
+        n = rng.randint(1, 50)
+        rows = []
+        for _ in range(n):
+            a = rng.randint(-10**6, 10**6)
+            b = rng.choice([rng.randint(-50, 50), "x!"])  # NULLs
+            f = round(rng.uniform(-100, 100), 3)
+            rows.append(f"{a},{b},{f}")
+        csv = ("a,b,f\n" + "\n".join(rows) + "\n").encode()
+        sch = {"a": "int32", "b": "int32", "f": "float"}
+        e = gen(rng.randint(1, 3))
+        c = rng.randint(-100, 100)
+        sel = sql(f"SELECT a, {e} AS v FROM t", csv, schema=sch)
+        okm = sel.ok("v")
+        vals = np.asarray(sel["v"])
+        want = [int(sel["a"][i]) for i in range(len(sel))
+                if (okm is None or okm[i]) and float(vals[i]) > c]
+        got = sql(f"SELECT a FROM t WHERE {e} > {c}", csv, schema=sch)
+        got = [int(x) for x in got["a"]]
+        assert got == want, (it, e, c, got, want)
+        if it % 50 == 0:
+            print("expr iter", it, flush=True)
+    print(f"EXPR DEVICE-HOST DEEP FUZZ OK: {iters} iterations, "
+          "0 mismatches")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
@@ -146,3 +194,5 @@ if __name__ == "__main__":
         fuzz_sql(seed)
     if mode in ("like", "all"):
         fuzz_like(seed)
+    if mode in ("expr", "all"):
+        fuzz_expr(seed)
