@@ -23,15 +23,25 @@
 //   y = x ^ (C * 0x0101..); t = (y & 0x7f7f..) + 0x7f7f..; t |= y;
 //   flags = ~t & 0x8080..
 //
+// On x86-64 a runtime-dispatched AVX2 path widens the hot loops to
+// 64 B/iteration: per-byte equality via vpcmpeqb + vpmovmskb packs a
+// 64-bit structural/quote mask per block, and the in-block quote
+// parity is a BIT-level prefix XOR (six shift-XOR doubling steps —
+// cheaper and more portable than a carry-less multiply). The SWAR
+// path remains the fallback on every other ISA and for sub-64 B tails.
+//
 // Build: g++ -O3 -march=native -shared -fPIC csvidx.cpp -o _csvidx.so
 
 #include <algorithm>
-#include <atomic>
-#include <memory>
 #include <cstdint>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define CSVIDX_X86 1
+#endif
 
 namespace {
 
@@ -57,10 +67,204 @@ struct Dialect64 {
   uint64_t delim, quote, nl0, nl1;
 };
 
+// Bit-level prefix XOR over a 64-bit mask: bit i of the result is the
+// parity of bits 0..i of the input (six doubling steps).
+static inline uint64_t prefix_xor_bits(uint64_t f) {
+  f ^= f << 1;
+  f ^= f << 2;
+  f ^= f << 4;
+  f ^= f << 8;
+  f ^= f << 16;
+  f ^= f << 32;
+  return f;
+}
+
+#ifdef CSVIDX_X86
+static inline bool cpu_has_avx2() {
+  static const bool ok = __builtin_cpu_supports("avx2");
+  return ok;
+}
+
+// 64 bytes -> one 64-bit per-byte-equality mask.
+__attribute__((target("avx2"))) static inline uint64_t avx2_eq_mask(
+    __m256i a, __m256i b, __m256i needle) {
+  uint64_t lo = static_cast<uint32_t>(
+      _mm256_movemask_epi8(_mm256_cmpeq_epi8(a, needle)));
+  uint64_t hi = static_cast<uint32_t>(
+      _mm256_movemask_epi8(_mm256_cmpeq_epi8(b, needle)));
+  return lo | (hi << 32);
+}
+
+// Quote parity of the leading floor(n/64)*64 bytes; *done = bytes consumed.
+__attribute__((target("avx2"))) static int chunk_quote_parity_avx2(
+    const uint8_t* data, int64_t n, uint8_t quote, int64_t* done) {
+  const __m256i vq = _mm256_set1_epi8(static_cast<char>(quote));
+  const int64_t lim = n & ~63LL;
+  int64_t total = 0;
+  for (int64_t i = 0; i < lim; i += 64) {
+    __m256i a =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i));
+    __m256i b =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i + 32));
+    total += __builtin_popcountll(avx2_eq_mask(a, b, vq));
+  }
+  *done = lim;
+  return static_cast<int>(total & 1);
+}
+
+// Stage-1 over the leading floor(n/64)*64 bytes. Offsets rebased by
+// +base; returns count or -1 on cap overflow. *parity_io carries quote
+// parity in and out; *done = bytes consumed (tail goes to the SWAR core).
+__attribute__((target("avx2"))) static int64_t chunk_stage1_avx2(
+    const uint8_t* data, int64_t n, int64_t base, const Dialect64& d,
+    int carry_in, int64_t* out, int64_t cap, int* parity_io, int64_t* done) {
+  const __m256i vq = _mm256_set1_epi8(static_cast<char>(d.quote & 0xff));
+  const __m256i vd = _mm256_set1_epi8(static_cast<char>(d.delim & 0xff));
+  const __m256i v0 = _mm256_set1_epi8(static_cast<char>(d.nl0 & 0xff));
+  const __m256i v1 = _mm256_set1_epi8(static_cast<char>(d.nl1 & 0xff));
+  uint64_t carry = carry_in ? ~0ULL : 0ULL;
+  const int64_t lim = n & ~63LL;
+  int64_t k = 0;
+  for (int64_t i = 0; i < lim; i += 64) {
+    __m256i a =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i));
+    __m256i b =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i + 32));
+    uint64_t q = avx2_eq_mask(a, b, vq);
+    __m256i sa = _mm256_or_si256(
+        _mm256_cmpeq_epi8(a, vd),
+        _mm256_or_si256(_mm256_cmpeq_epi8(a, v0), _mm256_cmpeq_epi8(a, v1)));
+    __m256i sb = _mm256_or_si256(
+        _mm256_cmpeq_epi8(b, vd),
+        _mm256_or_si256(_mm256_cmpeq_epi8(b, v0), _mm256_cmpeq_epi8(b, v1)));
+    uint64_t s = static_cast<uint32_t>(_mm256_movemask_epi8(sa)) |
+                 (static_cast<uint64_t>(
+                      static_cast<uint32_t>(_mm256_movemask_epi8(sb)))
+                  << 32);
+    uint64_t pin = prefix_xor_bits(q);
+    uint64_t m = s & ~(pin ^ carry);
+    if (m) {
+      if (k + __builtin_popcountll(m) > cap) return -1;
+      do {
+        out[k++] = base + i + __builtin_ctzll(m);
+        m &= m - 1;
+      } while (m);
+    }
+    carry ^= static_cast<uint64_t>(-static_cast<int64_t>(pin >> 63));
+  }
+  *done = lim;
+  *parity_io = static_cast<int>(carry & 1);
+  return k;
+}
+#endif  // CSVIDX_X86
+
+// Phase-A reduce for the threaded build: quote parity of the chunk plus
+// the masked structural count under BOTH entry-parity hypotheses
+// (cnt[p] = offsets the chunk emits if it starts with quote parity p).
+// Within a chunk the block-carry chain under hypothesis 1 is the
+// hypothesis-0 chain with every in-quote mask complemented, so one pass
+// tracking the p=0 chain yields both counts: kept(p=0) = s & ~inq,
+// kept(p=1) = s & inq. This is the reference's planned "speculative
+// split" (README.md:24) made exact — the exclusive XOR scan between
+// phases picks the real hypothesis, and phase B writes straight into
+// the final output at exclusive-summed positions (no scratch, no
+// compaction memcpy).
+struct ChunkStat {
+  int parity;
+  int64_t cnt[2];
+};
+
+#ifdef CSVIDX_X86
+__attribute__((target("avx2"))) static void chunk_counts_avx2(
+    const uint8_t* data, int64_t n, const Dialect64& d, ChunkStat* st,
+    int64_t* done) {
+  const __m256i vq = _mm256_set1_epi8(static_cast<char>(d.quote & 0xff));
+  const __m256i vd = _mm256_set1_epi8(static_cast<char>(d.delim & 0xff));
+  const __m256i v0 = _mm256_set1_epi8(static_cast<char>(d.nl0 & 0xff));
+  const __m256i v1 = _mm256_set1_epi8(static_cast<char>(d.nl1 & 0xff));
+  uint64_t carry = 0;  // hypothesis-0 chain
+  int64_t c0 = 0, c1 = 0;
+  const int64_t lim = n & ~63LL;
+  for (int64_t i = 0; i < lim; i += 64) {
+    __m256i a =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i));
+    __m256i b =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i + 32));
+    uint64_t q = avx2_eq_mask(a, b, vq);
+    __m256i sa = _mm256_or_si256(
+        _mm256_cmpeq_epi8(a, vd),
+        _mm256_or_si256(_mm256_cmpeq_epi8(a, v0), _mm256_cmpeq_epi8(a, v1)));
+    __m256i sb = _mm256_or_si256(
+        _mm256_cmpeq_epi8(b, vd),
+        _mm256_or_si256(_mm256_cmpeq_epi8(b, v0), _mm256_cmpeq_epi8(b, v1)));
+    uint64_t s = static_cast<uint32_t>(_mm256_movemask_epi8(sa)) |
+                 (static_cast<uint64_t>(
+                      static_cast<uint32_t>(_mm256_movemask_epi8(sb)))
+                  << 32);
+    uint64_t pin = prefix_xor_bits(q);
+    uint64_t inq = pin ^ carry;
+    c0 += __builtin_popcountll(s & ~inq);
+    c1 += __builtin_popcountll(s & inq);
+    carry ^= static_cast<uint64_t>(-static_cast<int64_t>(pin >> 63));
+  }
+  st->parity = static_cast<int>(carry & 1);
+  st->cnt[0] = c0;
+  st->cnt[1] = c1;
+  *done = lim;
+}
+#endif  // CSVIDX_X86
+
+static ChunkStat chunk_counts(const uint8_t* data, int64_t n,
+                              const Dialect64& d) {
+  ChunkStat st{0, {0, 0}};
+  int64_t i = 0;
+#ifdef CSVIDX_X86
+  if (cpu_has_avx2() && n >= 64) {
+    chunk_counts_avx2(data, n, d, &st, &i);
+  }
+#endif
+  uint64_t carry = st.parity ? ~0ULL : 0ULL;
+  int64_t c0 = st.cnt[0], c1 = st.cnt[1];
+  for (; i + 8 <= n; i += 8) {
+    uint64_t x;
+    std::memcpy(&x, data + i, 8);
+    uint64_t qf = swar_eq(x, d.quote);
+    uint64_t sf = swar_eq(x, d.delim) | swar_eq(x, d.nl0) | swar_eq(x, d.nl1);
+    uint64_t pin = prefix_xor_bytes(qf);
+    uint64_t inq = pin ^ (carry & kHi1);
+    c0 += __builtin_popcountll(sf & ~inq);
+    c1 += __builtin_popcountll(sf & inq);
+    carry ^= static_cast<uint64_t>(-static_cast<int64_t>(pin >> 63));
+  }
+  int par = static_cast<int>(carry & 1);
+  for (; i < n; ++i) {
+    uint8_t b = data[i];
+    if (b == (d.quote & 0xff)) {
+      par ^= 1;
+    } else if (b == (d.delim & 0xff) || b == (d.nl0 & 0xff) ||
+               b == (d.nl1 & 0xff)) {
+      c0 += !par;
+      c1 += par;
+    }
+  }
+  st.parity = par;
+  st.cnt[0] = c0;
+  st.cnt[1] = c1;
+  return st;
+}
+
 // Quote parity of [data, data+n) — the phase-A reduce.
 static int chunk_quote_parity(const uint8_t* data, int64_t n, uint64_t quote) {
   int64_t i = 0;
   uint64_t par = 0;
+#ifdef CSVIDX_X86
+  if (cpu_has_avx2() && n >= 64) {
+    int64_t done = 0;
+    par = chunk_quote_parity_avx2(data, n, static_cast<uint8_t>(quote & 0xff),
+                                  &done);
+    i = done;
+  }
+#endif
   for (; i + 8 <= n; i += 8) {
     uint64_t x;
     std::memcpy(&x, data + i, 8);
@@ -73,10 +277,11 @@ static int chunk_quote_parity(const uint8_t* data, int64_t n, uint64_t quote) {
 
 // Stage-1 over [data, data+n), byte offsets rebased by +base. Returns the
 // number of offsets written, or -1 if `cap` would be exceeded;
-// *parity_out = quote parity after the chunk.
-static int64_t chunk_stage1(const uint8_t* data, int64_t n, int64_t base,
-                            const Dialect64& d, int carry_in, int64_t* out,
-                            int64_t cap, int* parity_out) {
+// *parity_out = quote parity after the chunk. The SWAR core; the
+// dispatching wrapper below runs the AVX2 path first where available.
+static int64_t chunk_stage1_swar(const uint8_t* data, int64_t n, int64_t base,
+                                 const Dialect64& d, int carry_in,
+                                 int64_t* out, int64_t cap, int* parity_out) {
   int64_t k = 0;
   uint64_t carry = carry_in ? ~0ULL : 0ULL;  // broadcast parity
   int64_t i = 0;
@@ -111,6 +316,30 @@ static int64_t chunk_stage1(const uint8_t* data, int64_t n, int64_t base,
   return k;
 }
 
+// ISA dispatch: AVX2 over the 64 B-aligned body, SWAR core for the rest.
+static int64_t chunk_stage1(const uint8_t* data, int64_t n, int64_t base,
+                            const Dialect64& d, int carry_in, int64_t* out,
+                            int64_t cap, int* parity_out) {
+#ifdef CSVIDX_X86
+  if (cpu_has_avx2() && n >= 64) {
+    int par = 0;
+    int64_t done = 0;
+    int64_t k = chunk_stage1_avx2(data, n, base, d, carry_in, out, cap, &par,
+                                  &done);
+    if (k < 0) return -1;
+    if (done >= n) {
+      *parity_out = par;
+      return k;
+    }
+    int64_t k2 = chunk_stage1_swar(data + done, n - done, base + done, d, par,
+                                   out + k, cap - k, parity_out);
+    if (k2 < 0) return -1;
+    return k + k2;
+  }
+#endif
+  return chunk_stage1_swar(data, n, base, d, carry_in, out, cap, parity_out);
+}
+
 static const int kSigma[8] = {7, 3, 5, 1, 6, 2, 4, 0};  // 7 - bitrev3(j)
 
 }  // namespace
@@ -141,63 +370,49 @@ int64_t host_stage1(const uint8_t* data, int64_t n, int delim, int quote,
   }
   const int t = n_threads;
   const int64_t chunk = (n + t - 1) / t;
-  // phase A: per-chunk quote parity
-  std::vector<int> par(t, 0);
+  // phase A: per-chunk {quote parity, structural count under each entry-
+  // parity hypothesis} — one read pass, no output traffic.
+  std::vector<ChunkStat> st(t, ChunkStat{0, {0, 0}});
   {
     std::vector<std::thread> ths;
     for (int i = 0; i < t; ++i) {
       ths.emplace_back([&, i] {
         int64_t lo = i * chunk, hi = std::min<int64_t>(n, lo + chunk);
-        par[i] = (hi > lo) ? chunk_quote_parity(data + lo, hi - lo, d.quote)
-                           : 0;
+        if (hi > lo) st[i] = chunk_counts(data + lo, hi - lo, d);
       });
     }
     for (auto& th : ths) th.join();
   }
-  // exclusive XOR scan of parities (the collective, on host)
+  // exclusive XOR scan of parities + exclusive SUM of the resolved
+  // counts (the collectives, on host) -> exact output position per chunk.
   std::vector<int> carry(t, 0);
+  std::vector<int64_t> pos(t, 0);
   int acc = carry_in & 1;
+  int64_t total = 0;
   for (int i = 0; i < t; ++i) {
     carry[i] = acc;
-    acc ^= par[i];
+    pos[i] = total;
+    total += st[i].cnt[acc];
+    acc ^= st[i].parity;
   }
-  // phase B: parallel extraction into per-chunk scratch (uninitialized
-  // new[] — vector::resize would zero the buffer and dominate runtime).
-  // Per-chunk capacity is the shared out_cap's per-chunk share times a
-  // slack factor; an overflowing chunk retries serially into a chunk-
-  // sized buffer (rare: pathologically dense regions).
-  std::vector<std::unique_ptr<int64_t[]>> scratch(t);
-  std::vector<int64_t> cnt(t, 0);
-  const int64_t per_cap =
-      std::min<int64_t>(chunk, out_cap / t * 2 + 4096);
+  if (total > out_cap) return -1;  // exact requirement: caller grows once
+  // phase B: parallel extraction straight into the final output — each
+  // chunk's slot range is exact, so no scratch and no compaction pass.
   {
     std::vector<std::thread> ths;
     for (int i = 0; i < t; ++i) {
       ths.emplace_back([&, i] {
         int64_t lo = i * chunk, hi = std::min<int64_t>(n, lo + chunk);
         if (hi <= lo) return;
-        scratch[i].reset(new int64_t[per_cap]);
         int p;
-        cnt[i] = chunk_stage1(data + lo, hi - lo, lo, d, carry[i],
-                              scratch[i].get(), per_cap, &p);
-        if (cnt[i] < 0) {  // dense chunk: retry with full capacity
-          scratch[i].reset(new int64_t[hi - lo]);
-          cnt[i] = chunk_stage1(data + lo, hi - lo, lo, d, carry[i],
-                                scratch[i].get(), hi - lo, &p);
-        }
+        chunk_stage1(data + lo, hi - lo, lo, d, carry[i], out + pos[i],
+                     st[i].cnt[carry[i]], &p);
       });
     }
     for (auto& th : ths) th.join();
   }
-  int64_t k = 0;
-  for (int i = 0; i < t; ++i) {
-    if (k + cnt[i] > out_cap) return -1;
-    if (cnt[i])
-      std::memcpy(out + k, scratch[i].get(), cnt[i] * sizeof(int64_t));
-    k += cnt[i];
-  }
   *parity_out = acc;
-  return k;
+  return total;
 }
 
 // Quote parity only (phase-A as a standalone export, for streaming).

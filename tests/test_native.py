@@ -32,6 +32,39 @@ def test_native_multithreaded_quote_stitch():
     assert par == 0
 
 
+def test_native_threads_chunk_inside_quote():
+    """Every thread chunk but the first starts INSIDE one giant quoted
+    field — the two-hypothesis phase-A counts must resolve to the
+    in-quote hypothesis for chunks 1..t-1 (exercises the exact-position
+    direct-write stitch; >1 MiB so the threaded path actually engages)."""
+    data = b'a,"' + b"x,\n" * 700_000 + b'",b\n'
+    offs, par = native.host_stage1(data, n_threads=4)
+    want = golden.structural_index(data)[1:]
+    np.testing.assert_array_equal(offs, want)
+    assert par == 0
+
+
+def test_native_threads_parity_flips_every_chunk():
+    """Quote-dense input whose per-chunk quote counts are odd at some
+    boundaries: the exclusive XOR scan must hand each chunk the right
+    entry parity AND pick the matching phase-A count."""
+    row = b'"' + b"y" * 61 + b'",a\n'
+    data = row * 40_000  # ~2.6 MiB
+    offs, par = native.host_stage1(data, n_threads=8)
+    want = golden.structural_index(data)[1:]
+    np.testing.assert_array_equal(offs, want)
+    assert par == 0
+
+
+def test_native_threads_match_single_thread_dense():
+    """Dense wide table: threaded exact-count path == serial path."""
+    data = synthetic_wide_table(3_000_000)
+    o1, p1 = native.host_stage1(data, n_threads=1)
+    o4, p4 = native.host_stage1(data, n_threads=4)
+    np.testing.assert_array_equal(o1, o4)
+    assert p1 == p4
+
+
 def test_native_carry_in():
     data = b'ab",c\nx,y\n'
     offs, par = native.host_stage1(data, carry_in=1, n_threads=1)

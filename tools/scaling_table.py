@@ -176,7 +176,7 @@ def section_chip():
 
 
 def section_native():
-    """The multithreaded C++ SWAR engine on THIS host: thread-scaling
+    """The multithreaded C++ engine (AVX2 with SWAR fallback) on THIS host: thread-scaling
     GB/s — the measured '1 host (CPU)' row of the scaling story (and
     the sensible streamed backend on this rig, PERF_NOTES 'Rig
     constraint')."""
@@ -334,7 +334,7 @@ def main():
         lines += [f"- {chip.get('source', chip.get('error', '?'))}"]
     lines += [
         "",
-        "## 1 host, native C++ SWAR engine (thread scaling, this host)",
+        "## 1 host, native C++ engine, AVX2+SWAR (thread scaling, this host)",
         "",
         "| threads | s/pass | GB/s | speedup vs 1 | efficiency |",
         "|---|---|---|---|---|",
