@@ -371,6 +371,8 @@ def _lock_where_schema(corpus, where, schema, sample: int):
             refs = pred[0].columns()
             if isinstance(pred[2], VExpr):
                 refs += pred[2].columns()
+        elif isinstance(pred[0], TextFold):
+            refs = pred[0].columns()
         else:
             refs = [pred[0]]
         for r in refs:
@@ -781,11 +783,55 @@ def _text_literal(value) -> bytes:
     return str(value).encode()
 
 
-def _decoded_eq_mask(tape, field: int, value, dialect, window: int):
+class TextFold:
+    """A case-folded text-column reference for predicates:
+    UPPER(col) / LOWER(col). The fold runs ON DEVICE over the one
+    decoded gather the text predicate already does (ASCII A-Z/a-z
+    only, like SQL engines' default C collation); the literal/pattern
+    folds on host. Usable as the key of ==/!=/IN/LIKE/startswith/
+    endswith/contains predicate leaves."""
+
+    __slots__ = ("fn", "col")
+
+    def __init__(self, fn: str, col: str):
+        if fn not in ("upper", "lower"):
+            raise ValueError(f"TextFold fn must be upper/lower, got {fn!r}")
+        self.fn = fn
+        self.col = col
+
+    def columns(self):
+        return [self.col]
+
+    def __str__(self):
+        return f"{self.fn.upper()}({self.col})"
+
+    def __repr__(self):
+        return f"TextFold({self.fn!r}, {self.col!r})"
+
+
+def _fold_device(out: jnp.ndarray, fold: Optional[str]) -> jnp.ndarray:
+    """ASCII-case-fold a gathered (N, W) uint8 window on device."""
+    if fold is None:
+        return out
+    lo, hi, delta = ((97, 122, -32) if fold == "upper" else (65, 90, 32))
+    o = out.astype(jnp.int32)
+    return jnp.where((o >= lo) & (o <= hi), o + delta, o).astype(jnp.uint8)
+
+
+def _fold_host(b: bytes, fold: Optional[str]) -> bytes:
+    """ASCII-case-fold a literal on host (bytes.upper/lower are
+    ASCII-only by definition — matching the device fold)."""
+    if fold is None:
+        return b
+    return b.upper() if fold == "upper" else b.lower()
+
+
+def _decoded_eq_mask(tape, field: int, value, dialect, window: int,
+                     fold=None):
     """Device mask: stage-2 decoded field == value (bytes compare)."""
     from .device_tape import _filter_equals
 
-    value = _text_literal(value)
+    value = _fold_host(_text_literal(value), fold)
     n = int(getattr(tape, "num_data_records",
                     int(tape.record_cnt) - 1))
     out, lengths, valid = tape.gather_decoded(
@@ -793,6 +839,7 @@ def _decoded_eq_mask(tape, field: int, value, dialect, window: int):
         jnp.full((n,), field, jnp.int32),
         max_len=window, dialect=dialect,
     )
+    out = _fold_device(out, fold)
     needle = np.zeros(window, np.uint8)
     raw = np.frombuffer(value, np.uint8)[:window]
     needle[: raw.size] = raw
@@ -835,10 +882,10 @@ def _substr_mask(out, lengths, valid, needle, k: int, mode: str):
 
 
 def _decoded_match_mask(tape, field: int, value, dialect, window: int,
-                        mode: str):
+                        mode: str, fold=None):
     """Device mask for startswith/endswith/contains over the stage-2
     DECODED field text."""
-    value = _text_literal(value)
+    value = _fold_host(_text_literal(value), fold)
     k = len(value)
     if k == 0:
         # every valid row contains/starts/ends with the empty string
@@ -858,6 +905,7 @@ def _decoded_match_mask(tape, field: int, value, dialect, window: int,
         jnp.full((n,), field, jnp.int32),
         max_len=window, dialect=dialect,
     )
+    out = _fold_device(out, fold)
     needle = np.zeros(window, np.uint8)
     needle[:k] = np.frombuffer(value, np.uint8)
     return np.asarray(
@@ -1014,19 +1062,24 @@ def _like_general_mask(out, lengths, valid, needles, wilds, ks: tuple,
     return ok
 
 
-def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
+def _like_pattern_mask(tape, field: int, pat, dialect, window: int,
+                       fold=None):
     """Device mask for a full LIKE pattern (`%` runs anywhere, `_`
     per-byte wildcards, optional ESCAPE) over the stage-2 DECODED
     field text. `pat` is the pattern string or (pattern, escape_char).
     Single-segment patterns take the specialized exact/startswith/
     endswith/contains compares (_wild_mask); multi-segment patterns run
-    the greedy in-order matcher (_like_general_mask)."""
+    the greedy in-order matcher (_like_general_mask). `fold` case-folds
+    the gathered text on device and the SEGMENT literals on host (after
+    escape compilation, so a case-letter ESCAPE char is unaffected)."""
     escape = None
     if isinstance(pat, tuple):
         pat, escape = pat
     a_start, a_end, segs = _compile_like(
         pat if isinstance(pat, str) else bytes(pat).decode(), escape
     )
+    if fold is not None:
+        segs = [(_fold_host(b, fold), wl) for b, wl in segs]
     kmax = max((len(b) for b, _w in segs), default=0)
     window = max(window, kmax, 1)
     n = int(getattr(tape, "num_data_records",
@@ -1036,6 +1089,7 @@ def _like_pattern_mask(tape, field: int, pat, dialect, window: int):
         jnp.full((n,), field, jnp.int32),
         max_len=window, dialect=dialect,
     )
+    out = _fold_device(out, fold)
     lengths, valid = jnp.asarray(lengths), jnp.asarray(valid)
     if len(segs) == 1:
         b, wl = segs[0]
@@ -1075,6 +1129,8 @@ def _vexpr_text(t) -> str:
         return t[1]
     if k == "lit":
         return repr(t[1])
+    if k == "len":
+        return f"LENGTH({t[1]})"
     if k == "neg":
         return f"(- {_vexpr_text(t[1])})"
     return f"({_vexpr_text(t[1])} {k} {_vexpr_text(t[2])})"
@@ -1092,7 +1148,13 @@ class VExpr:
     x / 0 makes the row NOT-ok (SQL-NULL-ish, the layer's
     parse-failure convention); a row is ok iff EVERY referenced column
     parsed ok. decimal/datetime columns are rejected (scale algebra);
-    date columns participate as their day numbers."""
+    date columns participate as their day numbers.
+
+    ("len", name) is the LENGTH(col) leaf: the DECODED byte length of
+    the field (stage-2 semantics — trimmed/unquoted/unescaped), an
+    int32 computed on device from the gathered window's true lengths.
+    str/bytes columns only (on a parsed numeric column the host twin
+    could not reproduce the original text's length)."""
 
     __slots__ = ("tree",)
 
@@ -1101,7 +1163,7 @@ class VExpr:
 
     def columns(self):
         def walk(t):
-            if t[0] == "col":
+            if t[0] in ("col", "len"):
                 yield t[1]
             elif t[0] == "neg":
                 yield from walk(t[1])
@@ -1159,6 +1221,35 @@ def _eval_vexpr(tape, names, tree, col_specs, dialect, sample: int,
             )
         return (jnp.asarray(vals), jnp.asarray(ok, bool),
                 kind == "float")
+    if k == "len":
+        from .frame import _true_window, infer_schema
+
+        name = tree[1]
+        field = _field_index(names, name)
+        cname = names[field]
+        col = col_specs.get(cname)
+        if col is None:
+            col = infer_schema(tape, names, columns=[field],
+                               sample=sample)[cname]
+            col_specs[cname] = col
+        if col.type not in ("str", "bytes"):
+            raise ValueError(
+                f"LENGTH needs a str/bytes column; {cname!r} is "
+                f"{col.type} (give an explicit schema to keep it text)"
+            )
+        window = col.max_len or _true_window(tape, field, 16)
+        if records is None:
+            n = int(getattr(tape, "num_data_records",
+                            int(tape.record_cnt) - 1))
+            recs = jnp.arange(n, dtype=jnp.int32)
+        else:
+            recs = jnp.asarray(records, jnp.int32)
+        _, lengths, valid = tape.gather_decoded(
+            recs, jnp.full(recs.shape, field, jnp.int32),
+            max_len=window, dialect=dialect,
+        )
+        return (jnp.asarray(lengths, jnp.int32),
+                jnp.asarray(valid, bool), False)
     if k == "neg":
         v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
                                  dialect, sample, records)
@@ -1305,6 +1396,15 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
             )
         return _vexpr_cmp_mask(tape, names, key, op, value, col_specs,
                                dialect, sample)
+    fold = None
+    if isinstance(key, TextFold):
+        fold, key = key.fn, key.col
+        if op not in ("==", "!=", "in", "like", *_STR_OPS):
+            raise ValueError(
+                f"op {op!r} does not apply to UPPER()/LOWER(): case "
+                "folding is for text compares (=, !=, IN, LIKE, "
+                "startswith/endswith/contains)"
+            )
     if op not in _OPS:
         raise ValueError(f"unknown predicate op {op!r}; one of {_OPS}")
     field = _field_index(names, key)
@@ -1328,11 +1428,16 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
         ok = np.asarray(ok, bool)
         return ~ok if op == "isnull" else ok
 
+    if fold is not None and col.type not in ("str", "bytes"):
+        raise ValueError(
+            f"UPPER()/LOWER() fold decoded text; {name!r} is "
+            f"{col.type} (give an explicit str/bytes schema)"
+        )
     if col.type in ("str", "bytes"):
         if op == "in":
             from .device_tape import _filter_equals
 
-            lits = [_text_literal(v) for v in value]
+            lits = [_fold_host(_text_literal(v), fold) for v in value]
             window = col.max_len or _true_window(tape, field, 16)
             window = max(window,
                          max((len(b) for b in lits), default=1))
@@ -1348,6 +1453,7 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
                 jnp.full((n,), field, jnp.int32),
                 max_len=window, dialect=dialect,
             )
+            out = _fold_device(out, fold)
             m = None
             for b in lits:
                 needle = np.zeros(window, np.uint8)
@@ -1360,10 +1466,11 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
         if op in _STR_OPS:
             window = col.max_len or _true_window(tape, field, 16)
             return _decoded_match_mask(tape, field, value, dialect,
-                                       window, op)
+                                       window, op, fold=fold)
         if op == "like":
             window = col.max_len or _true_window(tape, field, 16)
-            return _like_pattern_mask(tape, field, value, dialect, window)
+            return _like_pattern_mask(tape, field, value, dialect, window,
+                                      fold=fold)
         if op not in ("==", "!="):
             raise ValueError(
                 f"op {op!r} needs a typed column; {name!r} is "
@@ -1373,7 +1480,7 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
         window = col.max_len or _true_window(tape, field, 16)
         window = max(window, len(lit), 1)
         m = np.asarray(_decoded_eq_mask(tape, field, value, dialect,
-                                        window))
+                                        window, fold=fold))
         return ~m if op == "!=" else m
 
     if op in _STR_OPS or op == "like":

@@ -20,7 +20,9 @@ Supported grammar (case-insensitive keywords):
 - item: column | arithmetic expression (`qty * price`, `(a + b) / 2`,
   unary minus; int math runs in int32 with two's-complement wrap, any
   float operand or division promotes to float32, x/0 or a NULL operand
-  makes the row NULL) | agg(column) | agg(expression) — SUM(qty*price)
+  makes the row NULL; LENGTH(col) / CHAR_LENGTH(col) — the DECODED
+  byte length of a str/bytes column, an int32 leaf usable anywhere an
+  expression is) | agg(column) | agg(expression) — SUM(qty*price)
   etc. evaluate the expression on device before the group reduce |
   COALESCE(col, col [, ...]) |
   CASE WHEN expr THEN val [...] [ELSE val] END [AS alias]
@@ -43,7 +45,10 @@ Supported grammar (case-insensitive keywords):
   `qty > price`), evaluated on device with the item semantics above,
   col IS [NOT] NULL (NULL = typed-parse failure; over a join also
   the absent side of an unmatched row), combined with NOT / AND / OR
-  and parentheses (standard precedence).
+  and parentheses (standard precedence). UPPER(col)/LOWER(col) wrap a
+  text column for case-insensitive = != IN LIKE: the fold is
+  ASCII-only (A-Z/a-z, SQL C collation) and runs ON DEVICE over the
+  one gather the predicate already does, the literal folds on host.
 - HAVING leaves compare agg(column) or COUNT(*) against numbers.
 
 Semantics follow the underlying layer, not full SQL: rows whose column
@@ -385,6 +390,14 @@ class _Parser:
             return e
         if self.peek()[0] == "num":
             return ("lit", _num(self.next()[1]))
+        k, v = self.peek()
+        if k == "name" and v.lower() in ("length", "char_length") \
+                and self.peek(1) == ("punc", "("):
+            self.next()
+            self.expect("punc", "(")
+            col = self._colref()
+            self.expect("punc", ")")
+            return ("len", col)
         return ("col", self._colref())
 
     def _table(self):
@@ -476,6 +489,55 @@ class _Parser:
         raise SqlError(f"expected a literal, got {v!r}")
 
     def _leaf(self):
+        k, v = self.peek()
+        if k == "name" and v.lower() in ("upper", "lower") \
+                and self.peek(1) == ("punc", "("):
+            # case-folded text predicate: UPPER(col) = 'X' / LIKE / IN
+            from .query import TextFold
+
+            fn = self.next()[1].lower()
+            self.expect("punc", "(")
+            col = self._colref()
+            self.expect("punc", ")")
+            key = TextFold(fn, col)
+            negate = bool(self.accept("kw", "not"))
+            if self.accept("kw", "in"):
+                self.expect("punc", "(")
+                vals = [self._literal()]
+                while self.accept("punc", ","):
+                    vals.append(self._literal())
+                self.expect("punc", ")")
+                leaf = (key, "in", vals)
+            elif self.accept("kw", "like"):
+                pat = self.expect("str")[1]
+                esc = None
+                if self.accept("kw", "escape"):
+                    esc = self.expect("str")[1]
+                    if len(esc) != 1:
+                        raise SqlError(
+                            f"ESCAPE needs a single character, got {esc!r}")
+                c, op, val = _like_leaf("_", pat, esc)
+                leaf = (key, op, val)
+            else:
+                if negate:
+                    raise SqlError(
+                        "NOT after UPPER()/LOWER() must be followed by "
+                        "IN/LIKE"
+                    )
+                op = self.expect("op")[1]
+                if op not in ("==", "!="):
+                    raise SqlError(
+                        f"UPPER()/LOWER() compares with =, !=, IN or "
+                        f"LIKE, not {op!r}"
+                    )
+                kk, vv = self.next()
+                if kk not in ("str", "num"):
+                    raise SqlError(
+                        f"UPPER()/LOWER() compares against a literal, "
+                        f"got {vv!r}"
+                    )
+                leaf = (key, op, vv if kk == "str" else _num(vv))
+            return ("not", leaf) if negate else leaf
         lhs = self._vexpr()
         if lhs[0] != "col":
             # arithmetic comparison: expr op expr (device-evaluated)
@@ -810,8 +872,8 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
         return ref
 
     def deq_tree(t):
-        if t[0] == "col":
-            return ("col", deq(t[1]))
+        if t[0] in ("col", "len"):
+            return (t[0], deq(t[1]))
         if t[0] == "neg":
             return ("neg", deq_tree(t[1]))
         if t[0] == "lit":
@@ -827,6 +889,9 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
                 return (VExpr(deq_tree(e[0].tree)), e[1],
                         VExpr(deq_tree(e[2].tree))
                         if isinstance(e[2], VExpr) else e[2])
+            from .query import TextFold
+            if isinstance(e[0], TextFold):
+                return (TextFold(e[0].fn, deq(e[0].col)), e[1], e[2])
             return (deq(e[0]), e[1], e[2])
         if isinstance(e, tuple) and len(e) == 2 \
                 and e[0] in ("and", "or"):
@@ -1016,6 +1081,28 @@ def _expr_column(fr, vx, resolve):
             isf = isinstance(t[1], float)
             dt = np.float32 if isf else np.int32
             return (np.full(n, t[1], dt), np.ones(n, bool), isf)
+        if k == "len":
+            # LENGTH(col): decoded byte length (host twin of the device
+            # leaf in query._eval_vexpr — frame text cells ARE the
+            # decoded values, so len() of their bytes matches; str/bytes
+            # columns only, same restriction as the device leaf)
+            name = resolve(t[1])
+            col = fr.schema[name]
+            if col.type not in ("str", "bytes"):
+                raise SqlError(
+                    f"LENGTH needs a str/bytes column; {name!r} is "
+                    f"{col.type} (give an explicit schema to keep it "
+                    "text)"
+                )
+            vals = fr._columns[name]
+            lens = np.fromiter(
+                (len(v) if isinstance(v, (bytes, bytearray))
+                 else len(str(v).encode()) for v in vals),
+                np.int32, count=n)
+            okm = fr._ok[name]
+            ok = (np.ones(n, bool) if okm is None
+                  else np.asarray(okm, bool))
+            return lens, ok, False
         if k == "col":
             name = resolve(t[1])
             col = fr.schema[name]
@@ -2316,10 +2403,92 @@ def _frame_mask(fr, expr, resolve) -> np.ndarray:
     raise SqlError(f"bad where expression: {expr!r}")
 
 
+def _ascii_fold(t: str, fn: str) -> str:
+    """ASCII-only case fold (A-Z/a-z), matching the device fold — NOT
+    str.upper/lower, which also fold non-ASCII letters the device
+    leaves alone."""
+    if fn == "upper":
+        return t.translate(_ASCII_UPPER_TAB)
+    return t.translate(_ASCII_LOWER_TAB)
+
+
+_ASCII_UPPER_TAB = str.maketrans(
+    "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_ASCII_LOWER_TAB = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
+def _host_like(texts, pat, esc, fold=None) -> np.ndarray:
+    """Host LIKE over decoded text (the joined-frame twin of
+    query._like_pattern_mask): the compiled segments become a regex —
+    `_` -> `.`, segment gaps (`%`) -> `.*`, unanchored ends -> `.*`.
+    Host `_` matches one CHARACTER where the device matches one BYTE
+    (differs only on multi-byte UTF-8)."""
+    import re
+
+    from .query import _compile_like
+
+    a_start, a_end, segs = _compile_like(pat, esc)
+    parts = []
+    for b, wl in segs:
+        txt = b.decode("utf-8", "surrogateescape")
+        parts.append("".join(
+            "." if w else re.escape(c) for c, w in zip(txt, wl)))
+    body = ".*".join(parts)
+    rx = re.compile(
+        ("" if a_start else ".*") + body + ("" if a_end else ".*"),
+        re.S)
+    if fold is not None:
+        return np.array(
+            [rx.fullmatch(_ascii_fold(t, fold)) is not None
+             for t in texts], bool)
+    return np.array([rx.fullmatch(t) is not None for t in texts], bool)
+
+
 def _frame_leaf(fr, leaf, resolve) -> np.ndarray:
-    from .query import VExpr, _typed_literal
+    from .query import TextFold, VExpr, _typed_literal
 
     col_ref, op, lit = leaf
+    if isinstance(col_ref, TextFold):
+        # case-folded text predicate over a materialized frame (host
+        # twin of the device fold in query._predicate_mask)
+        fold = col_ref.fn
+        name = resolve(col_ref.col)
+        col = fr.schema[name]
+        if col.type not in ("str", "bytes"):
+            raise SqlError(
+                f"UPPER()/LOWER() fold decoded text; {name!r} is "
+                f"{col.type} (give an explicit str/bytes schema)"
+            )
+        vals = fr._columns[name]
+        okm = fr._ok[name]
+        ok = (np.ones(len(fr), bool) if okm is None
+              else np.asarray(okm, bool))
+        txt = [_ascii_fold(
+            v if isinstance(v, str)
+            else v.decode("utf-8", "surrogateescape"), fold)
+            for v in vals]
+        if op == "like":
+            pat, esc = lit if isinstance(lit, tuple) else (lit, None)
+            # pattern folds per segment inside _host_like via fold=...
+            return ok & _host_like(txt, pat, esc, fold=fold)
+        if op in ("startswith", "endswith", "contains"):
+            pat = _ascii_fold(lit if isinstance(lit, str) else str(lit),
+                              fold)
+            f = {"startswith": str.startswith, "endswith": str.endswith,
+                 "contains": str.__contains__}[op]
+            return ok & np.array([f(t, pat) for t in txt], bool)
+        if op in ("==", "!="):
+            pat = _ascii_fold(lit if isinstance(lit, str) else str(lit),
+                              fold)
+            eq = np.array([t == pat for t in txt], bool)
+            return ok & (eq if op == "==" else ~eq)
+        if op == "in":
+            pats = {_ascii_fold(p if isinstance(p, str) else str(p),
+                                fold) for p in lit}
+            return ok & np.array([t in pats for t in txt], bool)
+        raise SqlError(
+            f"op {op!r} does not apply to UPPER()/LOWER()")
     if isinstance(col_ref, VExpr):
         # arithmetic comparison over the joined frame (host twin of
         # query._vexpr_cmp_mask; same int32/float32/0-div semantics)

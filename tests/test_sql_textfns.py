@@ -1,0 +1,220 @@
+"""SQL text functions: UPPER()/LOWER() case-folded predicates and
+LENGTH() expressions — device path, joined-frame host twin, corpus,
+differential against Python oracles.
+
+The fold is ASCII-only (A-Z/a-z), matching SQL engines' C collation;
+LENGTH() is the DECODED byte length (stage-2 semantics)."""
+
+import csv as pycsv
+import io
+
+import numpy as np
+import pytest
+
+from csv_simd_tpu.query import TextFold, VExpr, select_records
+from csv_simd_tpu.sql import SqlError, sql
+
+
+CSV = (b"name,city,qty\n"
+       b"Alice,NYC,3\n"
+       b"bob,paris,12\n"
+       b"CAROL,NYC,7\n"
+       b"dave,Nyc,1\n"
+       b'"e,F",nyc,40\n'           # quoted comma + mixed case
+       b"Frank,PARIS,2\n")
+
+ROWS = list(pycsv.reader(io.StringIO(CSV.decode())))[1:]
+S = {"qty": "int32"}
+
+
+# ---------------------------------------------------------------- SQL
+
+
+def test_upper_eq_and_ne():
+    fr = sql("SELECT name FROM t WHERE UPPER(city) = 'NYC'", CSV)
+    want = [r[0] for r in ROWS if r[1].upper() == "NYC"]
+    assert [str(s) for s in fr["name"]] == want
+    fr = sql("SELECT name FROM t WHERE UPPER(city) != 'NYC'", CSV)
+    want = [r[0] for r in ROWS if r[1].upper() != "NYC"]
+    assert [str(s) for s in fr["name"]] == want
+
+
+def test_lower_like_and_in():
+    fr = sql("SELECT name FROM t WHERE LOWER(name) LIKE 'c%'", CSV)
+    want = [r[0] for r in ROWS if r[0].lower().startswith("c")]
+    assert [str(s) for s in fr["name"]] == want
+    fr = sql("SELECT name FROM t WHERE UPPER(name) IN ('BOB','DAVE')",
+             CSV)
+    want = [r[0] for r in ROWS if r[0].upper() in ("BOB", "DAVE")]
+    assert [str(s) for s in fr["name"]] == want
+
+
+def test_fold_like_full_wildcards():
+    # multi-segment LIKE with _ and % under a fold
+    fr = sql("SELECT name FROM t WHERE LOWER(city) LIKE '_y%'", CSV)
+    want = [r[0] for r in ROWS
+            if len(r[1]) >= 2 and r[1].lower()[1] == "y"]
+    assert [str(s) for s in fr["name"]] == want
+    fr = sql("SELECT name FROM t WHERE UPPER(city) LIKE '%AR%S'", CSV)
+    import re
+    rx = re.compile(".*AR.*S")
+    want = [r[0] for r in ROWS if rx.fullmatch(r[1].upper())]
+    assert [str(s) for s in fr["name"]] == want
+
+
+def test_not_fold_predicate():
+    fr = sql("SELECT name FROM t WHERE NOT UPPER(city) LIKE 'N%'", CSV)
+    want = [r[0] for r in ROWS if not r[1].upper().startswith("N")]
+    assert [str(s) for s in fr["name"]] == want
+    fr = sql("SELECT name FROM t WHERE UPPER(name) NOT IN "
+             "('ALICE','BOB')", CSV)
+    want = [r[0] for r in ROWS if r[0].upper() not in ("ALICE", "BOB")]
+    assert [str(s) for s in fr["name"]] == want
+
+
+def test_fold_is_ascii_only():
+    csv = "name\nétude\nÉTUDE\nplain\n".encode()
+    # str.upper would fold é->É; the ASCII fold must NOT
+    fr = sql("SELECT name FROM t WHERE UPPER(name) = 'ÉTUDE'", csv)
+    assert [str(s) for s in fr["name"]] == ["ÉTUDE"]
+    fr = sql("SELECT name FROM t WHERE LOWER(name) = 'étude'", csv)
+    assert [str(s) for s in fr["name"]] == ["étude"]
+
+
+def test_length_select_where_aggregate():
+    fr = sql("SELECT name, LENGTH(name) FROM t WHERE LENGTH(name) > 3",
+             CSV)
+    want = [r for r in ROWS if len(r[0].encode()) > 3]
+    assert [str(s) for s in fr["name"]] == [r[0] for r in want]
+    assert list(fr[fr.names[1]]) == [len(r[0].encode()) for r in want]
+    res = sql("SELECT SUM(LENGTH(name)) FROM t", CSV)
+    total = sum(len(r[0].encode()) for r in ROWS)
+    assert res[res.names[0]][0] == total
+
+
+def test_length_decoded_semantics():
+    # LENGTH is the decoded (unquoted) byte length: "e,F" has length 3
+    fr = sql("SELECT LENGTH(name) FROM t WHERE name = 'e,F'", CSV)
+    assert list(fr[fr.names[0]]) == [3]
+
+
+def test_length_arithmetic_and_char_length_alias():
+    fr = sql("SELECT name FROM t WHERE LENGTH(name) + qty > 10", CSV,
+             schema=S)
+    def _q(r):
+        try:
+            return int(r[2])
+        except ValueError:
+            return None
+    want = [r[0] for r in ROWS
+            if _q(r) is not None and len(r[0].encode()) + _q(r) > 10]
+    assert [str(s) for s in fr["name"]] == want
+    fr2 = sql("SELECT name FROM t WHERE CHAR_LENGTH(name) + qty > 10",
+              CSV, schema=S)
+    assert [str(s) for s in fr2["name"]] == want
+
+
+def test_length_on_numeric_column_rejected():
+    with pytest.raises((SqlError, ValueError), match="LENGTH"):
+        sql("SELECT LENGTH(qty) FROM t", CSV, schema=S)
+
+
+def test_fold_bad_ops_rejected():
+    with pytest.raises((SqlError, ValueError)):
+        sql("SELECT name FROM t WHERE UPPER(name) > 'A'", CSV)
+    with pytest.raises((SqlError, ValueError)):
+        sql("SELECT name FROM t WHERE UPPER(qty) = '3'", CSV, schema=S)
+
+
+def test_qualified_fold_and_length_single_table():
+    fr = sql("SELECT t.name FROM t WHERE UPPER(t.city) = 'NYC' AND "
+             "LENGTH(t.name) >= 5", CSV)
+    want = [r[0] for r in ROWS
+            if r[1].upper() == "NYC" and len(r[0].encode()) >= 5]
+    assert [str(s) for s in fr["name"]] == want
+
+
+# ------------------------------------------------------------- joins
+
+LEFT = (b"name,city\n"
+        b"Alice,NYC\n"
+        b"bob,paris\n"
+        b"CAROL,NYC\n"
+        b"dave,Nyc\n")
+RIGHT = b"city,pop\nNYC,8\nparis,2\nNyc,0\n"
+
+LROWS = list(pycsv.reader(io.StringIO(LEFT.decode())))[1:]
+RMAP = {r[0]: int(r[1])
+        for r in list(pycsv.reader(io.StringIO(RIGHT.decode())))[1:]}
+
+
+def test_fold_over_join():
+    t = {"a": LEFT, "b": RIGHT}
+    fr = sql("SELECT a.name FROM a JOIN b ON a.city = b.city "
+             "WHERE UPPER(a.name) LIKE '%O%'", tables=t)
+    want = [r[0] for r in LROWS
+            if r[1] in RMAP and "O" in r[0].upper()]
+    assert [str(s) for s in fr[fr.names[0]]] == want
+    fr = sql("SELECT a.name FROM a JOIN b ON a.city = b.city "
+             "WHERE LOWER(a.city) IN ('nyc')", tables=t)
+    want = [r[0] for r in LROWS
+            if r[1] in RMAP and r[1].lower() == "nyc"]
+    assert [str(s) for s in fr[fr.names[0]]] == want
+
+
+def test_length_over_join():
+    t = {"a": LEFT, "b": RIGHT}
+    fr = sql("SELECT a.name FROM a JOIN b ON a.city = b.city "
+             "WHERE LENGTH(a.name) + b.pop > 10", tables=t)
+    want = [r[0] for r in LROWS
+            if r[1] in RMAP and len(r[0].encode()) + RMAP[r[1]] > 10]
+    assert [str(s) for s in fr[fr.names[0]]] == want
+
+
+# ------------------------------------------------------------- corpus
+
+
+def test_fold_and_length_on_corpus(tmp_path):
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    parts = [b"name,n\nAl,1\nBOB,2\n", b"name,n\ncarol,3\nDee,4\n"]
+    paths = []
+    for i, blob in enumerate(parts):
+        p = tmp_path / f"p{i}.csv"
+        p.write_bytes(blob)
+        paths.append(str(p))
+    c = CsvCorpus(paths)
+    fr = sql("SELECT name FROM t WHERE UPPER(name) LIKE '%O%'", c)
+    assert [str(s) for s in fr["name"]] == ["BOB", "carol"]
+    fr = sql("SELECT name FROM t WHERE LENGTH(name) = 3", c)
+    assert [str(s) for s in fr["name"]] == ["BOB", "Dee"]
+
+
+# --------------------------------------------------- query-layer API
+
+
+def test_textfold_query_api():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lib, _names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    ids = select_records(lib, (TextFold("upper", "city"), "==", "NYC"))
+    want = [i for i, r in enumerate(ROWS) if r[1].upper() == "NYC"]
+    assert ids.tolist() == want
+    ids = select_records(
+        lib, (TextFold("lower", "name"), "startswith", "c"))
+    want = [i for i, r in enumerate(ROWS)
+            if r[0].lower().startswith("c")]
+    assert ids.tolist() == want
+    with pytest.raises(ValueError, match="upper/lower"):
+        TextFold("title", "name")
+    with pytest.raises(ValueError):
+        select_records(lib, (TextFold("upper", "name"), ">", 3))
+
+
+def test_length_vexpr_api():
+    from csv_simd_tpu.frame import _resolve_tape
+
+    lib, _names = _resolve_tape(CSV, None, "auto", "offsets", False)
+    ids = select_records(lib, (VExpr(("len", "name")), ">", 3))
+    want = [i for i, r in enumerate(ROWS) if len(r[0].encode()) > 3]
+    assert ids.tolist() == want
