@@ -7,7 +7,7 @@ import numpy as np
 from hypothesis import HealthCheck, given, settings
 
 from csv_simd_tpu.frame import _resolve_tape
-from csv_simd_tpu.query import select_records
+from csv_simd_tpu.query import TextFold, VExpr, select_records
 from csv_simd_tpu.sql import sql
 
 CSV = (b"sym,qty\n" + b"".join(
@@ -39,6 +39,29 @@ _leaf = st.one_of(
         st.text(alphabet="APLMSTGO_% ,", max_size=6),
         st.booleans(),
     ),
+    # case-folded text predicates: UPPER/LOWER(sym) vs mixed-case
+    # literals and LIKE patterns (mixed-case alphabet exercises the
+    # device fold against the host-folded literal)
+    st.builds(
+        lambda fn, v: (TextFold(fn, "sym"), "==", v),
+        st.sampled_from(["upper", "lower"]),
+        st.text(alphabet="AaPpLlMmSsTtGgOo ", max_size=5),
+    ),
+    st.builds(
+        lambda fn, lead, core, trail:
+            (TextFold(fn, "sym"), "like",
+             ("%" if lead else "") + core + ("%" if trail else "")),
+        st.sampled_from(["upper", "lower"]),
+        st.booleans(),
+        st.text(alphabet="AaPpLlGgOo_% ", max_size=5),
+        st.booleans(),
+    ),
+    # LENGTH(sym) arithmetic comparisons (decoded byte length)
+    st.builds(
+        lambda op, n: (VExpr(("len", "sym")), op, n),
+        st.sampled_from(["==", "!=", "<", "<=", ">", ">="]),
+        st.integers(0, 8),
+    ),
 )
 
 _tree = st.recursive(
@@ -58,6 +81,15 @@ def _render(expr) -> str:
     if isinstance(expr, tuple) and len(expr) == 3 \
             and isinstance(expr[1], str):
         col, op, v = expr
+        if isinstance(col, TextFold):
+            key = f"{col.fn.upper()}({col.col})"
+            if op == "like":
+                return f"{key} LIKE '{v}'"
+            sql_op = {"==": "=", "!=": "<>"}[op]
+            return f"{key} {sql_op} '{v}'"
+        if isinstance(col, VExpr):  # ("len", "sym") leaf
+            sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+            return f"LENGTH({col.tree[1]}) {sql_op} {v}"
         if op == "between":
             return f"{col} BETWEEN {v[0]} AND {v[1]}"
         if op == "in":
