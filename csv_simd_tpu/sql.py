@@ -30,6 +30,11 @@ Supported grammar (case-insensitive keywords):
   text one — or same-typed column refs, or a mix where literals
   convert into the columns' type; no match and no ELSE is NULL)
   with agg in SUM/MIN/MAX/COUNT/AVG/MEAN; COUNT(*) counts group rows.
+  COUNT(DISTINCT col) counts distinct non-NULL values (NULL =
+  typed-parse failure): scalar or per group, it rides a device
+  group-by whose key is (group keys + col) — one row per distinct
+  pair — with an O(#pairs) host tally; over a JOIN it reduces on the
+  joined frame. SUM/AVG(DISTINCT ...) are not supported.
   COALESCE takes the first non-NULL column per row (same column type
   required; plain selections and joins — e.g. merging the two key
   columns of a FULL OUTER JOIN).
@@ -146,11 +151,13 @@ def _num(text: str):
 class _Item:
     """One SELECT item: a column, an aggregate call, or *."""
 
-    def __init__(self, kind, col=None, fn=None, alias=None):
+    def __init__(self, kind, col=None, fn=None, alias=None,
+                 distinct=False):
         self.kind = kind        # "star" | "col" | "agg"
         self.col = col
         self.fn = fn            # sum|min|max|count|mean (avg -> mean)
         self.alias = alias
+        self.distinct = distinct   # COUNT(DISTINCT col)
 
     def default_name(self) -> str:
         if self.kind == "col":
@@ -163,6 +170,8 @@ class _Item:
             return str(self.expr)
         if self.fn == "count" and self.col is None:
             return "count"
+        if self.distinct:
+            return f"count_distinct_{self.col}"
         return f"{self.fn}_{self.col}"
 
     def name(self) -> str:
@@ -323,12 +332,22 @@ class _Parser:
             fn = self.next()[1].lower()
             fn = "mean" if fn == "avg" else fn
             self.expect("punc", "(")
+            dis = bool(self.accept("kw", "distinct"))
+            if dis and fn != "count":
+                raise SqlError(
+                    "DISTINCT inside an aggregate is COUNT-only "
+                    f"({fn.upper()}(DISTINCT ...) is not supported)"
+                )
             if self.accept("punc", "*"):
-                if fn != "count":
+                if fn != "count" or dis:
                     raise SqlError(f"{fn}(*) is not a thing; name a column")
                 col = None
             else:
                 tree = self._vexpr()
+                if dis and tree[0] != "col":
+                    raise SqlError(
+                        "COUNT(DISTINCT ...) takes a single column"
+                    )
                 if tree[0] == "col":
                     col = tree[1]
                 else:
@@ -339,7 +358,7 @@ class _Parser:
 
                     col = VExpr(tree)
             self.expect("punc", ")")
-            return _Item("agg", col=col, fn=fn)
+            return _Item("agg", col=col, fn=fn, distinct=dis)
         tree = self._vexpr()
         if tree[0] == "col":
             return _Item("col", col=tree[1])
@@ -770,6 +789,15 @@ def explain(query: str) -> str:
             else "scalar aggregates -> host reduce over the joined "
             "frame"
         )
+    if any(it.kind == "agg" and it.distinct for it in ast.items):
+        lines.append(
+            "COUNT(DISTINCT) -> device group-by keyed by "
+            "(group keys + col): one row per distinct pair, "
+            "O(#pairs) host tally"
+            if ast.join_table is None
+            else "COUNT(DISTINCT) -> host unique tally over the "
+            "joined frame"
+        )
     if ast.having is not None:
         lines.append(f"HAVING (post-merge group filter): {ast.having!r}")
     if ast.order_by:
@@ -903,7 +931,8 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
         return e
 
     def deq_item(it: _Item) -> _Item:
-        it2 = _Item(it.kind, fn=it.fn, alias=it.alias)
+        it2 = _Item(it.kind, fn=it.fn, alias=it.alias,
+                    distinct=it.distinct)
         if isinstance(it.col, tuple):
             it2.col = tuple(deq(c) for c in it.col)
         else:
@@ -1455,7 +1484,8 @@ def _run_groupby(ast: _Ast, src, kw):
     value_cols: List[object] = []
     seen = set()
     for it in agg_items:
-        if it.col is not None and _vkey(it.col) not in seen:
+        if (it.col is not None and not it.distinct
+                and _vkey(it.col) not in seen):
             seen.add(_vkey(it.col))
             value_cols.append(it.col)
     for expr in (ast.having,):
@@ -1465,7 +1495,7 @@ def _run_groupby(ast: _Ast, src, kw):
                 value_cols.append(_maybe_expr_ref(col))
     for it, _ in ast.order_by:
         if (it.kind == "agg" and it.col is not None
-                and _vkey(it.col) not in seen):
+                and not it.distinct and _vkey(it.col) not in seen):
             seen.add(_vkey(it.col))
             value_cols.append(it.col)
     # groupby_typed needs >= 1 value column; COUNT(*)/DISTINCT use
@@ -1498,7 +1528,57 @@ def _run_groupby(ast: _Ast, src, kw):
         engine=kw["engine"], backend=kw["backend"],
         dialect=kw["dialect"], sample=kw["sample"],
     )
+    dcols = {it.col for it in agg_items if it.distinct}
+    dcols |= {it.col for it, _ in ast.order_by
+              if it.kind == "agg" and it.distinct}
+    if dcols:
+        g["distinct"] = {
+            c: _distinct_per_group(src, keys, c, ast, kw, g)
+            for c in dcols
+        }
     return _groups_to_result(ast, keys, g)
+
+
+def _pykey(x):
+    """Normalize a group-key cell to a plain Python scalar so key
+    tuples built from different array dtypes (int32 column vs int64
+    group keys, np.str_ vs str) compare equal in host dicts."""
+    return x.item() if isinstance(x, np.generic) else x
+
+
+def _distinct_per_group(src, keys, col, ast, kw, g) -> np.ndarray:
+    """COUNT(DISTINCT col) per group, aligned with `g`'s group rows.
+
+    A SECOND device group-by over the composite (group keys + col) key
+    yields one row per distinct (group, value) pair — rows whose `col`
+    fails its typed parse drop out of the composite key, which is
+    exactly SQL's rule that NULLs don't count — and a tiny host pass
+    tallies pairs per group (O(#distinct pairs), never O(rows)).
+    Groups absent from the pair table (all values NULL) count 0."""
+    from .query import groupby_typed
+
+    sch = kw["schema"] or {}
+    pk = list(keys) + [col]
+    pg = groupby_typed(
+        src, pk, [pk[0]], key_spec=[sch.get(k) for k in pk],
+        value_spec=["float"], where=ast.where, schema=kw["schema"],
+        engine=kw["engine"], backend=kw["backend"],
+        dialect=kw["dialect"], sample=kw["sample"],
+    )
+    pkeys = pg["keys"] if isinstance(pg["keys"], list) else [pg["keys"]]
+    nk = len(keys)
+    pcols = [np.asarray(a) for a in pkeys[:nk]]
+    counts: Dict[tuple, int] = {}
+    for i in range(int(np.asarray(pg["count"]).shape[0])):
+        t = tuple(_pykey(a[i]) for a in pcols)
+        counts[t] = counts.get(t, 0) + 1
+    gkeys = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
+    gcols = [np.asarray(a) for a in gkeys]
+    return np.array(
+        [counts.get(tuple(_pykey(a[i]) for a in gcols), 0)
+         for i in range(int(np.asarray(g["count"]).shape[0]))],
+        np.int64,
+    )
 
 
 def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
@@ -1529,6 +1609,8 @@ def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
                  "str" if np.asarray(arr).dtype == object else "int64")
         elif it.fn == "count" and it.col is None:
             _add(it.name(), np.asarray(g["count"]), "int64")
+        elif it.distinct:
+            _add(it.name(), g["distinct"][it.col], "int64")
         else:
             key = it.col if isinstance(it.col, str) else str(it.col)
             arr, t = _agg_array(g["aggs"], key, it.fn)
@@ -1539,13 +1621,16 @@ def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
             nm = it.name()
             if nm not in columns and it.kind == "agg":
                 # ORDER BY an aggregate not in the SELECT list
-                arr, t = (np.asarray(g["count"]), "int64") \
-                    if (it.fn == "count" and it.col is None) \
-                    else _agg_array(
-                        g["aggs"],
-                        it.col if isinstance(it.col, str)
-                        else str(it.col),
-                        it.fn)
+                if it.distinct:
+                    arr = g["distinct"][it.col]
+                else:
+                    arr, _t = (np.asarray(g["count"]), "int64") \
+                        if (it.fn == "count" and it.col is None) \
+                        else _agg_array(
+                            g["aggs"],
+                            it.col if isinstance(it.col, str)
+                            else str(it.col),
+                            it.fn)
                 columns[nm] = np.asarray(arr)
             elif nm not in columns:
                 raise SqlError(
@@ -1668,7 +1753,11 @@ def _frame_scalar_aggs(ast: _Ast, fr, resolve) -> SqlResult:
                     f"{it.col!r} is text"
                 )
             if it.fn == "count":
-                val, t = int(ok.sum()), "int64"
+                if it.distinct:
+                    val = len({_pykey(v) for v in colvals[ok]})
+                else:
+                    val = int(ok.sum())
+                t = "int64"
             else:
                 sel = colvals[ok]
                 if sel.dtype.kind == "M":
@@ -1715,7 +1804,7 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
         return _Item(it.kind,
                      col=(resolve(it.col) if it.col is not None
                           else None),
-                     fn=it.fn, alias=it.alias)
+                     fn=it.fn, alias=it.alias, distinct=it.distinct)
 
     def _res_order(it: _Item) -> _Item:
         if it.kind == "col":
@@ -1751,14 +1840,15 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
             agg_items.append(it)
     value_cols: List[str] = []
     for it in agg_items:
-        if it.col is not None and it.col not in value_cols:
+        if (it.col is not None and not it.distinct
+                and it.col not in value_cols):
             value_cols.append(it.col)
     for col in _having_cols(ast2.having):
         if col not in value_cols:
             value_cols.append(col)
     for it, _ in ast2.order_by:
         if (it.kind == "agg" and it.col is not None
-                and it.col not in value_cols):
+                and not it.distinct and it.col not in value_cols):
             value_cols.append(it.col)
     for it in agg_items:
         if (it.col is not None
@@ -1792,7 +1882,48 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
     g = _group_multi("host", kv, kok, decode, values)
     if ast2.having is not None:
         g = _filter_groups(g, _having_mask(g, ast2.having))
+    dcols = {it.col for it in agg_items if it.distinct}
+    dcols |= {it.col for it, _ in ast2.order_by
+              if it.kind == "agg" and it.distinct}
+    if dcols:
+        g["distinct"] = {
+            c: _frame_distinct_per_group(fr, keys, c, g)
+            for c in dcols
+        }
     return _groups_to_result(ast2, keys, g)
+
+
+def _frame_distinct_per_group(fr, keys, col, g) -> np.ndarray:
+    """COUNT(DISTINCT col) per group over a materialized (joined)
+    frame — host twin of _distinct_per_group: tally unique
+    (key..., value) tuples among rows where the keys AND the value
+    all parsed ok, then align counts to `g`'s group rows."""
+    n = len(fr)
+
+    def _okm(c):
+        m = fr._ok[c]
+        return np.ones(n, bool) if m is None else np.asarray(m, bool)
+
+    valid = _okm(col)
+    for k in keys:
+        valid &= _okm(k)
+    kcols = [np.asarray(fr._columns[k]) for k in keys]
+    vvals = np.asarray(fr._columns[col])
+    seen = set()
+    counts: Dict[tuple, int] = {}
+    for i in np.flatnonzero(valid):
+        kt = tuple(_pykey(a[i]) for a in kcols)
+        pair = (kt, _pykey(vvals[i]))
+        if pair not in seen:
+            seen.add(pair)
+            counts[kt] = counts.get(kt, 0) + 1
+    gkeys = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
+    gcols = [np.asarray(a) for a in gkeys]
+    return np.array(
+        [counts.get(tuple(_pykey(a[i]) for a in gcols), 0)
+         for i in range(int(np.asarray(g["count"]).shape[0]))],
+        np.int64,
+    )
 
 
 def _count_rows(src, where, kw) -> int:
@@ -1871,7 +2002,23 @@ def _run_scalar_aggs(ast: _Ast, src, kw):
 
     names, columns, types = [], {}, {}
     for it in ast.items:
-        if it.fn == "count" and it.col is None:
+        if it.distinct:
+            # COUNT(DISTINCT col): group by the column itself (probe
+            # values, unread) — the number of GROUPS is the distinct
+            # count, and rows whose col fails its typed parse never
+            # form a group (SQL: NULLs don't count)
+            from .query import groupby_typed
+
+            sch = kw["schema"] or {}
+            dg = groupby_typed(
+                src, it.col, [it.col], key_spec=sch.get(it.col),
+                value_spec=["float"], where=ast.where,
+                schema=kw["schema"], engine=kw["engine"],
+                backend=kw["backend"], dialect=kw["dialect"],
+                sample=kw["sample"],
+            )
+            val, t = int(np.asarray(dg["count"]).shape[0]), "int64"
+        elif it.fn == "count" and it.col is None:
             probe = next((o.col for o in ast.items
                           if o.col is not None), None)
             if probe is not None:
@@ -1926,6 +2073,14 @@ def _try_join_groupby_pushdown(ast, lt, ln, rt, rn, on_l, on_r,
         groupby_typed,
         infer_col,
     )
+
+    if any(it.kind == "agg" and it.distinct for it in ast.items) or \
+            any(it.kind == "agg" and it.distinct
+                for it, _ in ast.order_by):
+        # COUNT(DISTINCT) over a join: the host group over the joined
+        # frame handles it (per-side multiplicity arithmetic doesn't
+        # carry distinct counts through an inner/left multiplier of 0)
+        return None
 
     how = ast.join_how
     if how not in ("inner", "left", "right"):

@@ -681,3 +681,100 @@ def test_coalesce_keeps_empty_text():
 def test_limit_non_integer_rejected():
     with pytest.raises(SqlError, match="must be an integer"):
         sql("SELECT k FROM t LIMIT 1.5", b"k\n1\n")
+
+
+# ------------------------------------------------- COUNT(DISTINCT)
+
+DCSV = (b"sym,qty,tag\n"
+        b"AAPL,10,x\nMSFT,20,y\nAAPL,30,x\nGOOG,7,z\n"
+        b"MSFT,bad,y\nAAPL,10,w\nGOOG,5,z\n")
+DROWS = list(pycsv.reader(io.StringIO(DCSV.decode())))[1:]
+
+
+def test_count_distinct_scalar():
+    r = sql("SELECT COUNT(DISTINCT sym) FROM t", DCSV)
+    assert r[r.names[0]][0] == len({row[0] for row in DROWS})
+    # a failed typed parse is NULL: never counted
+    r = sql("SELECT COUNT(DISTINCT qty) FROM t", DCSV,
+            schema={"qty": "int32"})
+    want = len({int(row[1]) for row in DROWS if row[1].lstrip("-").isdigit()})
+    assert r[r.names[0]][0] == want
+    # mixes with other scalar aggregates
+    r = sql("SELECT COUNT(DISTINCT sym) AS ds, SUM(qty) AS s, "
+            "COUNT(*) AS c FROM t", DCSV, schema={"qty": "int32"})
+    assert r["ds"][0] == 3 and r["c"][0] == len(DROWS)
+
+
+def test_count_distinct_grouped():
+    r = sql("SELECT sym, COUNT(DISTINCT tag) AS dt FROM t "
+            "GROUP BY sym ORDER BY sym", DCSV)
+    want = {}
+    for row in DROWS:
+        want.setdefault(row[0], set()).add(row[2])
+    assert list(r["sym"]) == sorted(want)
+    assert r["dt"].tolist() == [len(want[k]) for k in sorted(want)]
+    # all-NULL group counts 0 but still appears
+    r = sql("SELECT sym, COUNT(DISTINCT qty) AS dq FROM t "
+            "GROUP BY sym ORDER BY sym",
+            b"sym,qty\nAA,1\nBB,x\nBB,y\nAA,1\n",
+            schema={"qty": "int32"})
+    assert list(r["sym"]) == ["AA", "BB"]
+    assert r["dq"].tolist() == [1, 0]
+
+
+def test_count_distinct_where_and_order_by():
+    r = sql("SELECT sym, COUNT(DISTINCT qty) AS dq FROM t "
+            "WHERE qty > 5 GROUP BY sym ORDER BY dq DESC, sym",
+            DCSV, schema={"qty": "int32"})
+    want = {}
+    for row in DROWS:
+        if row[1].lstrip("-").isdigit() and int(row[1]) > 5:
+            want.setdefault(row[0], set()).add(int(row[1]))
+    rows = sorted(want, key=lambda k: (-len(want[k]), k))
+    assert list(r["sym"]) == rows
+    assert r["dq"].tolist() == [len(want[k]) for k in rows]
+    # ORDER BY a COUNT(DISTINCT) not in the SELECT list
+    r = sql("SELECT sym FROM t GROUP BY sym "
+            "ORDER BY COUNT(DISTINCT qty) DESC, sym", DCSV,
+            schema={"qty": "int32"})
+    assert list(r["sym"]) == ["AAPL", "GOOG", "MSFT"]
+
+
+def test_count_distinct_over_join():
+    left = b"k,v\na,1\nb,2\na,3\n"
+    right = b"k,tag\na,x\na,y\nb,x\n"
+    t = {"a": left, "b": right}
+    r = sql("SELECT a.k, COUNT(DISTINCT b.tag) AS dt FROM a "
+            "JOIN b ON a.k = b.k GROUP BY a.k ORDER BY a.k", tables=t)
+    assert list(r[r.names[0]]) == ["a", "b"]
+    assert r["dt"].tolist() == [2, 1]
+    r = sql("SELECT COUNT(DISTINCT b.tag) FROM a JOIN b ON a.k = b.k",
+            tables=t)
+    assert r[r.names[0]][0] == 2
+
+
+def test_count_distinct_on_corpus(tmp_path):
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    parts = [b"sym,tag\nAA,x\nBB,y\n", b"sym,tag\nAA,y\nAA,x\nCC,z\n"]
+    paths = []
+    for i, blob in enumerate(parts):
+        p = tmp_path / f"p{i}.csv"
+        p.write_bytes(blob)
+        paths.append(str(p))
+    c = CsvCorpus(paths)
+    r = sql("SELECT COUNT(DISTINCT sym) FROM t", c)
+    assert r[r.names[0]][0] == 3
+    r = sql("SELECT sym, COUNT(DISTINCT tag) AS dt FROM t "
+            "GROUP BY sym ORDER BY sym", c)
+    assert list(r["sym"]) == ["AA", "BB", "CC"]
+    assert r["dt"].tolist() == [2, 1, 1]
+
+
+def test_count_distinct_errors():
+    with pytest.raises(SqlError, match="COUNT-only"):
+        sql("SELECT SUM(DISTINCT qty) FROM t", DCSV)
+    with pytest.raises(SqlError, match="single column"):
+        sql("SELECT COUNT(DISTINCT qty + 1) FROM t", DCSV)
+    with pytest.raises(SqlError):
+        sql("SELECT COUNT(DISTINCT *) FROM t", DCSV)
