@@ -37,7 +37,14 @@ Supported grammar (case-insensitive keywords):
   joined frame. SUM/AVG(DISTINCT ...) are not supported.
   COALESCE takes the first non-NULL column per row (same column type
   required; plain selections and joins — e.g. merging the two key
-  columns of a FULL OUTER JOIN).
+  columns of a FULL OUTER JOIN). UPPER(col)/LOWER(col) are also
+  SELECT items (plain selections and joins; not with GROUP BY): an
+  ASCII-only fold of the decoded text, applied on host at
+  materialization (the values land on host anyway).
+- ORDER BY accepts output aliases, plain columns (device sort, top-k
+  under LIMIT), and computed keys — arithmetic expressions,
+  LENGTH(col), UPPER/LOWER(col) — which sort on host over the
+  materialized frame, NULL keys last in both directions.
 - table: a bare identifier resolved through the `tables` mapping, or a
   'quoted path' / "quoted path" opened as a CSV file.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
@@ -168,6 +175,8 @@ class _Item:
             return "case"
         if self.kind == "expr":
             return str(self.expr)
+        if self.kind == "fold":
+            return f"{self.fn.upper()}({self.col})"
         if self.fn == "count" and self.col is None:
             return "count"
         if self.distinct:
@@ -316,6 +325,15 @@ class _Parser:
             it.branches = branches
             it.else_value = else_v
             return it
+        if k == "name" and v.lower() in ("upper", "lower") \
+                and self.peek(1) == ("punc", "("):
+            # case-folded text item: SELECT UPPER(col) — projection
+            # (the WHERE-side fold is parsed separately in _leaf)
+            fn = self.next()[1].lower()
+            self.expect("punc", "(")
+            col = self._colref()
+            self.expect("punc", ")")
+            return _Item("fold", col=col, fn=fn)
         if k == "name" and v.lower() == "coalesce" \
                 and self.peek(1) == ("punc", "("):
             self.next()
@@ -982,7 +1000,7 @@ def _run_select(ast: _Ast, src, kw):
                 items.append(it)
     else:
         items = ast.items
-    has_computed = any(it.kind in ("coalesce", "case", "expr")
+    has_computed = any(it.kind in ("coalesce", "case", "expr", "fold")
                        for it in items)
     for it in items:
         if it.kind == "agg":
@@ -996,13 +1014,20 @@ def _run_select(ast: _Ast, src, kw):
     # to the device sort
     out_items = {} if pure_star else {it.name(): it for it in items}
     order_keys, order_desc = [], []
-    host_order = []  # [(ref, desc)] — resolved against proj then fr
+    host_order = []  # [(ref, desc)] — resolved against proj then fr;
+    #                  an _Item ref is computed on demand (ORDER BY an
+    #                  expression / UPPER()/LOWER() not in the SELECT)
+
+    def _order_ref(it):
+        if it.kind == "col":
+            return it.col
+        nm = it.name()
+        return nm if nm in out_items else it
+
     for it, d in ast.order_by:
-        if it.kind == "expr":
-            raise SqlError(
-                "ORDER BY an arithmetic expression: alias it in the "
-                "SELECT list and order by the alias"
-            )
+        if it.kind in ("expr", "fold"):
+            host_order.append((_order_ref(it), d))
+            continue
         if it.kind != "col":
             raise SqlError("ORDER BY aggregates needs GROUP BY")
         target = out_items.get(it.col)
@@ -1018,7 +1043,7 @@ def _run_select(ast: _Ast, src, kw):
         # mixed device/host keys would not compose lexicographically:
         # move the WHOLE sort to host (refs resolve against the
         # projection first, then the source frame)
-        host_order = [(it.col, d) for it, d in ast.order_by]
+        host_order = [(_order_ref(it), d) for it, d in ast.order_by]
         order_keys = []
     if pure_star:
         cols = _all_columns(src, kw) if kw["schema"] else None
@@ -1031,7 +1056,11 @@ def _run_select(ast: _Ast, src, kw):
                 if c not in cols:
                     cols.append(c)
         for k, _d in host_order:
-            if k not in out_items and k not in cols:
+            if isinstance(k, _Item):
+                for c in _item_input_cols(k):
+                    if c not in cols:
+                        cols.append(c)
+            elif k not in out_items and k not in cols:
                 cols.append(k)
     fetch = (None if (ast.limit is None or host_order)
              else ast.limit + ast.offset)
@@ -1048,6 +1077,13 @@ def _run_select(ast: _Ast, src, kw):
         from .query import _host_multi_order_perm
 
         def _order_col(ref):
+            if isinstance(ref, _Item):  # hidden computed order key
+                if ref.kind == "fold":
+                    vals, okm, _c = _fold_column(fr, ref, lambda c: c)
+                else:
+                    vals, okm, _c = _expr_column(fr, ref.expr,
+                                                 lambda c: c)
+                return vals, okm
             if ref in proj._columns:
                 return proj._columns[ref], proj._ok[ref]
             return fr._columns[ref], fr._ok[ref]
@@ -1338,6 +1374,27 @@ def _case_column(fr, it, resolve):
     return out, okm, col
 
 
+def _fold_column(fr, it: _Item, resolve):
+    """SELECT UPPER(col)/LOWER(col): ASCII-fold a materialized text
+    column. The values are already on host (every plain selection
+    materializes), so the fold is a host pass over the decoded
+    strings — same ASCII-only semantics as the device predicate fold
+    (query._fold_device)."""
+    srcn = resolve(it.col)
+    col = fr.schema[srcn]
+    if col.type not in ("str", "bytes"):
+        raise SqlError(
+            f"UPPER()/LOWER() fold decoded text; {it.col!r} is "
+            f"{col.type} (give an explicit str/bytes schema)"
+        )
+    vals = np.array(
+        [_ascii_fold(
+            v if isinstance(v, str)
+            else bytes(v).decode("utf-8", "surrogateescape"), it.fn)
+         for v in fr._columns[srcn]], object)
+    return vals, fr._ok[srcn], col
+
+
 def _project_items(fr, items, resolve):
     """Project a materialized frame onto SELECT items (cols +
     coalesce), applying aliases."""
@@ -1355,6 +1412,9 @@ def _project_items(fr, items, resolve):
             srcs = [resolve(c) for c in it.col]
             vals, okm, col = _coalesce_column(fr, srcs)
             nm = it.alias or "coalesce"
+        elif it.kind == "fold":
+            vals, okm, col = _fold_column(fr, it, resolve)
+            nm = it.name()
         elif it.kind == "col":
             srcn = resolve(it.col)
             vals, okm, col = (fr._columns[srcn], fr._ok[srcn],
@@ -1469,6 +1529,11 @@ def _run_groupby(ast: _Ast, src, kw):
                 "arithmetic expressions cannot appear alongside "
                 "GROUP BY (aggregate them, or select them without "
                 "GROUP BY)"
+            )
+        if it.kind == "fold":
+            raise SqlError(
+                "UPPER()/LOWER() items cannot combine with GROUP BY "
+                "(select them without GROUP BY)"
             )
         if it.kind == "col" and it.col not in keys:
             raise SqlError(
@@ -1795,6 +1860,11 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
     def _res_item(it: _Item) -> _Item:
         if it.kind == "star":
             raise SqlError("SELECT * cannot combine with GROUP BY")
+        if it.kind == "fold":
+            raise SqlError(
+                "UPPER()/LOWER() items cannot combine with GROUP BY "
+                "(select them without GROUP BY)"
+            )
         if not isinstance(it.col, (str, type(None))):
             raise SqlError(
                 "aggregates over arithmetic expressions are not "
@@ -2501,12 +2571,27 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
             else _project_items(fr, items, _frame_col))
     if ast.order_by:
         for it, _ in ast.order_by:
-            if it.kind != "col":
+            if it.kind not in ("col", "expr", "fold"):
                 raise SqlError(
                     "ORDER BY aggregates over a JOIN is not supported"
                 )
 
+        def _order_ref(it):
+            if it.kind == "col":
+                return it.col
+            nm = it.name()
+            if proj is not None and nm in proj._columns:
+                return nm
+            return it  # computed on demand against the joined frame
+
         def _order_col(ref):
+            if isinstance(ref, _Item):
+                if ref.kind == "fold":
+                    vals, okm, _c = _fold_column(fr, ref, _frame_col)
+                else:
+                    vals, okm, _c = _expr_column(fr, ref.expr,
+                                                 _frame_col)
+                return vals, okm
             if proj is not None and ref in proj._columns:
                 return proj._columns[ref], proj._ok[ref]
             name = _frame_col(ref)
@@ -2516,7 +2601,7 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
 
         perm = _host_multi_order_perm(
             len(fr), _order_col,
-            [(it.col, d) for it, d in ast.order_by],
+            [(_order_ref(it), d) for it, d in ast.order_by],
         )
         fr = fr.take(perm)
         proj = None if proj is None else proj.take(perm)

@@ -160,8 +160,15 @@ def test_expression_errors():
         sql("SELECT sym * 2 FROM t", CSV, schema=S)
     with pytest.raises(SqlError, match="GROUP BY"):
         sql("SELECT qty * 2 FROM t GROUP BY sym", CSV, schema=S)
-    with pytest.raises(SqlError, match="alias"):
-        sql("SELECT sym FROM t ORDER BY qty * 2", CSV, schema=S)
+    # ORDER BY an arithmetic expression is supported directly (the
+    # key computes on host over the materialized referenced columns;
+    # rows whose expression is NULL sort last)
+    fr = sql("SELECT sym, qty FROM t ORDER BY qty * 2", CSV, schema=S)
+    got = [(str(s), q) for s, q in zip(fr["sym"], fr["qty"])]
+    valid = sorted(((r[0], _q(r)) for r in ROWS
+                    if _q(r) is not None), key=lambda p: p[1])
+    nulls = [(r[0], None) for r in ROWS if _q(r) is None]
+    assert [g[0] for g in got] == [p[0] for p in valid + nulls]
     with pytest.raises(SqlError, match="numbers"):
         sql("SELECT sym FROM t WHERE qty + 1 > 'x'", CSV, schema=S)
 

@@ -218,3 +218,75 @@ def test_length_vexpr_api():
     ids = select_records(lib, (VExpr(("len", "name")), ">", 3))
     want = [i for i, r in enumerate(ROWS) if len(r[0].encode()) > 3]
     assert ids.tolist() == want
+
+
+# ------------------------------- projection folds + ORDER BY exprs
+
+
+def test_select_fold_projection():
+    fr = sql("SELECT UPPER(name) FROM t", CSV)
+    assert fr.names == ["UPPER(name)"]
+    assert [str(v) for v in fr[fr.names[0]]] == \
+        [r[0].upper() for r in ROWS]
+    fr = sql("SELECT LOWER(city) AS c, name FROM t", CSV)
+    assert [str(v) for v in fr["c"]] == [r[1].lower() for r in ROWS]
+
+
+def test_select_fold_is_ascii_only():
+    csv = "name\nétude\nPLAIN\n".encode()
+    fr = sql("SELECT UPPER(name) FROM t", csv)
+    # é must NOT fold (str.upper would make it É)
+    assert [str(v) for v in fr[fr.names[0]]] == ["éTUDE", "PLAIN"]
+
+
+def test_select_fold_errors():
+    with pytest.raises(SqlError, match="fold decoded text"):
+        sql("SELECT UPPER(qty) FROM t", CSV, schema=S)
+    with pytest.raises(SqlError, match="GROUP BY"):
+        sql("SELECT name, UPPER(name) FROM t GROUP BY name", CSV)
+
+
+def test_order_by_expression_direct():
+    fr = sql("SELECT name FROM t ORDER BY LENGTH(name) DESC, name",
+             CSV)
+    want = sorted((r[0] for r in ROWS),
+                  key=lambda s: (-len(s.encode()), s))
+    assert [str(v) for v in fr["name"]] == want
+    fr = sql("SELECT name FROM t ORDER BY qty * 2 DESC", CSV, schema=S)
+    want = [r[0] for r in sorted(ROWS, key=lambda r: -int(r[2]))]
+    assert [str(v) for v in fr["name"]] == want
+
+
+def test_order_by_fold_direct():
+    fr = sql("SELECT name FROM t ORDER BY UPPER(name)", CSV)
+    want = sorted((r[0] for r in ROWS), key=lambda s: _up(s))
+    assert [str(v) for v in fr["name"]] == want
+
+
+def _up(s: str) -> str:
+    return "".join(c.upper() if "a" <= c <= "z" else c for c in s)
+
+
+def test_order_by_fold_mixed_with_device_key():
+    # a device-sortable key + a host fold key: the whole sort moves
+    # to host and stays lexicographic
+    fr = sql("SELECT name, qty FROM t ORDER BY qty, UPPER(name)", CSV,
+             schema=S)
+    want = [r[0] for r in sorted(ROWS,
+                                 key=lambda r: (int(r[2]), _up(r[0])))]
+    assert [str(v) for v in fr["name"]] == want
+
+
+def test_order_by_expr_over_join():
+    t = {"a": LEFT, "b": RIGHT}
+    fr = sql("SELECT a.name FROM a JOIN b ON a.city = b.city "
+             "ORDER BY LENGTH(a.name) + b.pop DESC", tables=t)
+    joined = [(r[0], RMAP[r[1]]) for r in LROWS if r[1] in RMAP]
+    want = [nm for nm, _ in sorted(
+        joined, key=lambda p: -(len(p[0].encode()) + p[1]))]
+    assert [str(v) for v in fr[fr.names[0]]] == want
+    fr = sql("SELECT UPPER(a.name) FROM a JOIN b ON a.city = b.city "
+             "ORDER BY LOWER(a.name)", tables=t)
+    low = sorted((r[0] for r in LROWS if r[1] in RMAP),
+                 key=lambda s: s.lower())
+    assert [str(v) for v in fr[fr.names[0]]] == [_up(s) for s in low]
