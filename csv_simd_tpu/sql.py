@@ -46,7 +46,12 @@ Supported grammar (case-insensitive keywords):
   LENGTH(col), UPPER/LOWER(col) — which sort on host over the
   materialized frame, NULL keys last in both directions.
 - table: a bare identifier resolved through the `tables` mapping, or a
-  'quoted path' / "quoted path" opened as a CSV file.
+  'quoted path' / "quoted path" opened as a CSV file, or a DERIVED
+  TABLE `(SELECT ...) [AS alias]` (FROM position only, not a JOIN
+  side): the inner select runs first — device pushdowns and all — and
+  the outer pipeline runs the host twins over its materialized frame;
+  NULL aggregates and exact object-int sums carry through. Nesting is
+  unlimited.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
   literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
@@ -233,6 +238,11 @@ class _Parser:
 
     # -- grammar
     def parse(self) -> _Ast:
+        ast = self._select()
+        self.expect("end")
+        return ast
+
+    def _select(self) -> _Ast:
         ast = _Ast()
         self.expect("kw", "select")
         if self.accept("kw", "distinct"):
@@ -260,7 +270,6 @@ class _Parser:
             ast.limit = self._int_literal("LIMIT")
             if self.accept("kw", "offset"):
                 ast.offset = self._int_literal("OFFSET")
-        self.expect("end")
         return ast
 
     def _number(self):
@@ -438,6 +447,18 @@ class _Parser:
         return ("col", self._colref())
 
     def _table(self):
+        if self.peek() == ("punc", "(") \
+                and self.peek(1) == ("kw", "select"):
+            # derived table: FROM (SELECT ...) [AS] alias
+            self.next()
+            sub = self._select()
+            self.expect("punc", ")")
+            alias = None
+            if self.accept("kw", "as"):
+                alias = self.expect("name")[1]
+            elif self.peek()[0] == "name":
+                alias = self.next()[1]
+            return ("subquery", (sub, alias))
         k, v = self.next()
         if k == "str":
             return ("path", v)
@@ -733,9 +754,19 @@ def table_refs(query: str) -> List[str]:
     file arguments to these."""
     ast = _Parser(_strip_explain(query)).parse()
     out = []
-    for t in (ast.table, ast.join_table):
-        if t is not None and t[0] == "name":
+
+    def _collect(t):
+        if t is None:
+            return
+        if t[0] == "name":
             out.append(t[1])
+        elif t[0] == "subquery":
+            sub = t[1][0]
+            _collect(sub.table)
+            _collect(sub.join_table)
+
+    _collect(ast.table)
+    _collect(ast.join_table)
     return out
 
 
@@ -764,9 +795,22 @@ def explain(query: str) -> str:
     """The compiled plan of a statement, as text: which device
     primitives it maps onto and what pushes down where. Parses only —
     no source needed, nothing executes."""
-    ast = _Parser(query).parse()
+    return _explain_ast(_Parser(query).parse())
+
+
+def _explain_ast(ast: _Ast) -> str:
     has_agg = any(it.kind == "agg" for it in ast.items)
+    derived = ast.table[0] == "subquery" and ast.join_table is None
     lines = []
+    if derived:
+        sub, alias = ast.table[1]
+        lines.append("FROM (subquery"
+                     + (f" AS {alias}" if alias else "")
+                     + ") -> inner plan:")
+        lines.extend("  " + ln
+                     for ln in _explain_ast(sub).splitlines())
+        lines.append("outer pipeline -> host twins over the derived "
+                     "frame (_run_over_frame)")
     if ast.join_table is not None:
         lines.append(
             f"JOIN ({ast.join_how}): device sort-merge "
@@ -778,12 +822,16 @@ def explain(query: str) -> str:
     if ast.where is not None:
         tgt = ("host mask over the joined frame"
                if ast.join_table is not None
+               else "host mask over the derived frame" if derived
                else "device predicate masks (query.select_records "
                "pushdown: only matching rows are ever gathered)")
         lines.append(f"WHERE -> {tgt}")
         lines.append(f"  tree: {ast.where!r}")
     if ast.group_by or (ast.distinct and not has_agg):
-        if ast.join_table is None:
+        if derived:
+            how = ("host group over the derived frame "
+                   "(query._group_multi)")
+        elif ast.join_table is None:
             how = ("device group-by (query.groupby_typed: one stable "
                    "key sort + segment reduces; exact digit-split int "
                    "sums)")
@@ -803,18 +851,19 @@ def explain(query: str) -> str:
     elif has_agg:
         lines.append(
             "scalar aggregates -> device column stats "
-            "(query.column_stats)" if ast.join_table is None
-            else "scalar aggregates -> host reduce over the joined "
-            "frame"
+            "(query.column_stats)"
+            if ast.join_table is None and not derived
+            else "scalar aggregates -> host reduce over the "
+            + ("derived" if derived else "joined") + " frame"
         )
     if any(it.kind == "agg" and it.distinct for it in ast.items):
         lines.append(
             "COUNT(DISTINCT) -> device group-by keyed by "
             "(group keys + col): one row per distinct pair, "
             "O(#pairs) host tally"
-            if ast.join_table is None
+            if ast.join_table is None and not derived
             else "COUNT(DISTINCT) -> host unique tally over the "
-            "joined frame"
+            + ("derived" if derived else "joined") + " frame"
         )
     if ast.having is not None:
         lines.append(f"HAVING (post-merge group filter): {ast.having!r}")
@@ -825,7 +874,7 @@ def explain(query: str) -> str:
         )
         where_ = ("host stable multi-key sort"
                   if (ast.join_table is not None or ast.group_by
-                      or ast.distinct)
+                      or ast.distinct or derived)
                   else "device sort (top-k when LIMIT)")
         lines.append(f"ORDER BY {keys} -> {where_}")
     if ast.limit is not None:
@@ -879,18 +928,85 @@ def sql(query: str, source=None, *, tables: Optional[Dict] = None,
 
     kw = dict(engine=engine, backend=backend, dialect=dialect,
               sample=sample, schema=schema, right_schema=right_schema)
+    return _dispatch(ast, _resolve, kw)
+
+
+def _dispatch(ast: _Ast, resolve_table, kw):
+    """Route a (sub)select to its executor. Recurses for derived
+    tables: the inner select runs first (device paths and all), its
+    materialized result becomes the outer query's source frame."""
+    if ast.table[0] == "subquery" or (
+            ast.join_table is not None
+            and ast.join_table[0] == "subquery"):
+        if ast.join_table is not None:
+            raise SqlError(
+                "a derived table cannot be a JOIN side (join the "
+                "base tables inside the subquery instead)"
+            )
+        sub, alias = ast.table[1]
+        fr = _as_frame(_dispatch(sub, resolve_table, kw))
+        if alias:
+            _dequalify_ast(ast, alias)
+
+        def _res(c: str) -> str:
+            if c in fr._columns:
+                return c
+            raise SqlError(
+                f"no column {c!r} in the derived table "
+                f"(columns: {list(fr.names)})"
+            )
+
+        return _run_over_frame(ast, fr, _res, what="derived table")
     if ast.join_table is None and ast.table[0] == "name":
         _dequalify_ast(ast, ast.table[1])
     if ast.join_table is not None:
-        return _run_join(ast, _resolve(ast.table, True),
-                         _resolve(ast.join_table, False), kw)
-    src = _resolve(ast.table, True)
+        return _run_join(ast, resolve_table(ast.table, True),
+                         resolve_table(ast.join_table, False), kw)
+    src = resolve_table(ast.table, True)
     has_agg = any(it.kind == "agg" for it in ast.items)
     if ast.group_by or (ast.distinct and not has_agg):
         return _run_groupby(ast, src, kw)
     if has_agg:
         return _run_scalar_aggs(ast, src, kw)
     return _run_select(ast, src, kw)
+
+
+def _as_frame(res):
+    """A subquery result as a Frame source for the outer query.
+    Plain selections already ARE Frames; an aggregate's SqlResult
+    converts — int columns keep their exact Python ints in object
+    arrays (sums past 2**53 never round), None/NaN cells become
+    ok=False rows (NULL semantics carry through)."""
+    from .frame import Col, Frame
+
+    if not isinstance(res, SqlResult):
+        return res
+    cols, oks, schema = {}, {}, {}
+    for nm in res.names:
+        arr = np.asarray(res._columns[nm])
+        t = res.schema[nm].type
+        if t == "str":
+            cols[nm] = arr
+            oks[nm] = None
+            schema[nm] = Col("str")
+            continue
+        vals = arr.tolist()
+        ok = np.array(
+            [v is not None and not (isinstance(v, float) and v != v)
+             for v in vals], bool)
+        if t == "float":
+            cols[nm] = np.array(
+                [float(v) if o else np.nan
+                 for v, o in zip(vals, ok)], np.float64)
+            schema[nm] = Col("float")
+        else:
+            # exact object ints; invalid cells hold 0 (masked off)
+            cols[nm] = np.array(
+                [int(v) if o else 0 for v, o in zip(vals, ok)],
+                object)
+            schema[nm] = Col("int32")
+        oks[nm] = ok if not ok.all() else None
+    return Frame(list(res.names), cols, oks, schema, len(res))
 
 
 def _all_columns(src, kw) -> List[str]:
@@ -2539,21 +2655,29 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
             return col
         raise SqlError(f"no column {col!r} in the joined result")
 
+    return _run_over_frame(ast, fr, _frame_col, what="JOIN")
+
+
+def _run_over_frame(ast: _Ast, fr, resolve, what: str = "JOIN"):
+    """Execute the post-materialization relational pipeline over a
+    host Frame: WHERE (host twins of the device leaves), GROUP BY /
+    aggregates (exact host reduce), projection, ORDER BY, LIMIT.
+    Shared by joined frames and derived tables (FROM (SELECT ...))."""
     if ast.where is not None:
-        mask = _frame_mask(fr, ast.where, _frame_col)
+        mask = _frame_mask(fr, ast.where, resolve)
         fr = fr.take(np.flatnonzero(mask))
     has_agg = any(it.kind == "agg" for it in ast.items)
     if ast.group_by or (ast.distinct and not has_agg):
-        return _run_join_groupby(ast, fr, _frame_col)
+        return _run_join_groupby(ast, fr, resolve)
     if has_agg:
         if ast.having is not None:
             raise SqlError("HAVING needs GROUP BY")
-        return _frame_scalar_aggs(ast, fr, _frame_col)
+        return _frame_scalar_aggs(ast, fr, resolve)
     if ast.having is not None:
         raise SqlError("HAVING needs GROUP BY")
     star_count = sum(1 for it in ast.items if it.kind == "star")
     if star_count and len(ast.items) > star_count:
-        # SELECT *, extra: the star expands to every joined column
+        # SELECT *, extra: the star expands to every frame column
         items = []
         for it in ast.items:
             if it.kind == "star":
@@ -2561,19 +2685,20 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
             else:
                 items.append(it)
     elif star_count:
-        items = None  # pure star: the joined frame as-is
+        items = None  # pure star: the frame as-is
     else:
         items = ast.items
     # project BEFORE ordering so ORDER BY can reference output aliases
     # (incl. COALESCE results); non-projected columns still order via
-    # the joined frame — both share row order until the sort
+    # the source frame — both share row order until the sort
     proj = (None if items is None
-            else _project_items(fr, items, _frame_col))
+            else _project_items(fr, items, resolve))
     if ast.order_by:
         for it, _ in ast.order_by:
             if it.kind not in ("col", "expr", "fold"):
                 raise SqlError(
-                    "ORDER BY aggregates over a JOIN is not supported"
+                    f"ORDER BY aggregates over a {what} is not "
+                    "supported"
                 )
 
         def _order_ref(it):
@@ -2582,19 +2707,19 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
             nm = it.name()
             if proj is not None and nm in proj._columns:
                 return nm
-            return it  # computed on demand against the joined frame
+            return it  # computed on demand against the source frame
 
         def _order_col(ref):
             if isinstance(ref, _Item):
                 if ref.kind == "fold":
-                    vals, okm, _c = _fold_column(fr, ref, _frame_col)
+                    vals, okm, _c = _fold_column(fr, ref, resolve)
                 else:
                     vals, okm, _c = _expr_column(fr, ref.expr,
-                                                 _frame_col)
+                                                 resolve)
                 return vals, okm
             if proj is not None and ref in proj._columns:
                 return proj._columns[ref], proj._ok[ref]
-            name = _frame_col(ref)
+            name = resolve(ref)
             return fr._columns[name], fr._ok[name]
 
         from .query import _host_multi_order_perm

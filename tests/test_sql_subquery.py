@@ -1,0 +1,154 @@
+"""Derived tables: FROM (SELECT ...) [AS alias] — the inner select
+runs first (device paths and all), its materialized result becomes
+the outer query's source frame, and the outer pipeline runs the same
+host twins the join path uses (_run_over_frame)."""
+
+import csv as pycsv
+import io
+
+import numpy as np
+import pytest
+
+from csv_simd_tpu.sql import SqlError, sql, explain, table_refs
+
+CSV = (b"sym,qty,price\n"
+       b"AAPL,10,1.25\n"
+       b"MSFT,20,2.50\n"
+       b"AAPL,-5,0.75\n"
+       b"GOOG,7,9.99\n"
+       b"MSFT,x!,1.00\n"          # qty parse failure -> NULL
+       b"AAPL,40,3.00\n")
+S = {"qty": "int32", "price": "float"}
+ROWS = list(pycsv.reader(io.StringIO(CSV.decode())))[1:]
+
+
+def _q(r):
+    try:
+        return int(r[1])
+    except ValueError:
+        return None
+
+
+def test_outer_aggregate_over_derived_plain():
+    r = sql("SELECT sym, SUM(v) AS s FROM "
+            "(SELECT sym, qty * price AS v FROM t WHERE qty > 0) "
+            "GROUP BY sym ORDER BY sym", CSV, schema=S)
+    want = {}
+    for row in ROWS:
+        q = _q(row)
+        if q is not None and q > 0:
+            want[row[0]] = want.get(row[0], 0) + q * float(row[2])
+    assert list(r["sym"]) == sorted(want)
+    assert [round(float(x), 4) for x in r["s"]] == \
+        [round(want[k], 4) for k in sorted(want)]
+
+
+def test_outer_filter_over_derived_aggregate():
+    r = sql("SELECT sym FROM "
+            "(SELECT sym, SUM(qty) AS tot FROM t GROUP BY sym) "
+            "WHERE tot > 10 ORDER BY sym", CSV, schema=S)
+    want = {}
+    for row in ROWS:
+        q = _q(row)
+        if q is not None:
+            want[row[0]] = want.get(row[0], 0) + q
+    assert [str(v) for v in r["sym"]] == \
+        sorted(k for k, v in want.items() if v > 10)
+
+
+def test_alias_and_qualified_refs():
+    r = sql("SELECT d.sym, d.tot FROM "
+            "(SELECT sym, SUM(qty) AS tot FROM t GROUP BY sym) AS d "
+            "WHERE d.tot > 10 ORDER BY d.tot DESC", CSV, schema=S)
+    assert [str(v) for v in r[r.names[0]]] == ["AAPL", "MSFT"]
+    assert list(r[r.names[1]]) == [45, 20]
+    # bare alias (no AS)
+    r2 = sql("SELECT d.sym FROM "
+             "(SELECT sym, SUM(qty) AS tot FROM t GROUP BY sym) d "
+             "WHERE d.tot > 10 ORDER BY d.sym", CSV, schema=S)
+    assert [str(v) for v in r2[r2.names[0]]] == ["AAPL", "MSFT"]
+
+
+def test_nested_two_levels_and_inner_limit():
+    r = sql("SELECT COUNT(*) FROM (SELECT sym FROM "
+            "(SELECT sym, qty FROM t WHERE qty > 0) WHERE qty > 5)",
+            CSV, schema=S)
+    want = sum(1 for row in ROWS
+               if _q(row) is not None and _q(row) > 5)
+    assert r[r.names[0]][0] == want
+    # inner ORDER BY/LIMIT belong to the subquery
+    r = sql("SELECT * FROM (SELECT sym, qty FROM t WHERE qty > 0 "
+            "ORDER BY qty DESC LIMIT 2) ORDER BY sym", CSV, schema=S)
+    top2 = sorted((row for row in ROWS
+                   if _q(row) is not None and _q(row) > 0),
+                  key=lambda row: -_q(row))[:2]
+    assert sorted(str(v) for v in r["sym"]) == \
+        sorted(row[0] for row in top2)
+
+
+def test_null_semantics_carry_through():
+    # the inner SUM over a group whose qty all fail the parse is NULL:
+    # outer comparisons must never match it
+    csv = b"sym,qty\nAA,1\nBB,oops\nBB,bad\n"
+    r = sql("SELECT sym FROM "
+            "(SELECT sym, SUM(qty) AS s FROM t GROUP BY sym) "
+            "WHERE s >= 0", csv, schema={"qty": "int32"})
+    assert [str(v) for v in r["sym"]] == ["AA"]
+    r = sql("SELECT sym FROM "
+            "(SELECT sym, SUM(qty) AS s FROM t GROUP BY sym) "
+            "WHERE s IS NULL", csv, schema={"qty": "int32"})
+    assert [str(v) for v in r["sym"]] == ["BB"]
+
+
+def test_exact_int_sums_survive_conversion():
+    # inner exact int sums (object ints) stay exact in the outer frame
+    n, big = 40, 10**16 + 1  # n*big rounds in float64, not here
+    csv = b"k,v\n" + b"".join(
+        b"g," + str(big).encode() + b"\n" for _ in range(n))
+    r = sql("SELECT s FROM (SELECT k, SUM(v) AS s FROM t GROUP BY k) "
+            "WHERE s > 0", csv, schema={"v": "decimal:0"})
+    assert int(r["s"][0]) == n * big
+
+
+def test_text_fns_and_count_distinct_over_derived():
+    r = sql("SELECT UPPER(sym) FROM (SELECT sym FROM t WHERE qty > 10)",
+            CSV, schema=S)
+    want = [row[0].upper() for row in ROWS
+            if _q(row) is not None and _q(row) > 10]
+    assert [str(v) for v in r[r.names[0]]] == want
+    r = sql("SELECT COUNT(DISTINCT sym) FROM "
+            "(SELECT sym, qty FROM t WHERE qty > 0)", CSV, schema=S)
+    want = len({row[0] for row in ROWS
+                if _q(row) is not None and _q(row) > 0})
+    assert r[r.names[0]][0] == want
+
+
+def test_distinct_and_scalar_aggs_over_derived():
+    r = sql("SELECT DISTINCT sym FROM (SELECT sym FROM t "
+            "WHERE price > 1)", CSV, schema=S)
+    want = sorted({row[0] for row in ROWS if float(row[2]) > 1})
+    assert sorted(str(v) for v in r["sym"]) == want
+    r = sql("SELECT AVG(qty) FROM (SELECT qty FROM t WHERE qty > 0)",
+            CSV, schema=S)
+    vals = [_q(row) for row in ROWS
+            if _q(row) is not None and _q(row) > 0]
+    assert float(r[r.names[0]][0]) == pytest.approx(
+        sum(vals) / len(vals))
+
+
+def test_table_refs_and_explain():
+    assert table_refs(
+        "SELECT * FROM (SELECT a.x FROM a JOIN b ON a.k = b.k) "
+        "WHERE x > 1") == ["a", "b"]
+    txt = explain("SELECT sym FROM (SELECT sym, SUM(qty) AS tot "
+                  "FROM t GROUP BY sym) WHERE tot > 10")
+    assert "inner plan" in txt and "derived frame" in txt
+    assert "device group-by" in txt  # the inner plan is shown
+
+
+def test_subquery_errors():
+    with pytest.raises(SqlError, match="JOIN side"):
+        sql("SELECT * FROM (SELECT sym FROM t) JOIN u ON sym = k",
+            CSV, tables={"u": b"k\nAAPL\n"})
+    with pytest.raises(SqlError, match="derived table"):
+        sql("SELECT nope FROM (SELECT sym FROM t)", CSV)
