@@ -11,6 +11,7 @@ relational layer.
 
 Supported grammar (case-insensitive keywords):
 
+    select [UNION ALL select ...]   where each select is:
     SELECT [DISTINCT] * | item [, item ...]
     FROM table [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN table
                  ON a.col = b.col [AND a.col2 = b.col2 ...] ]
@@ -52,6 +53,11 @@ Supported grammar (case-insensitive keywords):
   the outer pipeline runs the host twins over its materialized frame;
   NULL aggregates and exact object-int sums carry through. Nesting is
   unlimited.
+- UNION ALL concatenates select branches by position (names from the
+  first branch; per-position types must agree, text-with-text OK).
+  A trailing ORDER BY/LIMIT binds to the LAST branch — wrap the union
+  in a derived table to order/limit the whole. Plain UNION is
+  rejected with a SELECT DISTINCT * FROM (...) pointer.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
   literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
@@ -113,6 +119,7 @@ _KEYWORDS = {
     "as", "asc", "desc", "join", "inner", "left", "right", "full",
     "outer", "semi", "anti", "on", "is", "null", "offset",
     "case", "when", "then", "end", "else", "escape",
+    "union", "all",
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
@@ -192,6 +199,14 @@ class _Item:
         return self.alias or self.default_name()
 
 
+class _Union:
+    """UNION ALL of select branches: rows concatenate by position,
+    output names come from the FIRST branch."""
+
+    def __init__(self, branches):
+        self.branches = branches
+
+
 class _Ast:
     def __init__(self):
         self.distinct = False
@@ -237,10 +252,28 @@ class _Parser:
         return t
 
     # -- grammar
-    def parse(self) -> _Ast:
-        ast = self._select()
+    def parse(self):
+        ast = self._union()
         self.expect("end")
         return ast
+
+    def _union(self):
+        """select (UNION ALL select)* — rows concatenate by position.
+        A trailing ORDER BY/LIMIT parses into the LAST branch (wrap
+        the union in a derived table to order/limit the whole)."""
+        first = self._select()
+        branches = [first]
+        while self.accept("kw", "union"):
+            if not self.accept("kw", "all"):
+                raise SqlError(
+                    "plain UNION (dedup) is not supported — use "
+                    "UNION ALL, or SELECT DISTINCT * FROM "
+                    "(... UNION ALL ...)"
+                )
+            branches.append(self._select())
+        if len(branches) == 1:
+            return first
+        return _Union(branches)
 
     def _select(self) -> _Ast:
         ast = _Ast()
@@ -449,9 +482,9 @@ class _Parser:
     def _table(self):
         if self.peek() == ("punc", "(") \
                 and self.peek(1) == ("kw", "select"):
-            # derived table: FROM (SELECT ...) [AS] alias
+            # derived table: FROM (SELECT ... [UNION ALL ...]) [AS] a
             self.next()
-            sub = self._select()
+            sub = self._union()
             self.expect("punc", ")")
             alias = None
             if self.accept("kw", "as"):
@@ -755,18 +788,23 @@ def table_refs(query: str) -> List[str]:
     ast = _Parser(_strip_explain(query)).parse()
     out = []
 
+    def _walk(a):
+        if isinstance(a, _Union):
+            for b in a.branches:
+                _walk(b)
+            return
+        _collect(a.table)
+        _collect(a.join_table)
+
     def _collect(t):
         if t is None:
             return
         if t[0] == "name":
             out.append(t[1])
         elif t[0] == "subquery":
-            sub = t[1][0]
-            _collect(sub.table)
-            _collect(sub.join_table)
+            _walk(t[1][0])
 
-    _collect(ast.table)
-    _collect(ast.join_table)
+    _walk(ast)
     return out
 
 
@@ -795,7 +833,20 @@ def explain(query: str) -> str:
     """The compiled plan of a statement, as text: which device
     primitives it maps onto and what pushes down where. Parses only —
     no source needed, nothing executes."""
-    return _explain_ast(_Parser(query).parse())
+    return _explain_any(_Parser(query).parse())
+
+
+def _explain_any(ast) -> str:
+    if isinstance(ast, _Union):
+        lines = []
+        for i, b in enumerate(ast.branches):
+            lines.append(f"UNION ALL branch {i + 1}:")
+            lines.extend("  " + ln
+                         for ln in _explain_any(b).splitlines())
+        lines.append("UNION ALL -> host row concatenation "
+                     "(by position; names from branch 1)")
+        return "\n".join(lines)
+    return _explain_ast(ast)
 
 
 def _explain_ast(ast: _Ast) -> str:
@@ -808,7 +859,7 @@ def _explain_ast(ast: _Ast) -> str:
                      + (f" AS {alias}" if alias else "")
                      + ") -> inner plan:")
         lines.extend("  " + ln
-                     for ln in _explain_ast(sub).splitlines())
+                     for ln in _explain_any(sub).splitlines())
         lines.append("outer pipeline -> host twins over the derived "
                      "frame (_run_over_frame)")
     if ast.join_table is not None:
@@ -931,10 +982,16 @@ def sql(query: str, source=None, *, tables: Optional[Dict] = None,
     return _dispatch(ast, _resolve, kw)
 
 
-def _dispatch(ast: _Ast, resolve_table, kw):
+def _dispatch(ast, resolve_table, kw):
     """Route a (sub)select to its executor. Recurses for derived
     tables: the inner select runs first (device paths and all), its
-    materialized result becomes the outer query's source frame."""
+    materialized result becomes the outer query's source frame.
+    UNION ALL runs every branch and concatenates the frames."""
+    if isinstance(ast, _Union):
+        return _union_frames(
+            [_as_frame(_dispatch(b, resolve_table, kw))
+             for b in ast.branches]
+        )
     if ast.table[0] == "subquery" or (
             ast.join_table is not None
             and ast.join_table[0] == "subquery"):
@@ -969,6 +1026,53 @@ def _dispatch(ast: _Ast, resolve_table, kw):
     if has_agg:
         return _run_scalar_aggs(ast, src, kw)
     return _run_select(ast, src, kw)
+
+
+def _union_frames(frames):
+    """Concatenate UNION ALL branch frames by column position. Output
+    names come from the first branch; column types must agree per
+    position (both-text counts as agreeing). Parse-validity masks
+    concatenate; exact object-int columns stay object."""
+    from .frame import Frame
+
+    first = frames[0]
+    width = len(first.names)
+    names = list(first.names)
+    for fr in frames:
+        if len(fr.names) != width:
+            raise SqlError(
+                f"UNION ALL branches select {width} vs "
+                f"{len(fr.names)} columns"
+            )
+    cols, oks, schema = {}, {}, {}
+    total = sum(len(fr) for fr in frames)
+    for j, nm in enumerate(names):
+        parts, okparts, types = [], [], []
+        for fr in frames:
+            src = fr.names[j]
+            parts.append(np.asarray(fr._columns[src]))
+            m = fr._ok[src]
+            okparts.append(np.ones(len(fr), bool) if m is None
+                           else np.asarray(m, bool))
+            types.append(fr.schema[src].type)
+
+        def _kindof(t):
+            return "text" if t in ("str", "bytes") else t
+
+        if any(_kindof(t) != _kindof(types[0]) for t in types):
+            raise SqlError(
+                f"UNION ALL column {j + 1} mixes types {types} — "
+                "cast inside the branches (or give explicit schemas)"
+            )
+        try:
+            cols[nm] = np.concatenate(parts)
+        except (TypeError, ValueError):
+            cols[nm] = np.concatenate(
+                [p.astype(object) for p in parts])
+        ok = np.concatenate(okparts) if okparts else np.zeros(0, bool)
+        oks[nm] = None if ok.all() else ok
+        schema[nm] = first.schema[first.names[j]]
+    return Frame(names, cols, oks, schema, total)
 
 
 def _as_frame(res):

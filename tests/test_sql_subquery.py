@@ -152,3 +152,60 @@ def test_subquery_errors():
             CSV, tables={"u": b"k\nAAPL\n"})
     with pytest.raises(SqlError, match="derived table"):
         sql("SELECT nope FROM (SELECT sym FROM t)", CSV)
+
+
+# ---------------------------------------------------------- UNION ALL
+
+A = b"sym,qty\nAAPL,1\nMSFT,2\n"
+B = b"tick,n\nGOOG,3\nAAPL,4\n"
+T = {"a": A, "b": B}
+
+
+def test_union_all_basic():
+    r = sql("SELECT sym, qty FROM a UNION ALL SELECT tick, n FROM b",
+            tables=T)
+    assert [str(v) for v in r["sym"]] == ["AAPL", "MSFT", "GOOG",
+                                          "AAPL"]
+    assert r["qty"].tolist() == [1, 2, 3, 4]
+    assert r.names == ["sym", "qty"]  # names from branch 1
+
+
+def test_union_all_inside_derived_table():
+    r = sql("SELECT sym, COUNT(*) AS c FROM "
+            "(SELECT sym, qty FROM a UNION ALL SELECT tick, n FROM b) "
+            "GROUP BY sym ORDER BY sym", tables=T)
+    assert list(r["sym"]) == ["AAPL", "GOOG", "MSFT"]
+    assert r["c"].tolist() == [2, 1, 1]
+    r = sql("SELECT DISTINCT sym FROM "
+            "(SELECT sym FROM a UNION ALL SELECT tick FROM b)",
+            tables=T)
+    assert sorted(str(v) for v in r["sym"]) == ["AAPL", "GOOG", "MSFT"]
+
+
+def test_union_all_branch_where_and_null_masks():
+    csv = b"sym,qty\nAA,1\nBB,oops\n"
+    r = sql("SELECT sym, qty FROM a WHERE qty > 1 "
+            "UNION ALL SELECT sym, qty FROM c",
+            tables={"a": A, "c": csv}, schema={"qty": "int32"})
+    # branch 2's parse-failure row carries its NULL mask through
+    assert [str(v) for v in r["sym"]] == ["MSFT", "AA", "BB"]
+    ok = r.ok("qty")
+    assert ok is not None and ok.tolist() == [True, True, False]
+
+
+def test_union_all_errors():
+    with pytest.raises(SqlError, match="2 vs 1 columns"):
+        sql("SELECT sym, qty FROM a UNION ALL SELECT tick FROM b",
+            tables=T)
+    with pytest.raises(SqlError, match="UNION ALL"):
+        sql("SELECT sym FROM a UNION SELECT tick FROM b", tables=T)
+    with pytest.raises(SqlError, match="mixes types"):
+        sql("SELECT qty FROM a UNION ALL SELECT tick FROM b", tables=T)
+
+
+def test_union_all_refs_and_explain():
+    assert table_refs(
+        "SELECT sym FROM a UNION ALL SELECT tick FROM b") == ["a", "b"]
+    txt = explain("SELECT sym FROM a UNION ALL SELECT tick FROM b")
+    assert "branch 1" in txt and "branch 2" in txt \
+        and "concatenation" in txt
