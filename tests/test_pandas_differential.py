@@ -145,3 +145,50 @@ def test_frame_to_pandas_roundtrip():
     df = fr.to_pandas()
     assert df["qty"].tolist() == _pdf()["qty"].tolist()
     assert df["sym"].tolist() == _pdf()["sym"].tolist()
+
+
+def test_sql_count_distinct_matches_pandas_nunique():
+    df = _pdf()
+    r = sql("SELECT sym, COUNT(DISTINCT qty) AS d FROM t "
+            "GROUP BY sym ORDER BY sym", CSV,
+            schema={"qty": "int32"})
+    want = df.groupby("sym")["qty"].nunique().sort_index()
+    assert list(r["sym"]) == list(want.index)
+    assert r["d"].tolist() == want.tolist()
+    r = sql("SELECT COUNT(DISTINCT sym) FROM t", CSV)
+    assert r[r.names[0]][0] == df["sym"].nunique()
+
+
+def test_sql_derived_table_matches_pandas():
+    df = _pdf()
+    r = sql("SELECT sym, SUM(v) AS s FROM "
+            "(SELECT sym, qty * ratio AS v FROM t WHERE qty > 0) "
+            "GROUP BY sym ORDER BY sym", CSV,
+            schema={"qty": "int32", "ratio": "float"})
+    inner = df[df["qty"] > 0].assign(
+        v=(df["qty"].astype("int32")
+           * df["ratio"].astype("float32")).astype("float32"))
+    want = inner.groupby("sym")["v"].sum().sort_index()
+    assert list(r["sym"]) == list(want.index)
+    got = np.asarray([float(x) for x in r["s"]])
+    assert np.allclose(got, want.to_numpy(), rtol=1e-6)
+
+
+def test_sql_union_all_matches_pandas_concat():
+    df = _pdf()
+    r = sql("SELECT sym, qty FROM t WHERE qty > 0 "
+            "UNION ALL SELECT sym, qty FROM t WHERE qty < 0", CSV,
+            schema={"qty": "int32"})
+    want = pd.concat([df[df["qty"] > 0][["sym", "qty"]],
+                      df[df["qty"] < 0][["sym", "qty"]]])
+    assert [str(v) for v in r["sym"]] == want["sym"].tolist()
+    assert r["qty"].tolist() == want["qty"].tolist()
+
+
+def test_sql_fold_and_length_match_pandas_str_ops():
+    df = _pdf()
+    r = sql("SELECT sym FROM t WHERE LOWER(sym) LIKE 'a%'", CSV)
+    want = df[df["sym"].str.lower().str.startswith("a")]
+    assert [str(v) for v in r["sym"]] == want["sym"].tolist()
+    r = sql("SELECT LENGTH(sym) FROM t", CSV)
+    assert list(r[r.names[0]]) == df["sym"].str.len().tolist()
