@@ -1133,6 +1133,12 @@ def _vexpr_text(t) -> str:
         return f"LENGTH({t[1]})"
     if k == "neg":
         return f"(- {_vexpr_text(t[1])})"
+    if k in ("abs", "floor", "ceil"):
+        return f"{k.upper()}({_vexpr_text(t[1])})"
+    if k == "round":
+        return f"ROUND({_vexpr_text(t[1])}, {t[2][1]})"
+    if k == "%":
+        return f"MOD({_vexpr_text(t[1])}, {_vexpr_text(t[2])})"
     return f"({_vexpr_text(t[1])} {k} {_vexpr_text(t[2])})"
 
 
@@ -1154,7 +1160,17 @@ class VExpr:
     the field (stage-2 semantics — trimmed/unquoted/unescaped), an
     int32 computed on device from the gathered window's true lengths.
     str/bytes columns only (on a parsed numeric column the host twin
-    could not reproduce the original text's length)."""
+    could not reproduce the original text's length).
+
+    Scalar numeric functions: ("abs", a) keeps the operand's type
+    (ABS(int32 min) wraps, two's complement); ("floor", a)/("ceil", a)
+    are the identity on ints and jnp.floor/ceil on floats (still
+    float32); ("round", a, ("lit", d)) rounds to d decimal places —
+    identity on ints with d >= 0, else float32 scale-round-unscale
+    with round-half-to-even (the IEEE default — both twins use it);
+    ("%", a, b) is TRUNCATED remainder (C semantics, sign of the
+    dividend, lax.rem / np.fmod), b == 0 makes the row NOT-ok exactly
+    like division."""
 
     __slots__ = ("tree",)
 
@@ -1165,9 +1181,11 @@ class VExpr:
         def walk(t):
             if t[0] in ("col", "len"):
                 yield t[1]
-            elif t[0] == "neg":
+            elif t[0] in ("neg", "abs", "floor", "ceil"):
                 yield from walk(t[1])
-            elif t[0] in ("+", "-", "*", "/"):
+            elif t[0] == "round":
+                yield from walk(t[1])
+            elif t[0] in ("+", "-", "*", "/", "%"):
                 yield from walk(t[1])
                 yield from walk(t[2])
         return list(walk(self.tree))
@@ -1254,11 +1272,38 @@ def _eval_vexpr(tape, names, tree, col_specs, dialect, sample: int,
         v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
                                  dialect, sample, records)
         return -v, ok, isf
+    if k == "abs":
+        v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
+                                 dialect, sample, records)
+        return jnp.abs(v), ok, isf
+    if k in ("floor", "ceil"):
+        v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
+                                 dialect, sample, records)
+        if not isf:
+            return v, ok, isf
+        f = jnp.floor if k == "floor" else jnp.ceil
+        return f(v), ok, isf
+    if k == "round":
+        v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
+                                 dialect, sample, records)
+        d = int(tree[2][1])
+        if not isf and d >= 0:
+            return v, ok, isf
+        s = jnp.float32(10.0 ** d)
+        return jnp.round(v.astype(jnp.float32) * s) / s, ok, True
     va, oa, fa = _eval_vexpr(tape, names, tree[1], col_specs, dialect,
                              sample, records)
     vb, ob, fb = _eval_vexpr(tape, names, tree[2], col_specs, dialect,
                              sample, records)
     ok = oa & ob
+    if k == "%":
+        # truncated remainder (C semantics); b == 0 -> row not-ok
+        isf = fa or fb
+        if isf:
+            va, vb = va.astype(jnp.float32), vb.astype(jnp.float32)
+        ok = ok & (vb != 0)
+        safe = jnp.where(vb == 0, vb.dtype.type(1), vb)
+        return jax.lax.rem(va, safe), ok, isf
     isf = fa or fb or k == "/"
     if isf:
         va, vb = va.astype(jnp.float32), vb.astype(jnp.float32)

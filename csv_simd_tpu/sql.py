@@ -23,7 +23,14 @@ Supported grammar (case-insensitive keywords):
   float operand or division promotes to float32, x/0 or a NULL operand
   makes the row NULL; LENGTH(col) / CHAR_LENGTH(col) — the DECODED
   byte length of a str/bytes column, an int32 leaf usable anywhere an
-  expression is) | agg(column) | agg(expression) — SUM(qty*price)
+  expression is; scalar numeric functions compose anywhere in an
+  expression: ABS(x) — operand's type, int32 wrap at the minimum;
+  FLOOR(x)/CEIL(x)/CEILING(x) — identity on ints, float32 floor/ceil
+  on floats; ROUND(x [, d]) — d decimal places (negative d rounds to
+  tens/hundreds), identity on ints with d >= 0, else float32
+  round-half-to-even; MOD(a, b) or a % b — truncated remainder with
+  the dividend's sign, b = 0 makes the row NULL like division)
+  | agg(column) | agg(expression) — SUM(qty*price)
   etc. evaluate the expression on device before the group reduce |
   COALESCE(col, col [, ...]) |
   CASE WHEN expr THEN val [...] [ELSE val] END [AS alias]
@@ -108,7 +115,7 @@ _TOKEN_RE = re.compile(
       | (?P<qid>"(?:[^"]|"")*")
       | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
       | (?P<op><=|>=|!=|<>|==|=|<|>)
-      | (?P<punc>[(),.*+/-])
+      | (?P<punc>[(),.*+/%-])
     )""",
     re.VERBOSE,
 )
@@ -454,6 +461,8 @@ class _Parser:
                 t = ("*", t, self._vfactor())
             elif self.accept("punc", "/"):
                 t = ("/", t, self._vfactor())
+            elif self.accept("punc", "%"):
+                t = ("%", t, self._vfactor())
             else:
                 return t
 
@@ -477,6 +486,40 @@ class _Parser:
             col = self._colref()
             self.expect("punc", ")")
             return ("len", col)
+        if k == "name" and v.lower() in ("abs", "floor", "ceil",
+                                         "ceiling") \
+                and self.peek(1) == ("punc", "("):
+            fn = self.next()[1].lower()
+            fn = "ceil" if fn == "ceiling" else fn
+            self.expect("punc", "(")
+            e = self._vexpr()
+            self.expect("punc", ")")
+            return (fn, e)
+        if k == "name" and v.lower() == "round" \
+                and self.peek(1) == ("punc", "("):
+            self.next()
+            self.expect("punc", "(")
+            e = self._vexpr()
+            d = 0
+            if self.accept("punc", ","):
+                neg = bool(self.accept("punc", "-"))
+                dv = _num(self.expect("num")[1])
+                if not isinstance(dv, int):
+                    raise SqlError(
+                        f"ROUND's second argument is an integer "
+                        f"number of decimal places, got {dv!r}")
+                d = -dv if neg else dv
+            self.expect("punc", ")")
+            return ("round", e, ("lit", d))
+        if k == "name" and v.lower() == "mod" \
+                and self.peek(1) == ("punc", "("):
+            self.next()
+            self.expect("punc", "(")
+            a = self._vexpr()
+            self.expect("punc", ",")
+            b = self._vexpr()
+            self.expect("punc", ")")
+            return ("%", a, b)
         return ("col", self._colref())
 
     def _table(self):
@@ -1140,8 +1183,8 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
     def deq_tree(t):
         if t[0] in ("col", "len"):
             return (t[0], deq(t[1]))
-        if t[0] == "neg":
-            return ("neg", deq_tree(t[1]))
+        if t[0] in ("neg", "abs", "floor", "ceil"):
+            return (t[0], deq_tree(t[1]))
         if t[0] == "lit":
             return t
         return (t[0], deq_tree(t[1]), deq_tree(t[2]))
@@ -1413,9 +1456,37 @@ def _expr_column(fr, vx, resolve):
         if k == "neg":
             v, ok, isf = ev(t[1])
             return -v, ok, isf
+        if k == "abs":
+            v, ok, isf = ev(t[1])
+            return np.abs(v), ok, isf
+        if k in ("floor", "ceil"):
+            v, ok, isf = ev(t[1])
+            if not isf:
+                return v, ok, isf
+            return (np.floor(v) if k == "floor" else np.ceil(v),
+                    ok, isf)
+        if k == "round":
+            v, ok, isf = ev(t[1])
+            d = int(t[2][1])
+            if not isf and d >= 0:
+                return v, ok, isf
+            s = np.float32(10.0 ** d)
+            # round-half-to-even, same as the device twin (jnp.round)
+            return (np.round(v.astype(np.float32) * s) / s, ok, True)
         va, oa, fa = ev(t[1])
         vb, ob, fb = ev(t[2])
         ok = oa & ob
+        if k == "%":
+            # truncated remainder (sign of the dividend), like the
+            # device twin's lax.rem; b == 0 -> row not-ok
+            isf = fa or fb
+            if isf:
+                va = va.astype(np.float32)
+                vb = vb.astype(np.float32)
+            ok = ok & (vb != 0)
+            safe = np.where(vb == 0, vb.dtype.type(1), vb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return np.fmod(va, safe), ok, isf
         isf = fa or fb or k == "/"
         if isf:
             va, vb = va.astype(np.float32), vb.astype(np.float32)
@@ -1719,7 +1790,7 @@ def _maybe_expr_ref(col: str):
     HAVING SUM(qty*price) > 50 with no matching SELECT item): re-parse
     it back into a VExpr — the canonical text round-trips exactly, so
     the aggs-dict key it produces matches the having target."""
-    if not any(ch in col for ch in "+-*/("):
+    if not any(ch in col for ch in "+-*/%("):
         return col
     try:
         p = _Parser(col)

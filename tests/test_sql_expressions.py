@@ -211,3 +211,101 @@ def test_legacy_forms_unchanged():
     r = sql("SELECT sym, CASE WHEN qty < 0 THEN -1 ELSE 1 END AS sgn "
             "FROM t LIMIT 3", CSV, schema=S)
     assert r["sgn"].tolist() == [1.0, 1.0, -1.0]
+
+
+def test_scalar_numeric_functions_items():
+    # ABS keeps the operand's type; FLOOR/CEIL/ROUND act on floats
+    r = sql("SELECT sym, ABS(qty) AS aq, FLOOR(price) AS fp, "
+            "CEIL(price) AS cp, ROUND(price, 1) AS rp FROM t",
+            CSV, schema=S)
+    okm = r.ok("aq")
+    got = [None if okm is not None and not okm[i] else int(v)
+           for i, v in enumerate(r["aq"])]
+    assert got == [None if _q(x) is None else abs(_q(x)) for x in ROWS]
+    assert [float(v) for v in r["fp"]] == \
+        [float(np.floor(np.float32(x[2]))) for x in ROWS]
+    assert [float(v) for v in r["cp"]] == \
+        [float(np.ceil(np.float32(x[2]))) for x in ROWS]
+    s = np.float32(10.0)
+    assert [float(v) for v in r["rp"]] == \
+        [float(np.round(np.float32(x[2]) * s) / s) for x in ROWS]
+    # FLOOR/CEIL/ROUND(int, d>=0) are the identity (and stay int)
+    r = sql("SELECT FLOOR(qty) AS f, CEIL(qty) AS c, ROUND(qty) AS r0 "
+            "FROM t WHERE qty IS NOT NULL", CSV, schema=S)
+    want = [_q(x) for x in ROWS if _q(x) is not None]
+    assert [int(v) for v in r["f"]] == want
+    assert [int(v) for v in r["c"]] == want
+    assert [int(v) for v in r["r0"]] == want
+    # negative d rounds to tens (promotes to float32)
+    r = sql("SELECT ROUND(qty, -1) AS rt FROM t "
+            "WHERE qty IS NOT NULL", CSV, schema=S)
+    si = np.float32(10.0 ** -1)
+    assert [float(v) for v in r["rt"]] == \
+        [float(np.round(np.float32(q) * si) / si) for q in want]
+
+
+def test_mod_truncated_semantics():
+    # MOD/% follow the DIVIDEND's sign (C semantics), not Python's
+    r = sql("SELECT sym, MOD(qty, 3) AS m, qty % 3 AS m2 FROM t "
+            "WHERE qty IS NOT NULL", CSV, schema=S)
+    want = [float(np.fmod(np.int32(_q(x)), np.int32(3)))
+            for x in ROWS if _q(x) is not None]
+    assert [float(v) for v in r["m"]] == want
+    assert [float(v) for v in r["m2"]] == want
+    assert any(v < 0 for v in want)      # -5 % 3 == -2 here
+    # b == 0 -> NULL row, like division
+    r = sql("SELECT sym, qty % (qty - qty) AS z FROM t", CSV, schema=S)
+    okm = np.asarray(r.ok("z"))
+    assert not okm.any()
+    # float operands promote
+    r = sql("SELECT MOD(price, 2) AS fm FROM t", CSV, schema=S)
+    assert [round(float(v), 4) for v in r["fm"]] == \
+        [round(float(np.fmod(np.float32(x[2]), np.float32(2))), 4)
+         for x in ROWS]
+
+
+def test_scalar_functions_in_where_and_aggregates():
+    # device-evaluated predicate: ABS / %
+    r = sql("SELECT sym FROM t WHERE ABS(qty) > 6", CSV, schema=S)
+    want = [x[0] for x in ROWS if _q(x) is not None and abs(_q(x)) > 6]
+    assert [str(s) for s in r["sym"]] == want
+    r = sql("SELECT sym FROM t WHERE qty % 2 = 0", CSV, schema=S)
+    want = [x[0] for x in ROWS
+            if _q(x) is not None and np.fmod(np.int32(_q(x)), 2) == 0]
+    assert [str(s) for s in r["sym"]] == want
+    # aggregate over a function expression, scalar and grouped
+    r = sql("SELECT SUM(ABS(qty)) AS s FROM t", CSV, schema=S)
+    assert int(r["s"][0]) == sum(abs(_q(x)) for x in ROWS
+                                 if _q(x) is not None)
+    r = sql("SELECT sym, SUM(ABS(qty)) AS s FROM t GROUP BY sym "
+            "ORDER BY sym", CSV, schema=S)
+    import collections
+    acc = collections.defaultdict(int)
+    for x in ROWS:
+        if _q(x) is not None:
+            acc[x[0]] += abs(_q(x))
+    assert [str(s) for s in r["sym"]] == sorted(acc)
+    assert [int(v) for v in r["s"]] == [acc[k] for k in sorted(acc)]
+
+
+def test_scalar_functions_compose_and_roundtrip():
+    # nesting + default names re-parse (the _maybe_expr_ref contract)
+    r = sql("SELECT ABS(qty * 2) - 1, ROUND(price / 2, 2) FROM t "
+            "WHERE qty IS NOT NULL", CSV, schema=S)
+    assert r.names[0] == "(ABS((qty * 2)) - 1)"
+    assert r.names[1] == "ROUND((price / 2), 2)"
+    want = [abs(_q(x) * 2) - 1 for x in ROWS if _q(x) is not None]
+    assert [int(v) for v in r["(ABS((qty * 2)) - 1)"]] == want
+    # HAVING against an un-selected function aggregate
+    r = sql("SELECT sym, COUNT(*) AS n FROM t GROUP BY sym "
+            "HAVING SUM(ABS(qty)) > 10 ORDER BY sym", CSV, schema=S)
+    import collections
+    acc = collections.defaultdict(int)
+    for x in ROWS:
+        if _q(x) is not None:
+            acc[x[0]] += abs(_q(x))
+    assert [str(s) for s in r["sym"]] == \
+        sorted(k for k in acc if acc[k] > 10)
+    # errors: ROUND with a float place count
+    with pytest.raises(SqlError, match="integer number of decimal"):
+        sql("SELECT ROUND(price, 1.5) FROM t", CSV, schema=S)
