@@ -13,7 +13,8 @@ Supported grammar (case-insensitive keywords):
 
     select [UNION ALL select ...]   where each select is:
     SELECT [DISTINCT] * | item [, item ...]
-    FROM table [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN table
+    FROM table [[AS] alias]
+        [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN table [[AS] alias]
                  ON a.col = b.col [AND a.col2 = b.col2 ...] ]
     [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
     [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n [OFFSET m]]
@@ -54,7 +55,11 @@ Supported grammar (case-insensitive keywords):
   LENGTH(col), UPPER/LOWER(col) — which sort on host over the
   materialized frame, NULL keys last in both directions.
 - table: a bare identifier resolved through the `tables` mapping, or a
-  'quoted path' / "quoted path" opened as a CSV file, or a DERIVED
+  'quoted path' / "quoted path" opened as a CSV file — either may take
+  an `[AS] alias` that qualified refs then use (the bare name stops
+  qualifying once aliased; two join sides may not share an alias;
+  SELF-joins work by aliasing the same table twice: FROM t a JOIN t b
+  ON a.k = b.k) — or a DERIVED
   TABLE `(SELECT ...) [AS alias]` (FROM position only, not a JOIN
   side): the inner select runs first — device pushdowns and all — and
   the outer pipeline runs the host twins over its materialized frame;
@@ -219,7 +224,9 @@ class _Ast:
         self.distinct = False
         self.items: List[_Item] = []
         self.table = None                 # (kind, value): name | path
+        self.table_alias: Optional[str] = None
         self.join_table = None
+        self.join_alias: Optional[str] = None
         self.join_how = "inner"
         self.join_on: List[Tuple[str, str]] = []   # (left col, right col)
         self.where = None
@@ -290,10 +297,12 @@ class _Parser:
         ast.items = self._select_items()
         self.expect("kw", "from")
         ast.table = self._table()
+        ast.table_alias = self._table_alias(ast.table)
         how = self._join_how()
         if how is not None:
             ast.join_how = how
             ast.join_table = self._table()
+            ast.join_alias = self._table_alias(ast.join_table)
             self.expect("kw", "on")
             ast.join_on = self._on_pairs()
         if self.accept("kw", "where"):
@@ -541,6 +550,20 @@ class _Parser:
         if k == "name":
             return ("name", v)
         raise SqlError(f"expected a table name or 'path', got {v!r}")
+
+    def _table_alias(self, tbl) -> Optional[str]:
+        """Optional `[AS] alias` after a base table or quoted path —
+        enables self-joins (FROM t a JOIN t b ON a.k = b.k) and
+        qualified refs over paths. Derived tables carry their own
+        alias (parsed in _table); keywords never read as an alias
+        (they tokenize as kw, not name)."""
+        if tbl[0] == "subquery":
+            return tbl[1][1]
+        if self.accept("kw", "as"):
+            return self.expect("name")[1]
+        if self.peek()[0] == "name":
+            return self.next()[1]
+        return None
 
     def _join_how(self) -> Optional[str]:
         for kw, how in (("inner", "inner"), ("left", "left"),
@@ -1057,8 +1080,11 @@ def _dispatch(ast, resolve_table, kw):
             )
 
         return _run_over_frame(ast, fr, _res, what="derived table")
-    if ast.join_table is None and ast.table[0] == "name":
-        _dequalify_ast(ast, ast.table[1])
+    if ast.join_table is None:
+        if ast.table_alias:
+            _dequalify_ast(ast, ast.table_alias)
+        elif ast.table[0] == "name":
+            _dequalify_ast(ast, ast.table[1])
     if ast.join_table is not None:
         return _run_join(ast, resolve_table(ast.table, True),
                          resolve_table(ast.join_table, False), kw)
@@ -2764,9 +2790,15 @@ def _split_qualified(ref: str, l_alias: str, r_alias: str):
 def _run_join(ast: _Ast, left_src, right_src, kw):
     from .join import join_typed
 
-    l_alias = ast.table[1] if ast.table[0] == "name" else "l"
-    r_alias = ast.join_table[1] if ast.join_table[0] == "name" else "r"
+    l_alias = ast.table_alias or (
+        ast.table[1] if ast.table[0] == "name" else "l")
+    r_alias = ast.join_alias or (
+        ast.join_table[1] if ast.join_table[0] == "name" else "r")
     if l_alias == r_alias:
+        if ast.table_alias or ast.join_alias:
+            # an explicit alias colliding with the other side's name
+            # would silently rebind the user's qualified refs
+            raise SqlError(f"duplicate table alias {l_alias!r}")
         l_alias, r_alias = "l", "r"
     on_l, on_r = [], []
     for a, b in ast.join_on:

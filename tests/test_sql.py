@@ -780,3 +780,56 @@ def test_count_distinct_errors():
         sql("SELECT COUNT(DISTINCT qty + 1) FROM t", DCSV)
     with pytest.raises(SqlError):
         sql("SELECT COUNT(DISTINCT *) FROM t", DCSV)
+
+
+def test_table_alias_single_table():
+    # [AS] alias on the FROM table; qualified refs use the alias
+    fr = sql("SELECT a.sym, a.qty FROM t AS a WHERE a.qty > 5 "
+             "ORDER BY a.qty", CSV, schema=S)
+    want = sorted([r for r in ROWS if (_qty(r) or -1) > 5],
+                  key=_qty)
+    assert [str(s) for s in fr["sym"]] == [r[0] for r in want]
+    # alias without AS
+    fr = sql("SELECT a.sym FROM t a LIMIT 1", CSV)
+    assert fr.names == ["sym"]
+    # once aliased, the bare table name no longer qualifies ('t.sym'
+    # stays a literal column ref, same as any unknown name)
+    with pytest.raises(KeyError, match="no column 't.sym'"):
+        sql("SELECT t.sym FROM t AS a", CSV)
+
+
+def test_table_alias_path(tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_bytes(LEFT)
+    fr = sql(f"SELECT a.qty FROM '{p}' AS a WHERE a.qty >= 20 "
+             "ORDER BY a.qty", schema={"qty": "int32"})
+    assert fr["qty"].tolist() == [20, 30, 40]
+
+
+def test_join_table_aliases():
+    t = {"l": LEFT, "r": RIGHT}
+    fr = sql("SELECT a.sym, b.price FROM l AS a JOIN r AS b "
+             "ON a.sym = b.sym ORDER BY b.price", tables=t)
+    assert [str(s) for s in fr["sym"]] == ["AAPL", "AAPL", "MSFT"]
+    # the bare names stop qualifying once aliased
+    with pytest.raises(SqlError, match="unknown table alias"):
+        sql("SELECT l.sym FROM l AS a JOIN r AS b ON a.sym = b.sym",
+            tables=t)
+    # two sides may not share an alias
+    with pytest.raises(SqlError, match="duplicate table alias"):
+        sql("SELECT * FROM l AS x JOIN r AS x ON x.sym = x.sym",
+            tables=t)
+    # an explicit alias colliding with the other side's bare name
+    with pytest.raises(SqlError, match="duplicate table alias"):
+        sql("SELECT * FROM l JOIN r AS l ON sym = sym", tables=t)
+
+
+def test_self_join_via_aliases():
+    # pairs of rows of the SAME table sharing a key
+    t = {"t": LEFT}  # AAPL appears twice (qty 10 and 40)
+    fr = sql("SELECT a.sym, a.qty, b.qty AS qty_b FROM t a JOIN t b "
+             "ON a.sym = b.sym WHERE a.qty < b.qty", tables=t,
+             schema={"qty": "int32"}, right_schema={"qty": "int32"})
+    assert [str(s) for s in fr["sym"]] == ["AAPL"]
+    assert fr["qty"].tolist() == [10]
+    assert fr["qty_b"].tolist() == [40]
