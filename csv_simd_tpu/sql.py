@@ -67,9 +67,14 @@ Supported grammar (case-insensitive keywords):
   unlimited.
 - UNION ALL concatenates select branches by position (names from the
   first branch; per-position types must agree, text-with-text OK).
+  Plain UNION additionally DEDUPES the accumulated rows at that joint
+  (left-associative, NULLs equal NULLs, first occurrence kept in
+  order): a UNION b UNION ALL c dedupes a+b but keeps c's duplicates.
+  EXCEPT / INTERSECT join branches the same way (equal precedence,
+  left-associative, SQLite's rule): the accumulated side's distinct
+  rows absent from / present in the branch, first occurrence kept.
   A trailing ORDER BY/LIMIT binds to the LAST branch — wrap the union
-  in a derived table to order/limit the whole. Plain UNION is
-  rejected with a SELECT DISTINCT * FROM (...) pointer.
+  in a derived table to order/limit the whole.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
   literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
@@ -131,7 +136,7 @@ _KEYWORDS = {
     "as", "asc", "desc", "join", "inner", "left", "right", "full",
     "outer", "semi", "anti", "on", "is", "null", "offset",
     "case", "when", "then", "end", "else", "escape",
-    "union", "all",
+    "union", "all", "except", "intersect",
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
@@ -212,11 +217,17 @@ class _Item:
 
 
 class _Union:
-    """UNION ALL of select branches: rows concatenate by position,
-    output names come from the FIRST branch."""
+    """Compound select: UNION [ALL] / EXCEPT / INTERSECT branches,
+    matched by position, output names from the FIRST branch. ops[i]
+    joins branch i+1 onto the accumulated result — left-associative
+    with equal precedence (SQLite's rule): "all" concatenates,
+    "distinct" (plain UNION) concatenates then dedupes, "except" /
+    "intersect" keep the accumulated side's distinct rows absent
+    from / present in the branch."""
 
-    def __init__(self, branches):
+    def __init__(self, branches, ops):
         self.branches = branches
+        self.ops = ops  # len(branches) - 1 entries of "all"/"distinct"
 
 
 class _Ast:
@@ -272,22 +283,27 @@ class _Parser:
         return ast
 
     def _union(self):
-        """select (UNION ALL select)* — rows concatenate by position.
-        A trailing ORDER BY/LIMIT parses into the LAST branch (wrap
-        the union in a derived table to order/limit the whole)."""
+        """select (UNION [ALL] select)* — rows concatenate by
+        position; plain UNION dedupes the accumulated rows at that
+        joint (left-associative). A trailing ORDER BY/LIMIT parses
+        into the LAST branch (wrap the union in a derived table to
+        order/limit the whole)."""
         first = self._select()
-        branches = [first]
-        while self.accept("kw", "union"):
-            if not self.accept("kw", "all"):
-                raise SqlError(
-                    "plain UNION (dedup) is not supported — use "
-                    "UNION ALL, or SELECT DISTINCT * FROM "
-                    "(... UNION ALL ...)"
-                )
+        branches, ops = [first], []
+        while True:
+            if self.accept("kw", "union"):
+                ops.append("all" if self.accept("kw", "all")
+                           else "distinct")
+            elif self.accept("kw", "except"):
+                ops.append("except")
+            elif self.accept("kw", "intersect"):
+                ops.append("intersect")
+            else:
+                break
             branches.append(self._select())
         if len(branches) == 1:
             return first
-        return _Union(branches)
+        return _Union(branches, ops)
 
     def _select(self) -> _Ast:
         ast = _Ast()
@@ -906,11 +922,21 @@ def _explain_any(ast) -> str:
     if isinstance(ast, _Union):
         lines = []
         for i, b in enumerate(ast.branches):
-            lines.append(f"UNION ALL branch {i + 1}:")
+            lines.append(f"UNION branch {i + 1}:")
             lines.extend("  " + ln
                          for ln in _explain_any(b).splitlines())
-        lines.append("UNION ALL -> host row concatenation "
+        lines.append("compound select -> host row-code set ops "
                      "(by position; names from branch 1)")
+        labels = {
+            "all": "UNION ALL (row concatenation)",
+            "distinct": "plain UNION dedupe "
+                        "(np.unique over per-column row codes)",
+            "except": "EXCEPT (distinct left rows absent from right)",
+            "intersect": "INTERSECT (distinct left rows present in "
+                         "right)",
+        }
+        for i, op in enumerate(ast.ops):
+            lines.append(f"  joint {i + 1}: {labels[op]}")
         return "\n".join(lines)
     return _explain_ast(ast)
 
@@ -1054,10 +1080,16 @@ def _dispatch(ast, resolve_table, kw):
     materialized result becomes the outer query's source frame.
     UNION ALL runs every branch and concatenates the frames."""
     if isinstance(ast, _Union):
-        return _union_frames(
-            [_as_frame(_dispatch(b, resolve_table, kw))
-             for b in ast.branches]
-        )
+        acc = _as_frame(_dispatch(ast.branches[0], resolve_table, kw))
+        for op, b in zip(ast.ops, ast.branches[1:]):
+            nxt = _as_frame(_dispatch(b, resolve_table, kw))
+            if op in ("except", "intersect"):
+                acc = _setop_frames(acc, nxt, op)
+            else:
+                acc = _union_frames([acc, nxt])
+                if op == "distinct":
+                    acc = _dedupe_frame(acc)
+        return acc
     if ast.table[0] == "subquery" or (
             ast.join_table is not None
             and ast.join_table[0] == "subquery"):
@@ -1142,6 +1174,70 @@ def _union_frames(frames):
         oks[nm] = None if ok.all() else ok
         schema[nm] = first.schema[first.names[j]]
     return Frame(names, cols, oks, schema, total)
+
+
+def _frame_row_codes(fr) -> np.ndarray:
+    """(rows, cols) int64 row codes: per column, np.unique's inverse
+    shifted by 1 with 0 reserved for NULL — equal rows (NULLs equal
+    NULLs, the set-op convention) get equal code vectors without
+    materializing Python row tuples."""
+    codes = []
+    for nm in fr.names:
+        col = np.asarray(fr._columns[nm])
+        try:
+            _, inv = np.unique(col, return_inverse=True)
+        except TypeError:
+            # mixed-object column (e.g. exact ints next to None)
+            _, inv = np.unique(col.astype(str), return_inverse=True)
+        inv = inv.astype(np.int64) + 1
+        ok = fr._ok[nm]
+        if ok is not None:
+            inv[~np.asarray(ok, bool)] = 0
+        codes.append(inv)
+    return np.stack(codes, axis=1)
+
+
+def _slice_frame(fr, keep: np.ndarray):
+    from .frame import Frame
+
+    cols = {nm: np.asarray(fr._columns[nm])[keep] for nm in fr.names}
+    oks = {nm: (None if fr._ok[nm] is None
+                else np.asarray(fr._ok[nm], bool)[keep])
+           for nm in fr.names}
+    return Frame(list(fr.names), cols, oks, dict(fr.schema), len(keep))
+
+
+def _dedupe_frame(fr):
+    """Row-level dedupe of a frame (plain UNION): first occurrence of
+    each distinct row survives, in order; NULLs compare equal."""
+    if len(fr) == 0:
+        return fr
+    _, first = np.unique(_frame_row_codes(fr), axis=0,
+                         return_index=True)
+    return _slice_frame(fr, np.sort(first))
+
+
+def _setop_frames(acc, other, op: str):
+    """EXCEPT / INTERSECT: distinct rows of `acc` that are absent from
+    / present in `other` (first occurrence kept, in order; NULLs equal
+    NULLs). Row codes must be computed over BOTH frames' values at
+    once so equal values share codes — _union_frames does the width/
+    type validation and the value concatenation for free."""
+    both = _union_frames([acc, other])
+    if len(both) == 0:
+        return both
+    codes = _frame_row_codes(both)
+    na = len(acc)
+    a, b = codes[:na], codes[na:]
+    _, first = np.unique(a, axis=0, return_index=True) \
+        if na else (None, np.zeros(0, np.int64))
+    bset = {tuple(r) for r in b.tolist()}
+    want_in = op == "intersect"
+    keep = np.asarray(
+        [i for i in np.sort(first)
+         if (tuple(a[i].tolist()) in bset) == want_in],
+        dtype=np.int64)
+    return _slice_frame(both, keep)
 
 
 def _as_frame(res):

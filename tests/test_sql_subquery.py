@@ -197,8 +197,6 @@ def test_union_all_errors():
     with pytest.raises(SqlError, match="2 vs 1 columns"):
         sql("SELECT sym, qty FROM a UNION ALL SELECT tick FROM b",
             tables=T)
-    with pytest.raises(SqlError, match="UNION ALL"):
-        sql("SELECT sym FROM a UNION SELECT tick FROM b", tables=T)
     with pytest.raises(SqlError, match="mixes types"):
         sql("SELECT qty FROM a UNION ALL SELECT tick FROM b", tables=T)
 
@@ -209,3 +207,75 @@ def test_union_all_refs_and_explain():
     txt = explain("SELECT sym FROM a UNION ALL SELECT tick FROM b")
     assert "branch 1" in txt and "branch 2" in txt \
         and "concatenation" in txt
+
+
+def test_plain_union_dedupes():
+    # plain UNION removes duplicate rows (first occurrence kept)
+    r = sql("SELECT sym FROM a UNION SELECT tick FROM b", tables=T)
+    assert [str(v) for v in r["sym"]] == ["AAPL", "MSFT", "GOOG"]
+    # UNION ALL keeps them
+    r = sql("SELECT sym FROM a UNION ALL SELECT tick FROM b", tables=T)
+    assert [str(v) for v in r["sym"]] == ["AAPL", "MSFT", "GOOG", "AAPL"]
+    # left-associative: a UNION b UNION ALL b dedupes a+b, keeps the
+    # trailing ALL branch's duplicates
+    r = sql("SELECT sym FROM a UNION SELECT sym FROM a "
+            "UNION ALL SELECT sym FROM a", tables=T)
+    assert [str(v) for v in r["sym"]] == ["AAPL", "MSFT", "AAPL", "MSFT"]
+
+
+def test_plain_union_null_rows_dedupe():
+    # NULLs compare equal in UNION dedupe; multi-column rows
+    csv = b"sym,qty\nAA,1\nAA,oops\nAA,oops\nBB,1\n"
+    r = sql("SELECT sym, qty FROM t UNION SELECT sym, qty FROM t",
+            tables={"t": csv}, schema={"qty": "int32"})
+    assert [str(v) for v in r["sym"]] == ["AA", "AA", "BB"]
+    ok = r.ok("qty")
+    assert ok is not None and ok.tolist() == [True, False, True]
+
+
+def test_plain_union_explain():
+    txt = explain("SELECT sym FROM a UNION SELECT tick FROM b")
+    assert "plain UNION dedupe" in txt
+
+
+def test_except_and_intersect():
+    t = {"a": A, "b": B}
+    # a.sym = [AAPL, MSFT]; b.tick = [GOOG, AAPL]
+    r = sql("SELECT sym FROM a EXCEPT SELECT tick FROM b", tables=t)
+    assert [str(v) for v in r["sym"]] == ["MSFT"]
+    r = sql("SELECT sym FROM a INTERSECT SELECT tick FROM b", tables=t)
+    assert [str(v) for v in r["sym"]] == ["AAPL"]
+    # EXCEPT dedupes its left side even with an empty right
+    dup = b"sym\nAA\nAA\nBB\n"
+    r = sql("SELECT sym FROM d EXCEPT SELECT sym FROM e",
+            tables={"d": dup, "e": b"sym\nZZ\n"})
+    assert [str(v) for v in r["sym"]] == ["AA", "BB"]
+    # left-associative chain: (a UNION ALL a) INTERSECT a dedupes
+    r = sql("SELECT sym FROM a UNION ALL SELECT sym FROM a "
+            "INTERSECT SELECT sym FROM a", tables=t)
+    assert [str(v) for v in r["sym"]] == ["AAPL", "MSFT"]
+
+
+def test_except_intersect_nulls_and_multicol():
+    # NULLs compare equal across the set ops (SQL set-op semantics)
+    csv1 = b"sym,qty\nAA,1\nAA,oops\nBB,2\n"
+    csv2 = b"sym,qty\nAA,oops\nCC,9\n"
+    t = {"x": csv1, "y": csv2}
+    s = {"qty": "int32"}
+    r = sql("SELECT sym, qty FROM x EXCEPT SELECT sym, qty FROM y",
+            tables=t, schema=s)
+    assert [str(v) for v in r["sym"]] == ["AA", "BB"]
+    assert r.ok("qty") is None or r.ok("qty").tolist() == [True, True]
+    r = sql("SELECT sym, qty FROM x INTERSECT SELECT sym, qty FROM y",
+            tables=t, schema=s)
+    assert [str(v) for v in r["sym"]] == ["AA"]
+    ok = r.ok("qty")
+    assert ok is not None and ok.tolist() == [False]
+
+
+def test_setop_explain_and_type_errors():
+    txt = explain("SELECT sym FROM a EXCEPT SELECT tick FROM b "
+                  "INTERSECT SELECT sym FROM a")
+    assert "EXCEPT" in txt and "INTERSECT" in txt
+    with pytest.raises(SqlError, match="mixes types"):
+        sql("SELECT qty FROM a EXCEPT SELECT tick FROM b", tables=T)
