@@ -46,10 +46,17 @@ Supported grammar (case-insensitive keywords):
   joined frame. SUM/AVG(DISTINCT ...) are not supported.
   COALESCE takes the first non-NULL column per row (same column type
   required; plain selections and joins — e.g. merging the two key
-  columns of a FULL OUTER JOIN). UPPER(col)/LOWER(col) are also
-  SELECT items (plain selections and joins; not with GROUP BY): an
-  ASCII-only fold of the decoded text, applied on host at
-  materialization (the values land on host anyway).
+  columns of a FULL OUTER JOIN). Text functions are also SELECT items
+  (plain selections and joins; not with GROUP BY), applied on host at
+  materialization (the values land on host anyway): UPPER(col)/
+  LOWER(col) — ASCII-only fold of the decoded text; TRIM/LTRIM/
+  RTRIM(col) — strip ASCII spaces (SQL's default charset; note the
+  default str spec already trims OUTER spaces at decode — pass
+  Col("str", trim=False) in the schema to keep them);
+  SUBSTR(col, start [, len]) / SUBSTRING — 1-based start;
+  CONCAT(part, part, ...) and the `a || b || 'x'` operator — parts
+  are text columns, 'string literals', or nested text functions
+  (a row is NULL if any column part is NULL).
 - ORDER BY accepts output aliases, plain columns (device sort, top-k
   under LIMIT), and computed keys — arithmetic expressions,
   LENGTH(col), UPPER/LOWER(col) — which sort on host over the
@@ -124,7 +131,7 @@ _TOKEN_RE = re.compile(
       | (?P<str>'(?:[^']|'')*')
       | (?P<qid>"(?:[^"]|"")*")
       | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-      | (?P<op><=|>=|!=|<>|==|=|<|>)
+      | (?P<op>\|\||<=|>=|!=|<>|==|=|<|>)
       | (?P<punc>[(),.*+/%-])
     )""",
     re.VERBOSE,
@@ -140,6 +147,10 @@ _KEYWORDS = {
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
+# text functions sharing the "fold" item kind (host-applied at
+# materialization, like UPPER/LOWER; WHERE-side folds stay upper/lower)
+_TEXT_FNS = {"upper", "lower", "trim", "ltrim", "rtrim",
+             "substr", "substring", "concat"}
 
 
 def _tokenize(text: str) -> List[Tuple[str, str]]:
@@ -205,6 +216,10 @@ class _Item:
         if self.kind == "expr":
             return str(self.expr)
         if self.kind == "fold":
+            if self.fn == "concat":
+                return "concat"
+            if self.fn == "substr":
+                return f"SUBSTR({self.col[0]})"
             return f"{self.fn.upper()}({self.col})"
         if self.fn == "count" and self.col is None:
             return "count"
@@ -362,10 +377,32 @@ class _Parser:
     def _item(self) -> _Item:
         if self.accept("punc", "*"):
             return _Item("star")
-        it = self._item_core()
+        if self.peek()[0] == "str" and self.peek(1) == ("op", "||"):
+            it = None  # leading literal: 'x' || col
+            parts = [("lit", self.next()[1])]
+        else:
+            it = self._item_core()
+            parts = None
+        if self.peek() == ("op", "||"):
+            # a || b || 'x' desugars to CONCAT(a, b, 'x')
+            parts = parts or [self._as_concat_part(it)]
+            while self.accept("op", "||"):
+                parts.append(self._concat_part())
+            it = self._make_concat(parts)
         if self.accept("kw", "as"):
             it.alias = self.expect("name")[1]
         return it
+
+    @staticmethod
+    def _as_concat_part(it: _Item):
+        if it.kind == "col":
+            return ("col", it.col)
+        if it.kind == "fold":
+            return ("item", it)
+        raise SqlError(
+            "|| concatenates text columns, string literals and text "
+            f"functions; {it.name()!r} is not one"
+        )
 
     def _case_value(self):
         k, v = self.peek()
@@ -399,15 +436,12 @@ class _Parser:
             it.branches = branches
             it.else_value = else_v
             return it
-        if k == "name" and v.lower() in ("upper", "lower") \
+        if k == "name" and v.lower() in _TEXT_FNS \
                 and self.peek(1) == ("punc", "("):
-            # case-folded text item: SELECT UPPER(col) — projection
-            # (the WHERE-side fold is parsed separately in _leaf)
-            fn = self.next()[1].lower()
-            self.expect("punc", "(")
-            col = self._colref()
-            self.expect("punc", ")")
-            return _Item("fold", col=col, fn=fn)
+            # text-function item: SELECT UPPER(col), SUBSTR(col,i,n),
+            # TRIM(col), CONCAT(a, '-', b) — projection (the
+            # WHERE-side fold is parsed separately in _leaf)
+            return self._textfn_item()
         if k == "name" and v.lower() == "coalesce" \
                 and self.peek(1) == ("punc", "("):
             self.next()
@@ -459,6 +493,65 @@ class _Parser:
         it = _Item("expr")
         it.expr = VExpr(tree)
         return it
+
+    def _textfn_item(self) -> _Item:
+        """Text functions (the shared "fold" item kind): UPPER/LOWER,
+        TRIM/LTRIM/RTRIM (ASCII-space strip), SUBSTR[ING](col, start
+        [, len]) with SQL's 1-based start, CONCAT(part, part, ...)
+        where a part is a column ref, a 'string literal', or a nested
+        text-function call."""
+        fn = self.next()[1].lower()
+        self.expect("punc", "(")
+        if fn in ("upper", "lower", "trim", "ltrim", "rtrim"):
+            col = self._colref()
+            self.expect("punc", ")")
+            return _Item("fold", col=col, fn=fn)
+        if fn in ("substr", "substring"):
+            col = self._colref()
+            self.expect("punc", ",")
+            start = self._number()
+            if not isinstance(start, int) or start < 1:
+                raise SqlError(
+                    f"SUBSTR start is 1-based (>= 1), got {start!r}")
+            length = None
+            if self.accept("punc", ","):
+                length = self._number()
+                if not isinstance(length, int) or length < 0:
+                    raise SqlError(
+                        f"SUBSTR length must be >= 0, got {length!r}")
+            self.expect("punc", ")")
+            return _Item("fold", col=(col, start, length), fn="substr")
+        # CONCAT(part, part, ...)
+        parts = [self._concat_part()]
+        while self.accept("punc", ","):
+            parts.append(self._concat_part())
+        self.expect("punc", ")")
+        return self._make_concat(parts)
+
+    def _concat_part(self):
+        """One CONCAT/|| operand: ("lit", s) | ("col", name) |
+        ("item", nested fold _Item)."""
+        k, v = self.peek()
+        if k == "str":
+            self.next()
+            return ("lit", v)
+        if k == "name" and v.lower() in _TEXT_FNS \
+                and self.peek(1) == ("punc", "("):
+            return ("item", self._textfn_item())
+        return ("col", self._colref())
+
+    @staticmethod
+    def _make_concat(parts) -> _Item:
+        flat = []
+        for p in parts:
+            # splice nested concats (a || b || c parses pairwise)
+            if p[0] == "item" and p[1].fn == "concat":
+                flat.extend(p[1].col)
+            else:
+                flat.append(p)
+        if not any(p[0] != "lit" for p in flat):
+            raise SqlError("CONCAT needs at least one column operand")
+        return _Item("fold", col=tuple(flat), fn="concat")
 
     def _colref(self) -> str:
         name = self.expect("name")[1]
@@ -1300,6 +1393,12 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
     def deq(ref):
         if isinstance(ref, str) and ref.startswith(pre):
             return ref[len(pre):]
+        if isinstance(ref, tuple) and len(ref) == 2:
+            # CONCAT parts: ("col", name) / ("item", nested fold)
+            if ref[0] == "col":
+                return ("col", deq(ref[1]))
+            if ref[0] == "item":
+                return ("item", deq_item(ref[1]))
         return ref
 
     def deq_tree(t):
@@ -1490,6 +1589,18 @@ def _item_input_cols(it: _Item):
 
     if it.kind == "coalesce":
         return list(it.col)
+    if it.kind == "fold":
+        if it.fn == "substr":
+            return [it.col[0]]
+        if it.fn == "concat":
+            out = []
+            for part in it.col:
+                if part[0] == "col":
+                    out.append(part[1])
+                elif part[0] == "item":
+                    out.extend(_item_input_cols(part[1]))
+            return out
+        return [it.col]
     if it.kind == "expr":
         return it.expr.columns()
     if it.kind == "case":
@@ -1787,25 +1898,69 @@ def _case_column(fr, it, resolve):
     return out, okm, col
 
 
-def _fold_column(fr, it: _Item, resolve):
-    """SELECT UPPER(col)/LOWER(col): ASCII-fold a materialized text
-    column. The values are already on host (every plain selection
-    materializes), so the fold is a host pass over the decoded
-    strings — same ASCII-only semantics as the device predicate fold
-    (query._fold_device)."""
-    srcn = resolve(it.col)
+def _text_source(fr, ref, resolve, what):
+    """Resolve + decode a text column to a list of str (host pass)."""
+    srcn = resolve(ref)
     col = fr.schema[srcn]
     if col.type not in ("str", "bytes"):
         raise SqlError(
-            f"UPPER()/LOWER() fold decoded text; {it.col!r} is "
+            f"{what} fold decoded text; {ref!r} is "
             f"{col.type} (give an explicit str/bytes schema)"
         )
-    vals = np.array(
-        [_ascii_fold(
-            v if isinstance(v, str)
-            else bytes(v).decode("utf-8", "surrogateescape"), it.fn)
-         for v in fr._columns[srcn]], object)
-    return vals, fr._ok[srcn], col
+    strs = [v if isinstance(v, str)
+            else bytes(v).decode("utf-8", "surrogateescape")
+            for v in fr._columns[srcn]]
+    return strs, fr._ok[srcn], col
+
+
+def _fold_column(fr, it: _Item, resolve):
+    """SELECT text-function items (UPPER/LOWER/TRIM/LTRIM/RTRIM/
+    SUBSTR/CONCAT): the values are already on host (every plain
+    selection materializes), so these are host passes over the
+    decoded strings — UPPER/LOWER keep the same ASCII-only semantics
+    as the device predicate fold (query._fold_device); TRIM strips
+    ASCII spaces (SQL's default); SUBSTR is 1-based."""
+    fn = it.fn
+    if fn == "concat":
+        n = len(fr)
+        cols_vals, ok = [], None
+        spec = None
+        for part in it.col:
+            if part[0] == "lit":
+                cols_vals.append(part[1])
+                continue
+            if part[0] == "col":
+                strs, okm, c = _text_source(fr, part[1], resolve,
+                                            "CONCAT()")
+            else:  # ("item", nested fold)
+                vals, okm, c = _fold_column(fr, part[1], resolve)
+                strs = list(vals)
+            cols_vals.append(strs)
+            spec = spec or c
+            if okm is not None:
+                m = np.asarray(okm, bool)
+                ok = m.copy() if ok is None else (ok & m)
+        out = np.array(
+            ["".join(p if isinstance(p, str) else p[i]
+                     for p in cols_vals) for i in range(n)], object)
+        return out, ok, spec
+    ref = it.col if fn != "substr" else it.col[0]
+    strs, okm, col = _text_source(fr, ref, resolve,
+                                  f"{fn.upper()}()")
+    if fn in ("upper", "lower"):
+        vals = [_ascii_fold(s, fn) for s in strs]
+    elif fn == "trim":
+        vals = [s.strip(" ") for s in strs]
+    elif fn == "ltrim":
+        vals = [s.lstrip(" ") for s in strs]
+    elif fn == "rtrim":
+        vals = [s.rstrip(" ") for s in strs]
+    else:  # substr, 1-based start
+        _, start, length = it.col
+        lo = start - 1
+        hi = None if length is None else lo + length
+        vals = [s[lo:hi] for s in strs]
+    return np.array(vals, object), okm, col
 
 
 def _project_items(fr, items, resolve):
@@ -1945,7 +2100,7 @@ def _run_groupby(ast: _Ast, src, kw):
             )
         if it.kind == "fold":
             raise SqlError(
-                "UPPER()/LOWER() items cannot combine with GROUP BY "
+                "text-function items cannot combine with GROUP BY "
                 "(select them without GROUP BY)"
             )
         if it.kind == "col" and it.col not in keys:
@@ -2275,7 +2430,7 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
             raise SqlError("SELECT * cannot combine with GROUP BY")
         if it.kind == "fold":
             raise SqlError(
-                "UPPER()/LOWER() items cannot combine with GROUP BY "
+                "text-function items cannot combine with GROUP BY "
                 "(select them without GROUP BY)"
             )
         if not isinstance(it.col, (str, type(None))):
@@ -2829,8 +2984,8 @@ def _try_join_groupby_pushdown(ast, lt, ln, rt, rn, on_l, on_r,
     try:
         ast2.items = [
             _Item(it.kind,
-                  col=(_resolve_ref(it.col) if it.col is not None
-                       else None),
+                  col=(_resolve_ref(it.col)
+                       if isinstance(it.col, str) else it.col),
                   fn=it.fn, alias=it.alias)
             if it.kind != "star" else it
             for it in ast.items
@@ -2855,7 +3010,8 @@ def _try_join_groupby_pushdown(ast, lt, ln, rt, rn, on_l, on_r,
                 pass  # output alias: resolved against the result
         else:
             it = _Item(it.kind, col=(_resolve_ref(it.col)
-                                     if it.col is not None else None),
+                                     if isinstance(it.col, str)
+                                     else it.col),
                        fn=it.fn, alias=it.alias)
         ord2.append((it, d))
     ast2.order_by = ord2

@@ -290,3 +290,79 @@ def test_order_by_expr_over_join():
     low = sorted((r[0] for r in LROWS if r[1] in RMAP),
                  key=lambda s: s.lower())
     assert [str(v) for v in fr[fr.names[0]]] == [_up(s) for s in low]
+
+
+# ------------------------------------------- SUBSTR/TRIM/CONCAT items
+
+
+def test_substr_item():
+    fr = sql("SELECT SUBSTR(name, 2) AS tail, SUBSTR(name, 1, 3) AS "
+             "head FROM t", CSV)
+    assert [str(v) for v in fr["tail"]] == [r[0][1:] for r in ROWS]
+    assert [str(v) for v in fr["head"]] == [r[0][:3] for r in ROWS]
+    # SUBSTRING alias; default output name
+    fr = sql("SELECT SUBSTRING(city, 1, 2) FROM t LIMIT 1", CSV)
+    assert fr.names == ["SUBSTR(city)"]
+    with pytest.raises(SqlError, match="1-based"):
+        sql("SELECT SUBSTR(name, 0) FROM t", CSV)
+    with pytest.raises(SqlError, match="length"):
+        sql("SELECT SUBSTR(name, 1, -2) FROM t", CSV)
+
+
+def test_trim_items():
+    # default str specs pre-trim outer spaces (Col.trim=True) — give
+    # a raw spec so the SQL TRIMs have something to strip
+    from csv_simd_tpu.frame import Col
+
+    csv = b"v\n  a b  \nxy\n"
+    fr = sql("SELECT TRIM(v) AS t, LTRIM(v) AS l, RTRIM(v) AS r "
+             "FROM t", csv, schema={"v": Col("str", trim=False)})
+    assert [str(x) for x in fr["t"]] == ["a b", "xy"]
+    assert [str(x) for x in fr["l"]] == ["a b  ", "xy"]
+    assert [str(x) for x in fr["r"]] == ["  a b", "xy"]
+
+
+def test_concat_and_pipes():
+    fr = sql("SELECT CONCAT(name, '@', city) AS addr FROM t", CSV)
+    want = [f"{r[0]}@{r[1]}" for r in ROWS]
+    assert [str(v) for v in fr["addr"]] == want
+    # the || operator, incl. a leading literal and nested functions
+    fr = sql("SELECT name || '/' || UPPER(city) AS k FROM t", CSV)
+    want = [f"{r[0]}/" + "".join(c.upper() if 'a' <= c <= 'z' else c
+                                 for c in r[1]) for r in ROWS]
+    assert [str(v) for v in fr["k"]] == want
+    fr = sql("SELECT '<' || name AS tag FROM t", CSV)
+    assert [str(v) for v in fr["tag"]] == ["<" + r[0] for r in ROWS]
+    # nested: SUBSTR of a CONCAT part
+    fr = sql("SELECT CONCAT(SUBSTR(name, 1, 1), city) AS k FROM t",
+             CSV)
+    assert [str(v) for v in fr["k"]] == [r[0][:1] + r[1] for r in ROWS]
+    with pytest.raises(SqlError, match="at least one column"):
+        sql("SELECT CONCAT('a', 'b') FROM t", CSV)
+    with pytest.raises(SqlError, match="concatenates"):
+        sql("SELECT (qty + 1) || 'x' FROM t", CSV, schema=S)
+
+
+def test_concat_null_and_join_qualified():
+    # a NULL column part nulls the row
+    csv = b"sym,qty\nAA,1\nBB,oops\n"
+    fr = sql("SELECT sym || '#' AS k, qty FROM t", csv,
+             schema={"qty": "int32"})
+    assert [str(v) for v in fr["k"]] == ["AA#", "BB#"]
+    # (text parts only — qty is int) concat over a JOIN with
+    # qualified refs
+    t = {"a": LEFT, "b": RIGHT}
+    fr = sql("SELECT a.name || ':' || b.city AS k FROM a JOIN b "
+             "ON a.city = b.city ORDER BY a.name", tables=t)
+    want = sorted(f"{r[0]}:{r[1]}" for r in LROWS if r[1] in RMAP)
+    assert [str(v) for v in fr["k"]] == want
+
+
+def test_substr_order_by_and_group_reject():
+    fr = sql("SELECT name FROM t ORDER BY SUBSTR(name, 2)", CSV)
+    want = [r[0] for r in sorted(ROWS, key=lambda r: r[0][1:])]
+    assert [str(v) for v in fr["name"]] == want
+    with pytest.raises(SqlError, match="GROUP BY"):
+        sql("SELECT TRIM(city), COUNT(*) FROM t GROUP BY city", CSV)
+    with pytest.raises(SqlError, match="fold decoded text"):
+        sql("SELECT TRIM(qty) FROM t", CSV, schema=S)
