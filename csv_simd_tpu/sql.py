@@ -83,7 +83,10 @@ Supported grammar (case-insensitive keywords):
   A trailing ORDER BY/LIMIT binds to the LAST branch — wrap the union
   in a derived table to order/limit the whole.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
-  literal, BETWEEN x AND y, IN (a, b, ...), LIKE 'pat' [ESCAPE 'c']
+  literal, BETWEEN x AND y, IN (a, b, ...) or IN (SELECT ...) — the
+  inner select (one output column, its own device pushdowns) runs
+  first and its distinct non-NULL values become the IN list the
+  outer predicate compiles against — LIKE 'pat' [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
   anywhere incl. mid-pattern — greedy in-order segment matching;
   '_' = exactly one byte; ESCAPE makes the next char literal;
@@ -243,6 +246,19 @@ class _Union:
     def __init__(self, branches, ops):
         self.branches = branches
         self.ops = ops  # len(branches) - 1 entries of "all"/"distinct"
+
+
+class _InSubquery:
+    """Placeholder value of a `col IN (SELECT ...)` leaf: the inner
+    select (one output column) runs at dispatch time — device
+    pushdowns and all — and its distinct non-NULL values replace this
+    node, so the leaf compiles like any literal IN list."""
+
+    def __init__(self, ast):
+        self.ast = ast
+
+    def __repr__(self) -> str:
+        return "IN (SELECT ...)"
 
 
 class _Ast:
@@ -768,12 +784,7 @@ class _Parser:
             key = TextFold(fn, col)
             negate = bool(self.accept("kw", "not"))
             if self.accept("kw", "in"):
-                self.expect("punc", "(")
-                vals = [self._literal()]
-                while self.accept("punc", ","):
-                    vals.append(self._literal())
-                self.expect("punc", ")")
-                leaf = (key, "in", vals)
+                leaf = (key, "in", self._in_list())
             elif self.accept("kw", "like"):
                 pat = self.expect("str")[1]
                 esc = None
@@ -829,12 +840,7 @@ class _Parser:
             hi = self._literal()
             leaf = (col, "between", (lo, hi))
         elif self.accept("kw", "in"):
-            self.expect("punc", "(")
-            vals = [self._literal()]
-            while self.accept("punc", ","):
-                vals.append(self._literal())
-            self.expect("punc", ")")
-            leaf = (col, "in", vals)
+            leaf = (col, "in", self._in_list())
         elif self.accept("kw", "like"):
             pat = self.expect("str")[1]
             esc = None
@@ -863,6 +869,21 @@ class _Parser:
 
                     leaf = (VExpr(lhs), op, VExpr(rhs))
         return ("not", leaf) if negate else leaf
+
+    def _in_list(self):
+        """After IN: a parenthesized literal list, or a scalar
+        SUBQUERY `IN (SELECT ...)` — resolved to its distinct non-NULL
+        values at execution, before the WHERE pushdown compiles."""
+        self.expect("punc", "(")
+        if self.peek() == ("kw", "select"):
+            sub = self._union()
+            self.expect("punc", ")")
+            return _InSubquery(sub)
+        vals = [self._literal()]
+        while self.accept("punc", ","):
+            vals.append(self._literal())
+        self.expect("punc", ")")
+        return vals
 
     def _having_leaf(self):
         it = self._item_core()
@@ -970,6 +991,23 @@ def table_refs(query: str) -> List[str]:
             return
         _collect(a.table)
         _collect(a.join_table)
+        _walk_where(a.where)
+        for it in a.items:
+            if it.kind == "case":
+                for cond, _v in it.branches:
+                    _walk_where(cond)
+
+    def _walk_where(e):
+        # IN (SELECT ...) references tables too
+        if isinstance(e, tuple) and len(e) == 3 \
+                and isinstance(e[2], _InSubquery):
+            _walk(e[2].ast)
+        elif isinstance(e, tuple) and len(e) == 2 \
+                and e[0] in ("and", "or"):
+            for x in e[1]:
+                _walk_where(x)
+        elif isinstance(e, tuple) and len(e) == 2 and e[0] == "not":
+            _walk_where(e[1])
 
     def _collect(t):
         if t is None:
@@ -1172,6 +1210,8 @@ def _dispatch(ast, resolve_table, kw):
     tables: the inner select runs first (device paths and all), its
     materialized result becomes the outer query's source frame.
     UNION ALL runs every branch and concatenates the frames."""
+    if isinstance(ast, _Ast):
+        _resolve_in_subqueries(ast, resolve_table, kw)
     if isinstance(ast, _Union):
         acc = _as_frame(_dispatch(ast.branches[0], resolve_table, kw))
         for op, b in zip(ast.ops, ast.branches[1:]):
@@ -1267,6 +1307,120 @@ def _union_frames(frames):
         oks[nm] = None if ok.all() else ok
         schema[nm] = first.schema[first.names[j]]
     return Frame(names, cols, oks, schema, total)
+
+
+def _referenced_cols(ast):
+    """Bare column names a statement references, or None when unknown
+    (a star item). Used to prune the session schema before running an
+    IN (SELECT ...) against a DIFFERENT table — schema entries for
+    columns the inner table doesn't have must not reach its
+    read_typed."""
+    from .query import TextFold, VExpr, _where_leaves
+
+    if isinstance(ast, _Union):
+        outs = [_referenced_cols(b) for b in ast.branches]
+        if any(o is None for o in outs):
+            return None
+        return set().union(*outs)
+    out = set()
+
+    def add(ref):
+        if isinstance(ref, str):
+            out.add(ref)
+            out.add(ref.split(".", 1)[-1])
+        elif isinstance(ref, TextFold):
+            add(ref.col)
+        elif isinstance(ref, VExpr):
+            for c in ref.columns():
+                add(c)
+
+    def add_where(e):
+        if e is None:
+            return
+        for leaf in _where_leaves(e):
+            add(leaf[0])
+            if isinstance(leaf[2], VExpr):
+                add(leaf[2])
+
+    for it in ast.items:
+        if it.kind == "star":
+            return None
+        for c in _item_input_cols(it):
+            add(c)
+    for it, _d in ast.order_by:
+        if it.kind != "star":
+            for c in _item_input_cols(it):
+                add(c)
+    for k in ast.group_by:
+        add(k)
+    add_where(ast.where)
+    add_where(ast.having)
+    return out
+
+
+def _in_subquery_values(sub: _InSubquery, resolve_table, kw):
+    """Run the inner select of `col IN (SELECT ...)` and return its
+    distinct non-NULL values as Python scalars (the literal list the
+    IN leaf then compiles against, device pushdown included)."""
+    kw2 = kw
+    if kw.get("schema"):
+        refs = _referenced_cols(sub.ast)
+        if refs is not None:
+            pruned = {k: v for k, v in kw["schema"].items()
+                      if k in refs}
+            kw2 = dict(kw, schema=(pruned or None))
+    fr = _as_frame(_dispatch(sub.ast, resolve_table, kw2))
+    if len(fr.names) != 1:
+        raise SqlError(
+            f"IN (SELECT ...) needs exactly one output column, "
+            f"got {fr.names}"
+        )
+    nm = fr.names[0]
+    ok = fr._ok[nm]
+    out, seen = [], set()
+    for i, v in enumerate(np.asarray(fr._columns[nm])):
+        if ok is not None and not ok[i]:
+            continue  # NULL in the list can never equal a value here
+        if isinstance(v, (bytes, np.bytes_)):
+            v = bytes(v).decode("utf-8", "surrogateescape")
+        elif isinstance(v, np.integer):
+            v = int(v)
+        elif isinstance(v, np.floating):
+            v = float(v)
+        elif isinstance(v, np.str_):
+            v = str(v)
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out
+
+
+def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
+    """Replace every _InSubquery in the statement's WHERE tree (and
+    CASE WHEN conditions) with its materialized value list, in place,
+    before any executor compiles the predicates."""
+
+    def walk(e):
+        if e is None:
+            return None
+        if isinstance(e, tuple) and len(e) == 3:
+            if isinstance(e[2], _InSubquery):
+                return (e[0], e[1],
+                        _in_subquery_values(e[2], resolve_table, kw))
+            return e
+        if isinstance(e, tuple) and len(e) == 2 and e[0] in ("and",
+                                                             "or"):
+            return (e[0], [walk(x) for x in e[1]])
+        if isinstance(e, tuple) and len(e) == 2 and e[0] == "not":
+            return ("not", walk(e[1]))
+        return e
+
+    ast.where = walk(ast.where)
+    for coll in (ast.items, [it for it, _ in ast.order_by]):
+        for it in coll:
+            if it.kind == "case":
+                it.branches = [(walk(cond), val)
+                               for cond, val in it.branches]
 
 
 def _frame_row_codes(fr) -> np.ndarray:

@@ -279,3 +279,47 @@ def test_setop_explain_and_type_errors():
     assert "EXCEPT" in txt and "INTERSECT" in txt
     with pytest.raises(SqlError, match="mixes types"):
         sql("SELECT qty FROM a EXCEPT SELECT tick FROM b", tables=T)
+
+
+def test_in_subquery_basic():
+    csv = b"sym,qty\nBB,1\nAA,2\nCC,3\nAA,9\n"
+    s = {"qty": "int32"}
+    fr = sql("SELECT sym FROM t WHERE qty IN "
+             "(SELECT qty FROM t WHERE qty > 1)", csv, schema=s)
+    assert [str(v) for v in fr["sym"]] == ["AA", "CC", "AA"]
+    # NOT IN
+    fr = sql("SELECT sym FROM t WHERE qty NOT IN "
+             "(SELECT qty FROM t WHERE qty > 1)", csv, schema=s)
+    assert [str(v) for v in fr["sym"]] == ["BB"]
+    # text values, cross-table
+    t = {"x": csv, "y": b"k\nAA\nZZ\n"}
+    fr = sql("SELECT sym, qty FROM x WHERE sym IN (SELECT k FROM y)",
+             tables=t, schema=s)
+    assert [str(v) for v in fr["sym"]] == ["AA", "AA"]
+    # empty inner result matches nothing
+    fr = sql("SELECT sym FROM x WHERE sym IN "
+             "(SELECT k FROM y WHERE k = 'QQ')", tables=t)
+    assert len(fr) == 0
+
+
+def test_in_subquery_shape_errors_and_refs():
+    csv = b"sym,qty\nAA,1\n"
+    with pytest.raises(SqlError, match="one output column"):
+        sql("SELECT sym FROM t WHERE sym IN (SELECT sym, qty FROM t)",
+            csv, schema={"qty": "int32"})
+    assert table_refs(
+        "SELECT sym FROM a WHERE sym IN (SELECT k FROM b)"
+    ) == ["a", "b"]
+
+
+def test_in_subquery_with_aggregate_inner():
+    # the inner select may itself aggregate / use DISTINCT
+    csv = b"sym,qty\nAA,5\nBB,2\nAA,5\nCC,7\n"
+    s = {"qty": "int32"}
+    fr = sql("SELECT sym FROM t WHERE qty IN "
+             "(SELECT MAX(qty) FROM t)", csv, schema=s)
+    assert [str(v) for v in fr["sym"]] == ["CC"]
+    fr = sql("SELECT sym FROM t WHERE qty IN "
+             "(SELECT DISTINCT qty FROM t WHERE sym = 'AA')",
+            csv, schema=s)
+    assert [str(v) for v in fr["sym"]] == ["AA", "AA"]
