@@ -39,6 +39,10 @@ Supported grammar (case-insensitive keywords):
   text one — or same-typed column refs, or a mix where literals
   convert into the columns' type; no match and no ELSE is NULL)
   with agg in SUM/MIN/MAX/COUNT/AVG/MEAN; COUNT(*) counts group rows.
+  MIN/MAX over a TEXT column reduce lexicographically (scalar: a
+  device group-by keyed by the column + O(#distinct) host reduce;
+  per group: a pair group-by over (group keys + col), like
+  COUNT(DISTINCT)); SUM/AVG over text raise.
   COUNT(DISTINCT col) counts distinct non-NULL values (NULL =
   typed-parse failure): scalar or per group, it rides a device
   group-by whose key is (group keys + col) — one row per distinct
@@ -2207,8 +2211,12 @@ def _agg_array(g_aggs, col: str, fn: str):
         ]), "float")
     arr = np.asarray(g_aggs[col][fn])
     # device-path float aggregates come back float32, host-path
-    # float64 — both are "float" outputs
+    # float64 — both are "float" outputs; object arrays hold exact
+    # Python ints (int64) or text min/max values (str)
     t = "float" if arr.dtype.kind == "f" else "int64"
+    if arr.dtype.kind == "O" and any(
+            isinstance(v, str) for v in arr.tolist()):
+        t = "str"
     if (cnt == 0).any():
         arr = np.array([v if c else None
                         for v, c in zip(arr.tolist(), cnt)], object)
@@ -2268,11 +2276,33 @@ def _run_groupby(ast: _Ast, src, kw):
         return c if isinstance(c, str) else str(c)
 
     agg_items = [it for it in ast.items if it.kind == "agg"]
+    # TEXT aggregate columns route through a pair group-by (see
+    # _text_aggs_per_group) instead of the numeric device reduces
+    tcols: set = set()
+
+    def _mark_text(it: _Item) -> None:
+        if (it.kind != "agg" or it.distinct
+                or not isinstance(it.col, str)
+                or it.col in tcols):
+            return
+        if _sql_col_type(src, it.col, kw) in ("str", "bytes"):
+            if it.fn not in ("min", "max", "count"):
+                raise SqlError(
+                    f"{it.fn.upper()}() over text column {it.col!r} — "
+                    "text aggregates are MIN/MAX/COUNT"
+                )
+            tcols.add(it.col)
+
+    for it in agg_items:
+        _mark_text(it)
+    for it, _ in ast.order_by:
+        _mark_text(it)
     value_cols: List[object] = []
     seen = set()
     for it in agg_items:
         if (it.col is not None and not it.distinct
-                and _vkey(it.col) not in seen):
+                and _vkey(it.col) not in seen
+                and _vkey(it.col) not in tcols):
             seen.add(_vkey(it.col))
             value_cols.append(it.col)
     for expr in (ast.having,):
@@ -2282,7 +2312,8 @@ def _run_groupby(ast: _Ast, src, kw):
                 value_cols.append(_maybe_expr_ref(col))
     for it, _ in ast.order_by:
         if (it.kind == "agg" and it.col is not None
-                and not it.distinct and _vkey(it.col) not in seen):
+                and not it.distinct and _vkey(it.col) not in seen
+                and _vkey(it.col) not in tcols):
             seen.add(_vkey(it.col))
             value_cols.append(it.col)
     # groupby_typed needs >= 1 value column; COUNT(*)/DISTINCT use
@@ -2315,6 +2346,8 @@ def _run_groupby(ast: _Ast, src, kw):
         engine=kw["engine"], backend=kw["backend"],
         dialect=kw["dialect"], sample=kw["sample"],
     )
+    for c in tcols:
+        g["aggs"][c] = _text_aggs_per_group(src, keys, c, ast, kw, g)
     dcols = {it.col for it in agg_items if it.distinct}
     dcols |= {it.col for it, _ in ast.order_by
               if it.kind == "agg" and it.distinct}
@@ -2331,6 +2364,103 @@ def _pykey(x):
     tuples built from different array dtypes (int32 column vs int64
     group keys, np.str_ vs str) compare equal in host dicts."""
     return x.item() if isinstance(x, np.generic) else x
+
+
+def _sql_col_type(src, col, kw) -> Optional[str]:
+    """Resolved type of a source column: the session schema's entry,
+    else the same sample inference the executors use (src is already a
+    resolved tape here — resolving again is cheap). None when the
+    column doesn't exist (the executor raises its canonical error)."""
+    from .frame import parse_spec
+
+    sch = kw["schema"] or {}
+    sp = sch.get(col)
+    if sp is not None:
+        return parse_spec(sp).type
+    from .corpus_api import CsvCorpus
+
+    if isinstance(src, CsvCorpus):
+        from .query import _lock_corpus_spec
+
+        try:
+            return parse_spec(
+                _lock_corpus_spec(src, col, None, kw["sample"])).type
+        except (KeyError, ValueError):
+            return None
+    from .frame import _resolve_tape
+    from .query import infer_col
+
+    tape, names = _resolve_tape(src, kw["dialect"], kw["backend"],
+                                kw["engine"], False)
+    if col not in names:
+        return None
+    return infer_col(tape, names, names.index(col), kw["sample"]).type
+
+
+def _text_str(v) -> str:
+    return (bytes(v).decode("utf-8", "surrogateescape")
+            if isinstance(v, (bytes, np.bytes_)) else str(v))
+
+
+def _text_aggs_per_group(src, keys, col, ast, kw, g) -> Dict:
+    """MIN/MAX/COUNT over a TEXT column, per group, aligned with `g`'s
+    group rows. Same trick as _distinct_per_group: a device pair
+    group-by over (group keys + col) yields one row per distinct
+    (group, value) pair WITH per-pair row counts — the text values ride
+    the composite key (group keys may be text), so min/max reduce over
+    each group's distinct values and COUNT sums the pair counts, all in
+    O(#distinct pairs) host work. Groups absent from the pair table
+    (all values NULL) aggregate to None / count 0."""
+    from .query import groupby_typed
+
+    if col in keys:
+        # MIN/MAX/COUNT of a group KEY: the group rows already carry
+        # the value (one per group) and the row count
+        gkeys0 = (g["keys"] if isinstance(g["keys"], list)
+                  else [g["keys"]])
+        vals0 = np.array(
+            [_text_str(v)
+             for v in np.asarray(gkeys0[keys.index(col)])], object)
+        return {"count": np.asarray(g["count"]).astype(np.int64),
+                "min": vals0, "max": vals0.copy(),
+                "sum": np.array([None] * len(vals0), object)}
+    sch = kw["schema"] or {}
+    pk = list(keys) + [col]
+    pg = groupby_typed(
+        src, pk, [pk[0]], key_spec=[sch.get(k) for k in pk],
+        value_spec=["float"], where=ast.where, schema=kw["schema"],
+        engine=kw["engine"], backend=kw["backend"],
+        dialect=kw["dialect"], sample=kw["sample"],
+    )
+    pkeys = pg["keys"] if isinstance(pg["keys"], list) else [pg["keys"]]
+    nk = len(keys)
+    pcols = [np.asarray(a) for a in pkeys[:nk]]
+    vals = np.asarray(pkeys[nk])
+    cnts = np.asarray(pg["count"])
+    per: Dict[tuple, list] = {}  # group -> [count, min, max]
+    for i in range(int(cnts.shape[0])):
+        t = tuple(_pykey(a[i]) for a in pcols)
+        v = _text_str(vals[i])
+        e = per.get(t)
+        if e is None:
+            per[t] = [int(cnts[i]), v, v]
+        else:
+            e[0] += int(cnts[i])
+            if v < e[1]:
+                e[1] = v
+            if v > e[2]:
+                e[2] = v
+    gkeys = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
+    gcols = [np.asarray(a) for a in gkeys]
+    n = int(np.asarray(g["count"]).shape[0])
+    rows = [per.get(tuple(_pykey(a[i]) for a in gcols)) for i in
+            range(n)]
+    return {
+        "count": np.array([r[0] if r else 0 for r in rows], np.int64),
+        "min": np.array([r[1] if r else None for r in rows], object),
+        "max": np.array([r[2] if r else None for r in rows], object),
+        "sum": np.array([None] * n, object),
+    }
 
 
 def _distinct_per_group(src, keys, col, ast, kw, g) -> np.ndarray:
@@ -2758,6 +2888,25 @@ def _slice_one_row(names, columns, types, ast) -> SqlResult:
     return SqlResult(names, columns, types, n)
 
 
+def _scalar_text_minmax(src, col: str, fn: str, ast, kw):
+    """Scalar MIN/MAX of a text column: distinct values via a device
+    group-by keyed by the column, lexicographic reduce on host."""
+    from .query import groupby_typed
+
+    sch = kw["schema"] or {}
+    dg = groupby_typed(
+        src, col, [col], key_spec=sch.get(col), value_spec=["float"],
+        where=ast.where, schema=kw["schema"], engine=kw["engine"],
+        backend=kw["backend"], dialect=kw["dialect"],
+        sample=kw["sample"],
+    )
+    ka = dg["keys"][0] if isinstance(dg["keys"], list) else dg["keys"]
+    vals = [_text_str(v) for v in np.asarray(ka)]
+    if not vals:
+        return None
+    return min(vals) if fn == "min" else max(vals)
+
+
 def _run_scalar_aggs(ast: _Ast, src, kw):
     """Aggregates with no GROUP BY: one result row over the (filtered)
     table, via per-column device stats."""
@@ -2825,9 +2974,29 @@ def _run_scalar_aggs(ast: _Ast, src, kw):
                 val, t = st.ok_count, "int64"
             elif it.fn == "mean":
                 val, t = st.mean, "float"
+                if val is None and st.ok_count:
+                    raise SqlError(
+                        f"AVG() over text column {it.col!r} — text "
+                        "aggregates are MIN/MAX/COUNT"
+                    )
             else:
                 val = getattr(st, it.fn)
                 t = "float" if isinstance(val, float) else "int64"
+                if val is None and st.ok_count \
+                        and isinstance(it.col, str):
+                    # numeric aggregate unavailable: a TEXT column.
+                    # MIN/MAX reduce lexicographically over the
+                    # column's distinct values (device group-by keyed
+                    # by the column, O(#distinct) host reduce)
+                    if it.fn not in ("min", "max"):
+                        raise SqlError(
+                            f"{it.fn.upper()}() over text column "
+                            f"{it.col!r} — text aggregates are "
+                            "MIN/MAX/COUNT"
+                        )
+                    val = _scalar_text_minmax(src, it.col, it.fn,
+                                              ast, kw)
+                    t = "str"
         nm = it.name()
         if nm in columns:
             raise SqlError(f"duplicate output column {nm!r} (use AS)")

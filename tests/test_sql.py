@@ -833,3 +833,49 @@ def test_self_join_via_aliases():
     assert [str(s) for s in fr["sym"]] == ["AAPL"]
     assert fr["qty"].tolist() == [10]
     assert fr["qty_b"].tolist() == [40]
+
+
+def test_text_min_max_scalar():
+    c = b"sym,qty\nBB,1\nAA,2\ncc,3\nAA,9\n"
+    r = sql("SELECT MIN(sym) AS lo, MAX(sym) AS hi, COUNT(sym) AS n "
+            "FROM t", c)
+    assert r["lo"][0] == "AA" and r["hi"][0] == "cc"
+    assert r["n"][0] == 4
+    # WHERE narrows the reduce
+    r = sql("SELECT MAX(sym) AS hi FROM t WHERE qty < 3", c,
+            schema={"qty": "int32"})
+    assert r["hi"][0] == "BB"
+    with pytest.raises(SqlError, match="text aggregates"):
+        sql("SELECT SUM(sym) FROM t", c)
+    with pytest.raises(SqlError, match="text aggregates"):
+        sql("SELECT AVG(sym) FROM t", c)
+
+
+def test_text_min_max_group_by():
+    c = (b"grp,name,qty\n"
+         b"a,Zoe,1\n"
+         b"a,Amy,2\n"
+         b"b,Bob,3\n"
+         b"b,Cal,4\n"
+         b"b,Bob,5\n")
+    r = sql("SELECT grp, MIN(name) AS lo, MAX(name) AS hi, "
+            "COUNT(name) AS n, COUNT(*) AS rows_ FROM t "
+            "GROUP BY grp ORDER BY grp", c, schema={"qty": "int32"})
+    assert list(map(str, r["grp"])) == ["a", "b"]
+    assert list(r["lo"]) == ["Amy", "Bob"]
+    assert list(r["hi"]) == ["Zoe", "Cal"]
+    assert r["n"].tolist() == [2, 3]
+    assert r["rows_"].tolist() == [2, 3]
+    # MIN of the group key itself
+    r = sql("SELECT grp, MIN(grp) AS g FROM t GROUP BY grp "
+            "ORDER BY grp", c)
+    assert list(r["g"]) == ["a", "b"]
+    with pytest.raises(SqlError, match="text aggregates"):
+        sql("SELECT grp, SUM(name) FROM t GROUP BY grp", c)
+
+
+def test_text_min_max_order_by_agg():
+    c = b"grp,name\nb,Bob\na,Zoe\nb,Cal\na,Amy\n"
+    r = sql("SELECT grp, MAX(name) AS hi FROM t GROUP BY grp "
+            "ORDER BY MAX(name) DESC", c)
+    assert list(r["hi"]) == ["Zoe", "Cal"]
