@@ -61,6 +61,18 @@ Supported grammar (case-insensitive keywords):
   CONCAT(part, part, ...) and the `a || b || 'x'` operator — parts
   are text columns, 'string literals', or nested text functions
   (a row is NULL if any column part is NULL).
+- WINDOW functions are SELECT items on plain selections, joins and
+  derived tables (not with GROUP BY — wrap the grouped select in a
+  derived table): `agg(col) OVER ([PARTITION BY cols] [ORDER BY col
+  [ASC|DESC], ...])` for SUM/MIN/MAX/COUNT/AVG (COUNT(*) too), plus
+  ROW_NUMBER(), RANK(), DENSE_RANK() (ORDER BY required), and
+  LAG/LEAD(col [, n]) (default n=1). Rows keep their original order;
+  the window orders internally (stable, NULLs last). Aggregates with
+  an OVER ORDER BY are cumulative with SQL's default RANGE frame
+  (peer rows — equal order keys — share the value); without one they
+  cover the whole partition. LAG/LEAD step over ROWS; out-of-
+  partition offsets are NULL. Applied on host at materialization,
+  like the text functions.
 - ORDER BY accepts output aliases, plain columns (device sort, top-k
   under LIMIT), and computed keys — arithmetic expressions,
   LENGTH(col), UPPER/LOWER(col) — which sort on host over the
@@ -158,6 +170,8 @@ _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
 # materialization, like UPPER/LOWER; WHERE-side folds stay upper/lower)
 _TEXT_FNS = {"upper", "lower", "trim", "ltrim", "rtrim",
              "substr", "substring", "concat"}
+# pure window functions (aggregates also become windows via OVER)
+_WIN_FNS = {"row_number", "rank", "dense_rank", "lag", "lead"}
 
 
 def _tokenize(text: str) -> List[Tuple[str, str]]:
@@ -228,6 +242,10 @@ class _Item:
             if self.fn == "substr":
                 return f"SUBSTR({self.col[0]})"
             return f"{self.fn.upper()}({self.col})"
+        if self.kind == "window":
+            if self.col is None:
+                return self.fn
+            return f"{self.fn}_{self.col}"
         if self.fn == "count" and self.col is None:
             return "count"
         if self.distinct:
@@ -403,6 +421,20 @@ class _Parser:
         else:
             it = self._item_core()
             parts = None
+        if it is not None and self._at_over():
+            # agg(col) OVER (...) / window fn: a window item
+            if it.kind == "window":
+                pass  # _item_core already consumed its OVER
+            elif it.kind != "agg" or it.distinct:
+                raise SqlError(
+                    "OVER follows an aggregate call or a window "
+                    "function (ROW_NUMBER/RANK/DENSE_RANK/LAG/LEAD)"
+                )
+            else:
+                w = _Item("window", col=it.col, fn=it.fn)
+                w.part, w.worder = self._over_clause()
+                w.offset = 0
+                it = w
         if self.peek() == ("op", "||"):
             # a || b || 'x' desugars to CONCAT(a, b, 'x')
             parts = parts or [self._as_concat_part(it)]
@@ -462,6 +494,9 @@ class _Parser:
             # TRIM(col), CONCAT(a, '-', b) — projection (the
             # WHERE-side fold is parsed separately in _leaf)
             return self._textfn_item()
+        if k == "name" and v.lower() in _WIN_FNS \
+                and self.peek(1) == ("punc", "("):
+            return self._window_fn_item()
         if k == "name" and v.lower() == "coalesce" \
                 and self.peek(1) == ("punc", "("):
             self.next()
@@ -512,6 +547,58 @@ class _Parser:
 
         it = _Item("expr")
         it.expr = VExpr(tree)
+        return it
+
+    def _at_over(self) -> bool:
+        k, v = self.peek()
+        return (k == "name" and v.lower() == "over"
+                and self.peek(1) == ("punc", "("))
+
+    def _over_clause(self):
+        """OVER ( [PARTITION BY cols] [ORDER BY col [ASC|DESC], ...] )
+        — returns (partition cols, [(order col, desc)])."""
+        self.next()  # 'over'
+        self.expect("punc", "(")
+        part, worder = [], []
+        if self.peek()[0] == "name" \
+                and self.peek()[1].lower() == "partition":
+            self.next()
+            self.expect("kw", "by")
+            part = self._name_list()
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                c = self._colref()
+                desc = bool(self.accept("kw", "desc"))
+                if not desc:
+                    self.accept("kw", "asc")
+                worder.append((c, desc))
+                if not self.accept("punc", ","):
+                    break
+        self.expect("punc", ")")
+        return part, worder
+
+    def _window_fn_item(self) -> _Item:
+        """ROW_NUMBER()/RANK()/DENSE_RANK() and LAG/LEAD(col [, n]),
+        each requiring an OVER clause."""
+        fn = self.next()[1].lower()
+        self.expect("punc", "(")
+        col, off = None, 1
+        if fn in ("lag", "lead"):
+            col = self._colref()
+            if self.accept("punc", ","):
+                off = self._number()
+                if not isinstance(off, int) or off < 1:
+                    raise SqlError(
+                        f"{fn.upper()} offset must be >= 1, got {off!r}")
+        self.expect("punc", ")")
+        if not self._at_over():
+            raise SqlError(f"{fn.upper()}() needs OVER (...)")
+        it = _Item("window", col=col, fn=fn)
+        it.part, it.worder = self._over_clause()
+        it.offset = off
+        if fn in ("rank", "dense_rank") and not it.worder:
+            raise SqlError(f"{fn.upper()}() needs ORDER BY in OVER")
         return it
 
     def _textfn_item(self) -> _Item:
@@ -1595,8 +1682,14 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
                     distinct=it.distinct)
         if isinstance(it.col, tuple):
             it2.col = tuple(deq(c) for c in it.col)
+        elif isinstance(it.col, VExpr):
+            it2.col = VExpr(deq_tree(it.col.tree))
         else:
             it2.col = deq(it.col)
+        if it.kind == "window":
+            it2.part = [deq(c) for c in it.part]
+            it2.worder = [(deq(c), d) for c, d in it.worder]
+            it2.offset = it.offset
         if it.kind == "expr":
             it2.expr = VExpr(deq_tree(it.expr.tree))
         def deq_cval(spec):
@@ -1642,8 +1735,9 @@ def _run_select(ast: _Ast, src, kw):
                 items.append(it)
     else:
         items = ast.items
-    has_computed = any(it.kind in ("coalesce", "case", "expr", "fold")
-                       for it in items)
+    has_computed = any(
+        it.kind in ("coalesce", "case", "expr", "fold", "window")
+        for it in items)
     for it in items:
         if it.kind == "agg":
             raise SqlError(
@@ -1747,6 +1841,13 @@ def _item_input_cols(it: _Item):
 
     if it.kind == "coalesce":
         return list(it.col)
+    if it.kind == "window":
+        out = list(it.part) + [c for c, _ in it.worder]
+        if isinstance(it.col, str):
+            out.append(it.col)
+        elif it.col is not None:  # VExpr
+            out.extend(it.col.columns())
+        return out
     if it.kind == "fold":
         if it.fn == "substr":
             return [it.col[0]]
@@ -2121,6 +2222,155 @@ def _fold_column(fr, it: _Item, resolve):
     return np.array(vals, object), okm, col
 
 
+def _window_column(fr, it: _Item, resolve):
+    """Evaluate a window item over a materialized frame (the values
+    are on host — plain selections materialize — so windows are host
+    passes, like the text functions). Semantics follow standard SQL:
+    rows keep their original order; the window orders internally by
+    PARTITION keys then the OVER ORDER BY keys (stable, NULLs last);
+    aggregates with an ORDER BY use the default RANGE UNBOUNDED
+    PRECEDING frame (peer rows — equal order keys — share the value),
+    without one they cover the whole partition; LAG/LEAD step over
+    ROWS within the partition; COUNT/SUM/AVG/MIN/MAX skip NULLs."""
+    from .frame import Col
+
+    from .query import VExpr, _host_multi_order_perm
+
+    n = len(fr)
+    part_cols = [resolve(c) for c in it.part]
+    order_refs = [(resolve(c), d) for c, d in it.worder]
+
+    def _colpair(ref):
+        return fr._columns[ref], fr._ok[ref]
+
+    sort_keys = [(c, False) for c in part_cols] + list(order_refs)
+    perm = (_host_multi_order_perm(n, _colpair, sort_keys)
+            if sort_keys else np.arange(n, dtype=np.int64))
+
+    def _tuples(refs):
+        if not refs:
+            return [()] * n
+        arrs = [(np.asarray(fr._columns[c]), fr._ok[c]) for c in refs]
+        return [tuple((None if (ok is not None and not ok[i])
+                       else _pykey(a[i])) for a, ok in arrs)
+                for i in range(n)]
+
+    ptup = _tuples(part_cols)
+    otup = _tuples([c for c, _ in order_refs])
+
+    vals = okm = vspec = None
+    if it.col is not None:
+        if isinstance(it.col, VExpr):
+            vals, okm, vspec = _expr_column(fr, it.col, resolve)
+        else:
+            src = resolve(it.col)
+            vals, okm, vspec = (np.asarray(fr._columns[src]),
+                                fr._ok[src], fr.schema[src])
+    numeric = vspec is not None and vspec.type in ("int32", "float",
+                                                   "float32")
+    is_int = vspec is not None and vspec.type == "int32"
+    fn = it.fn
+    if fn in ("sum", "mean") and not numeric:
+        raise SqlError(
+            f"{('AVG' if fn == 'mean' else 'SUM')}() OVER needs a "
+            f"numeric column, got {vspec.type if vspec else None!r}"
+        )
+
+    def _ok_at(i):
+        return okm is None or bool(okm[i])
+
+    # rows of each partition, in window order
+    parts: Dict[tuple, List[int]] = {}
+    for i in perm.tolist():
+        parts.setdefault(ptup[i], []).append(i)
+
+    out = np.empty(n, object)
+    ok_out = np.ones(n, bool)
+    for rows in parts.values():
+        if fn == "row_number":
+            for k, i in enumerate(rows):
+                out[i] = k + 1
+            continue
+        if fn in ("lag", "lead"):
+            off = it.offset if fn == "lead" else -it.offset
+            for k, i in enumerate(rows):
+                j = k + off
+                if 0 <= j < len(rows) and _ok_at(rows[j]):
+                    out[i] = vals[rows[j]]
+                else:
+                    out[i] = None
+                    ok_out[i] = False
+            continue
+        # peer groups: runs of equal OVER-ORDER-BY keys (the whole
+        # partition is one peer group when there is no ORDER BY)
+        groups: List[List[int]] = []
+        for i in rows:
+            if groups and otup[i] == otup[groups[-1][0]]:
+                groups[-1].append(i)
+            else:
+                groups.append([i])
+        if fn == "rank" or fn == "dense_rank":
+            seen_rows = 0
+            for gi, grp in enumerate(groups):
+                r = (gi + 1) if fn == "dense_rank" else seen_rows + 1
+                for i in grp:
+                    out[i] = r
+                seen_rows += len(grp)
+            continue
+        cumulative = bool(order_refs)
+        if not cumulative:
+            groups = [rows]  # one frame covering the partition
+        acc_cnt, acc_sum, acc_min, acc_max = 0, 0, None, None
+        for grp in groups:
+            for i in grp:
+                if it.col is not None and not _ok_at(i):
+                    continue
+                if fn == "count":
+                    acc_cnt += 1
+                    continue
+                v = vals[i]
+                if fn in ("sum", "mean"):
+                    acc_cnt += 1
+                    acc_sum += int(v) if is_int else float(v)
+                elif fn == "min":
+                    acc_min = v if acc_min is None \
+                        else min(acc_min, v)
+                elif fn == "max":
+                    acc_max = v if acc_max is None \
+                        else max(acc_max, v)
+            for i in grp:
+                if fn == "count":
+                    out[i] = acc_cnt
+                elif fn == "sum":
+                    out[i] = acc_sum if acc_cnt else None
+                    ok_out[i] = bool(acc_cnt)
+                elif fn == "mean":
+                    out[i] = (acc_sum / acc_cnt) if acc_cnt else None
+                    ok_out[i] = bool(acc_cnt)
+                elif fn == "min":
+                    out[i] = acc_min
+                    ok_out[i] = acc_min is not None
+                else:
+                    out[i] = acc_max
+                    ok_out[i] = acc_max is not None
+    ok_final = None if ok_out.all() else ok_out
+    if fn in ("row_number", "rank", "dense_rank", "count"):
+        return (np.array([int(v) for v in out], np.int64), None,
+                Col("int32"))
+    if fn == "mean":
+        arr = np.array([np.nan if v is None else v for v in out],
+                       np.float64)
+        return arr, ok_final, Col("float")
+    if fn == "sum":
+        if is_int:
+            return out, ok_final, Col("int32")  # exact Python ints
+        arr = np.array([np.nan if v is None else v for v in out],
+                       np.float64)
+        return arr, ok_final, Col("float")
+    # min/max/lag/lead carry source values
+    return out, ok_final, vspec
+
+
 def _project_items(fr, items, resolve):
     """Project a materialized frame onto SELECT items (cols +
     coalesce), applying aliases."""
@@ -2140,6 +2390,9 @@ def _project_items(fr, items, resolve):
             nm = it.alias or "coalesce"
         elif it.kind == "fold":
             vals, okm, col = _fold_column(fr, it, resolve)
+            nm = it.name()
+        elif it.kind == "window":
+            vals, okm, col = _window_column(fr, it, resolve)
             nm = it.name()
         elif it.kind == "col":
             srcn = resolve(it.col)
@@ -2264,6 +2517,11 @@ def _run_groupby(ast: _Ast, src, kw):
             raise SqlError(
                 "text-function items cannot combine with GROUP BY "
                 "(select them without GROUP BY)"
+            )
+        if it.kind == "window":
+            raise SqlError(
+                "window functions cannot combine with GROUP BY "
+                "(wrap the grouped select in a derived table)"
             )
         if it.kind == "col" and it.col not in keys:
             raise SqlError(
@@ -2712,10 +2970,10 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
     def _res_item(it: _Item) -> _Item:
         if it.kind == "star":
             raise SqlError("SELECT * cannot combine with GROUP BY")
-        if it.kind == "fold":
+        if it.kind in ("fold", "window"):
             raise SqlError(
-                "text-function items cannot combine with GROUP BY "
-                "(select them without GROUP BY)"
+                "text-function/window items cannot combine with "
+                "GROUP BY (select them without GROUP BY)"
             )
         if not isinstance(it.col, (str, type(None))):
             raise SqlError(
