@@ -1137,6 +1137,9 @@ def _vexpr_text(t) -> str:
         return f"{k.upper()}({_vexpr_text(t[1])})"
     if k == "round":
         return f"ROUND({_vexpr_text(t[1])}, {t[2][1]})"
+    if k == "cast":
+        to = "INTEGER" if t[2] == "int" else "FLOAT"
+        return f"CAST({_vexpr_text(t[1])} AS {to})"
     if k == "%":
         return f"MOD({_vexpr_text(t[1])}, {_vexpr_text(t[2])})"
     return f"({_vexpr_text(t[1])} {k} {_vexpr_text(t[2])})"
@@ -1170,7 +1173,9 @@ class VExpr:
     with round-half-to-even (the IEEE default — both twins use it);
     ("%", a, b) is TRUNCATED remainder (C semantics, sign of the
     dividend, lax.rem / np.fmod), b == 0 makes the row NOT-ok exactly
-    like division."""
+    like division; ("cast", a, "int"|"float") converts — float -> int32
+    truncates toward zero (SQL) saturating at the int32 limits,
+    int -> float32."""
 
     __slots__ = ("tree",)
 
@@ -1183,7 +1188,7 @@ class VExpr:
                 yield t[1]
             elif t[0] in ("neg", "abs", "floor", "ceil"):
                 yield from walk(t[1])
-            elif t[0] == "round":
+            elif t[0] in ("round", "cast"):
                 yield from walk(t[1])
             elif t[0] in ("+", "-", "*", "/", "%"):
                 yield from walk(t[1])
@@ -1283,6 +1288,18 @@ def _eval_vexpr(tape, names, tree, col_specs, dialect, sample: int,
             return v, ok, isf
         f = jnp.floor if k == "floor" else jnp.ceil
         return f(v), ok, isf
+    if k == "cast":
+        # CAST(e AS INTEGER/FLOAT): float -> int32 truncates toward
+        # zero (SQL) and saturates at the int32 limits (XLA convert
+        # semantics; the host twin clips to match); int -> float32
+        v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
+                                 dialect, sample, records)
+        to_f = tree[2] == "float"
+        if to_f == isf:
+            return v, ok, isf
+        if to_f:
+            return v.astype(jnp.float32), ok, True
+        return v.astype(jnp.int32), ok, False
     if k == "round":
         v, ok, isf = _eval_vexpr(tape, names, tree[1], col_specs,
                                  dialect, sample, records)

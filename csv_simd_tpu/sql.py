@@ -30,7 +30,10 @@ Supported grammar (case-insensitive keywords):
   on floats; ROUND(x [, d]) — d decimal places (negative d rounds to
   tens/hundreds), identity on ints with d >= 0, else float32
   round-half-to-even; MOD(a, b) or a % b — truncated remainder with
-  the dividend's sign, b = 0 makes the row NULL like division)
+  the dividend's sign, b = 0 makes the row NULL like division;
+  CAST(expr AS INTEGER|FLOAT/REAL) composes anywhere in an
+  expression: float -> int truncates toward zero saturating at the
+  int32 limits, int -> float32)
   | agg(column) | agg(expression) — SUM(qty*price)
   etc. evaluate the expression on device before the group reduce |
   COALESCE(col, col [, ...]) |
@@ -736,6 +739,23 @@ class _Parser:
                 d = -dv if neg else dv
             self.expect("punc", ")")
             return ("round", e, ("lit", d))
+        if k == "name" and v.lower() == "cast" \
+                and self.peek(1) == ("punc", "("):
+            self.next()
+            self.expect("punc", "(")
+            e = self._vexpr()
+            self.expect("kw", "as")
+            ty = self.expect("name")[1].lower()
+            if ty in ("int", "integer", "bigint", "smallint"):
+                ty = "int"
+            elif ty in ("float", "real", "double"):
+                ty = "float"
+            else:
+                raise SqlError(
+                    f"CAST target must be INTEGER or FLOAT/REAL, "
+                    f"got {ty!r}")
+            self.expect("punc", ")")
+            return ("cast", e, ty)
         if k == "name" and v.lower() == "mod" \
                 and self.peek(1) == ("punc", "("):
             self.next()
@@ -1651,6 +1671,8 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
             return (t[0], deq(t[1]))
         if t[0] in ("neg", "abs", "floor", "ceil"):
             return (t[0], deq_tree(t[1]))
+        if t[0] == "cast":
+            return ("cast", deq_tree(t[1]), t[2])
         if t[0] == "lit":
             return t
         return (t[0], deq_tree(t[1]), deq_tree(t[2]))
@@ -1957,6 +1979,20 @@ def _expr_column(fr, vx, resolve):
                 return v, ok, isf
             return (np.floor(v) if k == "floor" else np.ceil(v),
                     ok, isf)
+        if k == "cast":
+            v, ok, isf = ev(t[1])
+            to_f = t[2] == "float"
+            if to_f == isf:
+                return v, ok, isf
+            if to_f:
+                return v.astype(np.float32), ok, True
+            # float -> int32: truncate toward zero, SATURATE at the
+            # int32 limits (XLA's convert clamps; measured, not
+            # assumed — np would wrap)
+            with np.errstate(invalid="ignore"):
+                t0 = np.clip(np.trunc(v.astype(np.float64)),
+                             -2147483648.0, 2147483647.0)
+                return t0.astype(np.int32), ok, False
         if k == "round":
             v, ok, isf = ev(t[1])
             d = int(t[2][1])

@@ -309,3 +309,29 @@ def test_scalar_functions_compose_and_roundtrip():
     # errors: ROUND with a float place count
     with pytest.raises(SqlError, match="integer number of decimal"):
         sql("SELECT ROUND(price, 1.5) FROM t", CSV, schema=S)
+
+
+def test_cast_int_and_float():
+    csv = b"a,b\n7,2.9\n-3,-2.9\n10,1e9\n"
+    s = {"a": "int32", "b": "float"}
+    fr = sql("SELECT CAST(b AS INTEGER) AS i, CAST(a AS FLOAT) AS f, "
+             "CAST(a / 2 AS INTEGER) AS h FROM t", csv, schema=s)
+    # float -> int truncates toward zero
+    assert fr["i"].tolist() == [2, -2, 1000000000]
+    assert fr["f"].tolist() == pytest.approx([7.0, -3.0, 10.0])
+    # division promotes to float; the cast truncates back
+    assert fr["h"].tolist() == [3, -1, 5]
+    # in WHERE, on device
+    fr = sql("SELECT a FROM t WHERE CAST(b AS INTEGER) = 2", csv,
+             schema=s)
+    assert fr["a"].tolist() == [7]
+    # saturation at the int32 limits (XLA convert semantics)
+    csv2 = b"x\n4e9\n-4e9\n"
+    fr = sql("SELECT CAST(x AS INT) AS i FROM t", csv2,
+             schema={"x": "float"})
+    assert fr["i"].tolist() == [2147483647, -2147483648]
+    # identity casts are no-ops; aggregates accept cast expressions
+    r = sql("SELECT SUM(CAST(b AS INTEGER)) AS s FROM t", csv, schema=s)
+    assert r["s"][0] == 2 + -2 + 1000000000
+    with pytest.raises(SqlError, match="CAST target"):
+        sql("SELECT CAST(a AS TEXT) FROM t", csv, schema=s)
