@@ -105,7 +105,10 @@ Supported grammar (case-insensitive keywords):
   literal, BETWEEN x AND y, IN (a, b, ...) or IN (SELECT ...) — the
   inner select (one output column, its own device pushdowns) runs
   first and its distinct non-NULL values become the IN list the
-  outer predicate compiles against — LIKE 'pat' [ESCAPE 'c']
+  outer predicate compiles against; a SCALAR subquery may be the
+  right side of any comparison (`qty > (SELECT AVG(qty) FROM t)`):
+  at most one row, empty/NULL matches nothing — LIKE 'pat'
+  [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
   anywhere incl. mid-pattern — greedy in-order segment matching;
   '_' = exactly one byte; ESCAPE makes the next char literal;
@@ -274,16 +277,20 @@ class _Union:
 
 
 class _InSubquery:
-    """Placeholder value of a `col IN (SELECT ...)` leaf: the inner
+    """Placeholder value of a `col IN (SELECT ...)` leaf — or, with
+    scalar=True, of a `col op (SELECT ...)` comparison. The inner
     select (one output column) runs at dispatch time — device
-    pushdowns and all — and its distinct non-NULL values replace this
-    node, so the leaf compiles like any literal IN list."""
+    pushdowns and all — and its values replace this node, so the leaf
+    compiles like any literal: IN gets the distinct non-NULL values;
+    a scalar comparison needs at most ONE row (empty = SQL NULL,
+    matching nothing; more than one raises)."""
 
-    def __init__(self, ast):
+    def __init__(self, ast, scalar: bool = False):
         self.ast = ast
+        self.scalar = scalar
 
     def __repr__(self) -> str:
-        return "IN (SELECT ...)"
+        return "(SELECT ...)" if self.scalar else "IN (SELECT ...)"
 
 
 class _Ast:
@@ -969,6 +976,13 @@ class _Parser:
             op = self.expect("op")[1]
             if self.peek()[0] == "str":
                 leaf = (col, op, self.next()[1])
+            elif self.peek() == ("punc", "(") \
+                    and self.peek(1) == ("kw", "select"):
+                # scalar subquery comparison: col op (SELECT ...)
+                self.next()
+                sub = self._union()
+                self.expect("punc", ")")
+                leaf = (col, op, _InSubquery(sub, scalar=True))
             else:
                 rhs = self._vexpr()
                 if rhs[0] == "lit":
@@ -1506,6 +1520,48 @@ def _in_subquery_values(sub: _InSubquery, resolve_table, kw):
     return out
 
 
+def _scalar_subquery_value(sub: _InSubquery, resolve_table, kw):
+    """The single value of a scalar subquery comparison, as a Python
+    scalar; None for an empty result or a NULL value (SQL: the
+    comparison is unknown, matching nothing); >1 row raises."""
+    kw2 = kw
+    if kw.get("schema"):
+        refs = _referenced_cols(sub.ast)
+        if refs is not None:
+            pruned = {k: v for k, v in kw["schema"].items()
+                      if k in refs}
+            kw2 = dict(kw, schema=(pruned or None))
+    fr = _as_frame(_dispatch(sub.ast, resolve_table, kw2))
+    if len(fr.names) != 1:
+        raise SqlError(
+            f"a scalar subquery needs exactly one output column, "
+            f"got {fr.names}"
+        )
+    if len(fr) > 1:
+        raise SqlError(
+            f"scalar subquery returned {len(fr)} rows (expected at "
+            "most one — aggregate it, or add LIMIT 1)"
+        )
+    if len(fr) == 0:
+        return None
+    nm = fr.names[0]
+    ok = fr._ok[nm]
+    if ok is not None and not ok[0]:
+        return None
+    v = np.asarray(fr._columns[nm])[0]
+    if v is None:
+        return None
+    if isinstance(v, (bytes, np.bytes_)):
+        return bytes(v).decode("utf-8", "surrogateescape")
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.str_):
+        return str(v)
+    return v
+
+
 def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
     """Replace every _InSubquery in the statement's WHERE tree (and
     CASE WHEN conditions) with its materialized value list, in place,
@@ -1516,6 +1572,25 @@ def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
             return None
         if isinstance(e, tuple) and len(e) == 3:
             if isinstance(e[2], _InSubquery):
+                if e[2].scalar:
+                    v = _scalar_subquery_value(e[2], resolve_table,
+                                               kw)
+                    if v is None:
+                        # empty / NULL scalar: SQL NULL comparison
+                        # matches nothing — an empty IN list compiles
+                        # to exactly that
+                        return (e[0], "in", [])
+                    if isinstance(v, float) and isinstance(e[0], str):
+                        # a fractional scalar (e.g. AVG) vs an int32
+                        # column: the arithmetic comparison promotes
+                        # both sides to float32 on device, instead of
+                        # the integral-literal strictness of plain
+                        # typed leaves
+                        from .query import VExpr
+
+                        return (VExpr(("col", e[0])), e[1],
+                                VExpr(("lit", v)))
+                    return (e[0], e[1], v)
                 return (e[0], e[1],
                         _in_subquery_values(e[2], resolve_table, kw))
             return e

@@ -323,3 +323,29 @@ def test_in_subquery_with_aggregate_inner():
              "(SELECT DISTINCT qty FROM t WHERE sym = 'AA')",
             csv, schema=s)
     assert [str(v) for v in fr["sym"]] == ["AA", "AA"]
+
+
+def test_scalar_subquery_comparison():
+    csv = b"sym,qty\nBB,1\nAA,2\nCC,3\nAA,9\n"
+    s = {"qty": "int32"}
+    fr = sql("SELECT sym, qty FROM t WHERE qty > "
+             "(SELECT AVG(qty) FROM t)", csv, schema=s)
+    # avg = 3.75 -> only 9
+    assert [str(v) for v in fr["sym"]] == ["AA"]
+    fr = sql("SELECT sym FROM t WHERE qty = (SELECT MAX(qty) FROM t)",
+             csv, schema=s)
+    assert [str(v) for v in fr["sym"]] == ["AA"]
+    # text scalar; cross-table
+    t = {"x": csv, "y": b"k\nCC\n"}
+    fr = sql("SELECT qty FROM x WHERE sym = (SELECT k FROM y)",
+             tables=t, schema=s)
+    assert fr["qty"].tolist() == [3]
+    # empty scalar matches nothing (SQL NULL comparison)
+    fr = sql("SELECT sym FROM x WHERE qty < "
+             "(SELECT MAX(qty) FROM x WHERE qty > 100)",
+             tables=t, schema=s)
+    assert len(fr) == 0
+    # more than one row raises
+    with pytest.raises(SqlError, match="scalar subquery returned"):
+        sql("SELECT sym FROM x WHERE qty = (SELECT qty FROM x)",
+            tables=t, schema=s)
