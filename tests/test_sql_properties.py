@@ -115,3 +115,115 @@ def test_where_tree_roundtrip(tree):
     fr = sql(f"SELECT sym FROM t WHERE {_render(tree)}", CSV,
              schema={"qty": "int32", "sym": "str"})
     assert fr.records.tolist() == want
+
+
+# ---------------------------------------------------- window property
+
+
+_wfn = st.sampled_from(["sum", "count", "min", "max", "avg",
+                        "row_number", "rank", "dense_rank"])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.sampled_from("abc"), st.integers(0, 6)),
+             min_size=1, max_size=25),
+    _wfn,
+    st.booleans(),   # ORDER BY in OVER?
+    st.booleans(),   # DESC?
+)
+def test_window_differential(rows, fn, ordered, desc):
+    if fn in ("rank", "dense_rank") and not ordered:
+        ordered = True
+    csv = b"g,v\n" + b"".join(f"{g},{v}\n".encode() for g, v in rows)
+    call = {"sum": "SUM(v)", "count": "COUNT(v)", "min": "MIN(v)",
+            "max": "MAX(v)", "avg": "AVG(v)",
+            "row_number": "ROW_NUMBER()", "rank": "RANK()",
+            "dense_rank": "DENSE_RANK()"}[fn]
+    over = "PARTITION BY g"
+    if ordered:
+        over += " ORDER BY v" + (" DESC" if desc else "")
+    fr = sql(f"SELECT {call} OVER ({over}) AS w FROM t", csv,
+             schema={"v": "int32"})
+
+    # oracle: stable order by (g asc[, v asc/desc when ordered])
+    n = len(rows)
+    perm = list(range(n))
+    if ordered:
+        perm.sort(key=lambda i: rows[i][1] if not desc
+                  else -rows[i][1])
+    perm.sort(key=lambda i: rows[i][0])
+    want = [None] * n
+    by_g = {}
+    for i in perm:
+        by_g.setdefault(rows[i][0], []).append(i)
+    for g, idxs in by_g.items():
+        # peer groups by order key (whole partition when unordered)
+        groups, cur = [], []
+        for i in idxs:
+            if cur and (not ordered
+                        or rows[i][1] == rows[cur[0]][1]):
+                cur.append(i)
+            else:
+                if cur:
+                    groups.append(cur)
+                cur = [i]
+        groups.append(cur)
+        if not ordered:
+            groups = [idxs]
+        if fn == "row_number":
+            for k, i in enumerate(idxs):
+                want[i] = k + 1
+            continue
+        if fn in ("rank", "dense_rank"):
+            seen = 0
+            for gi, grp in enumerate(groups):
+                r = gi + 1 if fn == "dense_rank" else seen + 1
+                for i in grp:
+                    want[i] = r
+                seen += len(grp)
+            continue
+        acc = []
+        for grp in groups:
+            acc.extend(rows[i][1] for i in grp)
+            val = {"sum": sum(acc), "count": len(acc),
+                   "min": min(acc), "max": max(acc),
+                   "avg": sum(acc) / len(acc)}[fn]
+            for i in grp:
+                want[i] = val
+    got = fr["w"].tolist()
+    if fn == "avg":
+        assert got == [float(w) for w in want] or \
+            np.allclose(got, want)
+    else:
+        assert [int(v) for v in got] == want
+
+
+# ------------------------------------------------- set-op property
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.sampled_from(["AA", "BB", "CC", "DD"]),
+             min_size=1, max_size=10),
+    st.lists(st.sampled_from(["AA", "BB", "CC", "DD"]),
+             min_size=1, max_size=10),
+    st.sampled_from(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"]),
+)
+def test_setop_differential(a, b, op):
+    ta = b"sym\n" + "".join(f"{v}\n" for v in a).encode()
+    tb = b"sym\n" + "".join(f"{v}\n" for v in b).encode()
+    fr = sql(f"SELECT sym FROM x {op} SELECT sym FROM y",
+             tables={"x": ta, "y": tb})
+    got = [str(v) for v in fr["sym"]]
+    if op == "UNION ALL":
+        want = a + b
+    elif op == "UNION":
+        want = list(dict.fromkeys(a + b))
+    elif op == "EXCEPT":
+        want = [v for v in dict.fromkeys(a) if v not in set(b)]
+    else:
+        want = [v for v in dict.fromkeys(a) if v in set(b)]
+    assert got == want
