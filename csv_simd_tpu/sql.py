@@ -1197,6 +1197,16 @@ def _explain_any(ast) -> str:
     return _explain_ast(ast)
 
 
+def _has_subquery(e) -> bool:
+    if isinstance(e, tuple) and len(e) == 3:
+        return isinstance(e[2], _InSubquery)
+    if isinstance(e, tuple) and len(e) == 2 and e[0] in ("and", "or"):
+        return any(_has_subquery(x) for x in e[1])
+    if isinstance(e, tuple) and len(e) == 2 and e[0] == "not":
+        return _has_subquery(e[1])
+    return False
+
+
 def _explain_ast(ast: _Ast) -> str:
     has_agg = any(it.kind == "agg" for it in ast.items)
     derived = ast.table[0] == "subquery" and ast.join_table is None
@@ -1226,6 +1236,10 @@ def _explain_ast(ast: _Ast) -> str:
                "pushdown: only matching rows are ever gathered)")
         lines.append(f"WHERE -> {tgt}")
         lines.append(f"  tree: {ast.where!r}")
+        if _has_subquery(ast.where):
+            lines.append(
+                "  subqueries run FIRST (their own device pushdowns);"
+                " values inline into the leaf before compilation")
     if ast.group_by or (ast.distinct and not has_agg):
         if derived:
             how = ("host group over the derived frame "
@@ -1276,6 +1290,13 @@ def _explain_ast(ast: _Ast) -> str:
                       or ast.distinct or derived)
                   else "device sort (top-k when LIMIT)")
         lines.append(f"ORDER BY {keys} -> {where_}")
+    wins = [it for it in ast.items if it.kind == "window"]
+    if wins:
+        lines.append(
+            "WINDOW "
+            + ", ".join(it.name() for it in wins)
+            + " -> host pass over the materialized frame "
+            "(stable partition+order sort, peer-frame aggregates)")
     if ast.limit is not None:
         lines.append(f"LIMIT {ast.limit}"
                      + (f" OFFSET {ast.offset}" if ast.offset else ""))
