@@ -21,10 +21,14 @@ stage1_fused_seq), per tools/ablate2.py measurements:
   prefix-XOR + int8 MXU lane/row scans) — measured ablations showed
   scan/mask work on narrow (T,16) packed tensors lowers ~10x worse
   per element than full-width, so scanning BEFORE packing wins;
-- the pack is the 4-bit nibble compress (multiply-gather) + two
-  (128,16) bf16 matmuls whose outputs combine as lo | hi << 16 with no
-  lane movement (single-(128,32)-matmul variants measured 11% faster
-  but miscompile on this toolchain — see the in-kernel note).
+- the pack is the 4-bit nibble compress (multiply-gather) + MXU
+  matmuls: pack_mode='mm2' (two (128,16) matmuls, lo | hi << 16, no
+  lane movement) or 'mm1'/'mm1r' (one (128,32) matmul + slice/roll
+  combine, ~11% faster whole-kernel but dependent on the toolchain's
+  (T,32) matmul-output path: MISCOMPILED in round 2, and in round 3
+  STILL miscompiles in-kernel even though the isolated probes pass —
+  tools/mosaic_probes.py's mm1_in_context probe is the adoption
+  signal; the on-chip compiled-vs-golden gate is the final arbiter).
 
 Reference lineage: the same fused pass as avx/stage1.rs:193-430; SWAR
 equality replaces the vpshufb nibble LUTs, MXU matmuls replace both
@@ -68,10 +72,21 @@ def _seq_pack_weights16() -> np.ndarray:
     return w
 
 
+def _seq_pack_weights32() -> np.ndarray:
+    """(128, 32) stacked [lo | hi] variant of _seq_pack_weights16: one
+    matmul emits both halves (lanes 0..15 = lo, 16..31 = hi), halving
+    MXU passes at the cost of a lane-slice combine. Usable ONLY when
+    the toolchain's (T,32) matmul-output path lowers correctly —
+    tools/mosaic_probes.py checks; bench.py's on-chip gate guards."""
+    w16 = _seq_pack_weights16()
+    return np.concatenate([w16[0], w16[1]], axis=1)
+
+
 def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
     packed_ref, parity_ref, nonascii_ref, *rest,
     dialect: Dialect, tile: int, emit_counts: bool, count_nonascii: bool,
+    pack_mode: str,
 ):
     counts_ref = rest[0] if emit_counts else None
     carry_sm = rest[-1]
@@ -134,19 +149,38 @@ def _stage1_v4_kernel(
     # (see swar.swar_nibble_compress's proof)
     v = (masked_u * 0x01020408) >> 24
     vb = v.astype(jnp.bfloat16)
-    # NOTE: do NOT "optimize" this into one (128,32) matmul with either
-    # an offset lane-slice combine or a pltpu.roll combine: both passed
-    # every interpret-mode test and both MISCOMPILED on the real chip
-    # (the (T,32) matmul-output path is broken in this Mosaic; caught
-    # twice by bench.py's on-chip gate, round 2). Two (128,16) matmuls
-    # whose outputs align in lanes 0..15 are the verified construction.
-    lo = jax.lax.dot_general(
-        vb, wlo_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    hi = jax.lax.dot_general(
-        vb, whi_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    packed_ref[:] = lo | (hi << 16)
+    # Pack constructions, in history order:
+    # - mm2 (round-2 default): two (128,16) matmuls whose outputs align
+    #   in lanes 0..15, no lane movement — the construction that stayed
+    #   correct while the round-2 Mosaic miscompiled every consumer of
+    #   a (T,32) matmul output (caught twice by bench.py's gate).
+    # - mm1/mm1r: one (128,32) matmul emitting both halves, combined by
+    #   an offset lane slice / pltpu.roll — measured 11% faster, BROKEN
+    #   on the round-2 toolchain. Round 3: the ISOLATED (T,32) probes
+    #   (tools/mosaic_probes.py) started passing, but BOTH variants
+    #   still miscompile inside this full kernel (6570 mismatched bits
+    #   on the 700 KB gate corpus, interpret bit-exact) — the
+    #   mm1_in_context probe is the only adoption signal; mm2 stays
+    #   the default.
+    if pack_mode == "mm1":
+        out = jax.lax.dot_general(
+            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        packed_ref[:] = out[:, :WORDS] | (out[:, WORDS:] << 16)
+    elif pack_mode == "mm1r":
+        out = jax.lax.dot_general(
+            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        comb = out | (pltpu.roll(out, WORDS, 1) << 16)
+        packed_ref[:] = comb[:, :WORDS]
+    else:
+        lo = jax.lax.dot_general(
+            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        hi = jax.lax.dot_general(
+            vb, whi_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        packed_ref[:] = lo | (hi << 16)
     if emit_counts:
         # per-row structural popcounts, fused: the offsets-free index
         # needs cumsum(row_counts); emitting them here saves the prefix
@@ -168,7 +202,7 @@ def _stage1_v4_kernel(
     jax.jit,
     static_argnames=(
         "dialect", "row_tile", "interpret", "vma", "emit_counts",
-        "count_nonascii",
+        "count_nonascii", "pack_mode",
     ),
 )
 def stage1_fused_v4(
@@ -180,6 +214,7 @@ def stage1_fused_v4(
     vma: tuple = (),
     emit_counts: bool = False,
     count_nonascii: bool = True,
+    pack_mode: str = "mm2",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count[,
@@ -199,13 +234,18 @@ def stage1_fused_v4(
 
     triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
-    wboth = _seq_pack_weights16()
-    wlo = jnp.asarray(wboth[0], jnp.bfloat16)
-    whi = jnp.asarray(wboth[1], jnp.bfloat16)
+    if pack_mode in ("mm1", "mm1r"):
+        wlo = jnp.asarray(_seq_pack_weights32(), jnp.bfloat16)
+        whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread
+    else:
+        wboth = _seq_pack_weights16()
+        wlo = jnp.asarray(wboth[0], jnp.bfloat16)
+        whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
     kernel = functools.partial(
         _stage1_v4_kernel, dialect=dialect, tile=tile,
         emit_counts=emit_counts, count_nonascii=count_nonascii,
+        pack_mode=pack_mode,
     )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:

@@ -104,3 +104,21 @@ def test_v4_emit_counts():
     assert bool(jnp.array_equal(ref, got))
     want = np.asarray(jax.lax.population_count(ref)).sum(axis=1)
     np.testing.assert_array_equal(np.asarray(cnt)[:, 0], want)
+
+
+@pytest.mark.parametrize("pack_mode", ["mm1", "mm1r"])
+def test_v4_pack_modes_match_mm2(pack_mode):
+    """The single-(128,32)-matmul packs must emit the exact packed
+    words of the default two-matmul construction (interpret mode here;
+    the COMPILED check is bench/verify_chip territory — the round-2
+    Mosaic miscompiled exactly this path while interpret stayed
+    bit-exact, so a green interpret run alone never justifies
+    adoption)."""
+    data = _rand(200_000, seed=3)
+    w2d = jnp.asarray(pad_to_words(data))
+    for carry in (0, 1):
+        ref, rpar, _ = stage1_fused_v4(w2d, carry, interpret=True)
+        got, gpar, _ = stage1_fused_v4(w2d, carry, interpret=True,
+                                       pack_mode=pack_mode)
+        assert bool(jnp.array_equal(ref, got))
+        assert int(rpar) == int(gpar)

@@ -184,9 +184,21 @@ def mk(mode, tile):
     elif mode == "v4":
         from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
         kw = {}
+    elif mode == "v4mm1":
+        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
+        kw = {"pack_mode": "mm1"}
+    elif mode == "v4mm1r":
+        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
+        kw = {"pack_mode": "mm1r"}
     elif mode == "v4nc":  # v4 without the fused non-ASCII reduce
         from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
         kw = {"count_nonascii": False}
+    elif mode == "v4ncmm1":  # production config + single-matmul pack
+        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
+        kw = {"count_nonascii": False, "pack_mode": "mm1"}
+    elif mode == "v4ncmm1r":
+        from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4 as f
+        kw = {"count_nonascii": False, "pack_mode": "mm1r"}
 
     else:
         raise SystemExit(f"unknown mode {mode}")

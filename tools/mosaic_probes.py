@@ -179,6 +179,39 @@ def _p_unsigned():
     return _run_both(kernel, ((1, 1), jnp.uint32), a)
 
 
+@probe("mm1_in_context",
+       "the FULL v4 kernel with pack_mode='mm1' vs golden — the probe "
+       "that decides adoption (round 3: isolated (T,32) probes passed "
+       "while this still miscompiled)")
+def _p_mm1_in_context():
+    from csv_simd_tpu import golden
+    from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+    from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
+
+    rng = np.random.default_rng(2026)
+    data = rng.choice(
+        np.frombuffer(b'ab"",\n\rx,z":; \t09\xa2\x8a\x8d\xac\xff',
+                      dtype=np.uint8),
+        size=700_000,
+    )
+    ref = golden.structural_mask(data)
+    w2d = jnp.asarray(pad_to_words(data))
+    try:
+        p4, _, _ = stage1_fused_v4(w2d, 0, row_tile=512,
+                                   count_nonascii=False,
+                                   pack_mode="mm1")
+    except Exception as e:  # pragma: no cover - crash counts as broken
+        return "broken-crash", str(e)[:120]
+    m4 = np.unpackbits(
+        np.ascontiguousarray(np.asarray(p4)).view("<u4").view(np.uint8),
+        bitorder="little",
+    )[: data.size]
+    bad = int((m4 != ref).sum())
+    if bad:
+        return "broken-wrong", f"{bad} mismatched bits vs golden"
+    return "fixed", "compiled mm1 pack bit-identical to golden"
+
+
 def main():
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -198,11 +231,16 @@ def main():
         results[name] = status
         print(f"{name:18s} {status:18s} {detail}   [{note}]")
     print(json.dumps({"platform": plat, "probes": results}))
-    if results.get("matmul32_slice") == "fixed" \
+    if results.get("mm1_in_context") == "fixed":
+        print("# the mm1 pack now compiles correctly IN CONTEXT: run "
+              "the same-batch A/B (tools/ablate2.py v4ncmm1:512 "
+              "v4nc:512) and adopt if it wins — expected ~11% on the "
+              "v4 build (PERF_NOTES).", file=sys.stderr)
+    elif results.get("matmul32_slice") == "fixed" \
             and results.get("matmul32_roll") == "fixed":
-        print("# (T,32) matmul outputs now lower correctly: re-run the "
-              "single-matmul pack ablation (tools/ablate2.py) — "
-              "expected ~11% on the v4 build (PERF_NOTES).",
+        print("# isolated (T,32) probes pass but the in-context pack "
+              "is still broken — round 3 showed the isolated probes "
+              "are NOT sufficient; trust mm1_in_context only.",
               file=sys.stderr)
 
 
