@@ -59,8 +59,21 @@ def fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
 def prefix_for_packed(packed: jnp.ndarray) -> jnp.ndarray:
     """Inclusive ROW-granularity popcount prefix over (rows, 16) packed
     words: cumsum of per-row bit counts. 1/16 the scan length of a
-    per-word prefix; queries resolve within-row at lookup time."""
-    row_counts = jnp.sum(jax.lax.population_count(packed), axis=1)
+    per-word prefix; queries resolve within-row at lookup time.
+
+    The popcount + per-row reduce runs at (rows/8, 128) full width
+    (narrow (T,16) ops lower worse on this TPU — PERF_NOTES), then
+    shrinks back to per-row sums: measured 14.0 vs 16.6 us/pass on
+    64 MiB, bit-identical (tools/prefix_ablate.py; MXU-matmul segment
+    reduces measured 4-5x WORSE and were rejected)."""
+    rows = packed.shape[0]
+    if rows % 8 == 0 and rows >= 8:
+        wide = packed.reshape(rows // 8, 128)
+        pc = jax.lax.population_count(wide)
+        row_counts = pc.reshape(rows // 8, 8, 16).sum(
+            axis=-1, dtype=jnp.int32).reshape(rows)
+    else:
+        row_counts = jnp.sum(jax.lax.population_count(packed), axis=1)
     return fast_cumsum_i32(row_counts)
 
 
