@@ -195,12 +195,28 @@ def join_records(
                              so they qualify for "anti" (set
                              complement, like the `not` predicate).
 
+    - "cross"              — every (left, right) pair (Cartesian
+                             product; `on`/`right_on` are ignored and
+                             may be None), grouped by left row in
+                             left-record order
+
     `left_records`/`right_records` restrict either side (e.g. from
     select_records pushdown)."""
-    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti",
+                   "cross"):
         raise ValueError(
-            f"how must be inner|left|right|outer|semi|anti, got {how!r}"
+            "how must be inner|left|right|outer|semi|anti|cross, "
+            f"got {how!r}"
         )
+    if how == "cross":
+        l_ids = (np.asarray(left_records, np.int32)
+                 if left_records is not None
+                 else np.arange(_n(left_tape), dtype=np.int32))
+        r_ids = (np.asarray(right_records, np.int32)
+                 if right_records is not None
+                 else np.arange(_n(right_tape), dtype=np.int32))
+        return (np.repeat(l_ids, r_ids.size),
+                np.tile(r_ids, l_ids.size))
     if how == "right":
         r_ids, l_ids = join_records(
             right_tape, left_tape,
@@ -370,7 +386,9 @@ def join_typed(
                 return parse_spec(v)
         return None
 
-    if isinstance(on, (list, tuple)):
+    if how == "cross":
+        l_spec = r_spec = None  # no join key to type
+    elif isinstance(on, (list, tuple)):
         ron = list(right_on) if right_on is not None else list(on)
         l_spec = [_override(ln, schema, _field_index(ln, k))
                   for k in on]

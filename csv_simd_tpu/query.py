@@ -1397,6 +1397,10 @@ def _where_leaves(where):
         if len(where) == 2 and where[0] == "not":
             yield from _where_leaves(where[1])
             return
+        if len(where) == 2 and where[0] == "exists":
+            # unresolved EXISTS subquery (sql layer): no column leaves
+            # of its own — its references live in its inner statement
+            return
     elif isinstance(where, list):
         for e in where:
             yield from _where_leaves(e)

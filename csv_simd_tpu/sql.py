@@ -15,7 +15,9 @@ Supported grammar (case-insensitive keywords):
     SELECT [DISTINCT] * | item [, item ...]
     FROM table [[AS] alias]
         [ [INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN table [[AS] alias]
-                 ON a.col = b.col [AND a.col2 = b.col2 ...] ]
+                 ON a.col = b.col [AND a.col2 = b.col2 ...]
+                 | USING (col [, col ...])
+          | CROSS JOIN table [[AS] alias] ]
     [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
     [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n [OFFSET m]]
 
@@ -53,7 +55,9 @@ Supported grammar (case-insensitive keywords):
   joined frame. SUM/AVG(DISTINCT ...) are not supported.
   COALESCE takes the first non-NULL column per row (same column type
   required; plain selections and joins — e.g. merging the two key
-  columns of a FULL OUTER JOIN). Text functions are also SELECT items
+  columns of a FULL OUTER JOIN); IFNULL(a, b) is its two-column
+  form. NULLIF(a, b) is column a, NULL where it equals b (a column,
+  number or 'string') — sugar for CASE WHEN a != b THEN a END. Text functions are also SELECT items
   (plain selections and joins; not with GROUP BY), applied on host at
   materialization (the values land on host anyway): UPPER(col)/
   LOWER(col) — ASCII-only fold of the decoded text; TRIM/LTRIM/
@@ -61,6 +65,10 @@ Supported grammar (case-insensitive keywords):
   default str spec already trims OUTER spaces at decode — pass
   Col("str", trim=False) in the schema to keep them);
   SUBSTR(col, start [, len]) / SUBSTRING — 1-based start;
+  REPLACE(col, 'from', 'to') — all occurrences, an empty 'from'
+  returns the text unchanged (SQLite); INSTR(col, 'sub') — 1-based
+  position of the first occurrence, 0 when absent (an INT column,
+  usable as an ORDER BY key but not inside CONCAT);
   CONCAT(part, part, ...) and the `a || b || 'x'` operator — parts
   are text columns, 'string literals', or nested text functions
   (a row is NULL if any column part is NULL).
@@ -101,14 +109,26 @@ Supported grammar (case-insensitive keywords):
   rows absent from / present in the branch, first occurrence kept.
   A trailing ORDER BY/LIMIT binds to the LAST branch — wrap the union
   in a derived table to order/limit the whole.
+- JOIN sides may also pair with `USING (k [, k2 ...])` (sugar for
+  ON l.k = r.k AND ...) and `CROSS JOIN` takes no condition: the
+  Cartesian record-id product materializes both sides by gathered
+  ids (join.join_records how='cross'); WHERE/items run the same
+  joined-frame host twins.
 - expr: comparisons (= == != <> < <= > >=) of a column against a
   literal, BETWEEN x AND y, IN (a, b, ...) or IN (SELECT ...) — the
   inner select (one output column, its own device pushdowns) runs
   first and its distinct non-NULL values become the IN list the
   outer predicate compiles against; a SCALAR subquery may be the
   right side of any comparison (`qty > (SELECT AVG(qty) FROM t)`):
-  at most one row, empty/NULL matches nothing — LIKE 'pat'
-  [ESCAPE 'c']
+  at most one row, empty/NULL matches nothing — [NOT] EXISTS
+  (SELECT ...): an uncorrelated inner runs once and folds to a
+  constant through the AND/OR/NOT tree (a whole-tree TRUE drops the
+  WHERE, FALSE matches nothing); a correlated inner whose
+  correlation is exactly one top-level equality conjunct
+  `inner.col = outer.col` rewrites to the equivalent
+  `outer_col IN (SELECT inner_col ...)` semi-join (inner aliases
+  shadow outer names, SQL scoping; other correlation shapes raise) —
+  LIKE 'pat' [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
   anywhere incl. mid-pattern — greedy in-order segment matching;
   '_' = exactly one byte; ESCAPE makes the next char literal;
@@ -166,16 +186,18 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having",
     "order", "limit", "and", "or", "not", "between", "in", "like",
     "as", "asc", "desc", "join", "inner", "left", "right", "full",
-    "outer", "semi", "anti", "on", "is", "null", "offset",
-    "case", "when", "then", "end", "else", "escape",
-    "union", "all", "except", "intersect",
+    "outer", "semi", "anti", "cross", "on", "using", "is", "null",
+    "offset", "case", "when", "then", "end", "else", "escape",
+    "union", "all", "except", "intersect", "exists",
 }
 
 _AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
 # text functions sharing the "fold" item kind (host-applied at
 # materialization, like UPPER/LOWER; WHERE-side folds stay upper/lower)
 _TEXT_FNS = {"upper", "lower", "trim", "ltrim", "rtrim",
-             "substr", "substring", "concat"}
+             "substr", "substring", "concat", "replace", "instr"}
+# folds whose first tuple element is the column ref (rest: arguments)
+_TUPLE_FOLDS = ("substr", "replace", "instr")
 # pure window functions (aggregates also become windows via OVER)
 _WIN_FNS = {"row_number", "rank", "dense_rank", "lag", "lead"}
 
@@ -245,8 +267,8 @@ class _Item:
         if self.kind == "fold":
             if self.fn == "concat":
                 return "concat"
-            if self.fn == "substr":
-                return f"SUBSTR({self.col[0]})"
+            if self.fn in _TUPLE_FOLDS:
+                return f"{self.fn.upper()}({self.col[0]})"
             return f"{self.fn.upper()}({self.col})"
         if self.kind == "window":
             if self.col is None:
@@ -382,8 +404,19 @@ class _Parser:
             ast.join_how = how
             ast.join_table = self._table()
             ast.join_alias = self._table_alias(ast.join_table)
-            self.expect("kw", "on")
-            ast.join_on = self._on_pairs()
+            if how == "cross":
+                pass  # Cartesian product: no ON / USING clause
+            elif self.accept("kw", "using"):
+                # USING (k [, k2 ...]): sugar for ON l.k = r.k AND ...
+                self.expect("punc", "(")
+                cols = [self.expect("name")[1]]
+                while self.accept("punc", ","):
+                    cols.append(self.expect("name")[1])
+                self.expect("punc", ")")
+                ast.join_on = [(c, c) for c in cols]
+            else:
+                self.expect("kw", "on")
+                ast.join_on = self._on_pairs()
         if self.accept("kw", "where"):
             ast.where = self._expr(having=False)
         if self.accept("kw", "group"):
@@ -507,14 +540,43 @@ class _Parser:
         if k == "name" and v.lower() in _WIN_FNS \
                 and self.peek(1) == ("punc", "("):
             return self._window_fn_item()
-        if k == "name" and v.lower() == "coalesce" \
+        if k == "name" and v.lower() == "nullif" \
                 and self.peek(1) == ("punc", "("):
+            # NULLIF(a, b) = CASE WHEN a != b THEN a END: value is
+            # column a, NULL where a equals b (b: column or literal)
             self.next()
+            self.expect("punc", "(")
+            a = self._colref()
+            self.expect("punc", ",")
+            bk, bv = self.peek()
+            if bk == "str":
+                self.next()
+                cond = (a, "!=", bv)
+            elif bk == "num" or (bk, bv) == ("punc", "-"):
+                cond = (a, "!=", self._number())
+            else:
+                from .query import VExpr
+
+                b = self._colref()
+                cond = (VExpr(("col", a)), "!=", VExpr(("col", b)))
+            self.expect("punc", ")")
+            it = _Item("case")
+            it.branches = [(cond, ("col", a))]
+            it.else_value = None
+            it.alias = "nullif"
+            return it
+        if k == "name" and v.lower() in ("coalesce", "ifnull") \
+                and self.peek(1) == ("punc", "("):
+            fn = self.next()[1].lower()
             self.expect("punc", "(")
             cols = [self._colref()]
             while self.accept("punc", ","):
                 cols.append(self._colref())
             self.expect("punc", ")")
+            if fn == "ifnull" and len(cols) != 2:
+                raise SqlError(
+                    f"IFNULL takes exactly two columns, got {len(cols)}"
+                )
             if len(cols) < 2:
                 raise SqlError("COALESCE needs at least two columns")
             return _Item("coalesce", col=tuple(cols))
@@ -638,6 +700,20 @@ class _Parser:
                         f"SUBSTR length must be >= 0, got {length!r}")
             self.expect("punc", ")")
             return _Item("fold", col=(col, start, length), fn="substr")
+        if fn == "replace":
+            col = self._colref()
+            self.expect("punc", ",")
+            frm = self.expect("str")[1]
+            self.expect("punc", ",")
+            to = self.expect("str")[1]
+            self.expect("punc", ")")
+            return _Item("fold", col=(col, frm, to), fn="replace")
+        if fn == "instr":
+            col = self._colref()
+            self.expect("punc", ",")
+            sub = self.expect("str")[1]
+            self.expect("punc", ")")
+            return _Item("fold", col=(col, sub), fn="instr")
         # CONCAT(part, part, ...)
         parts = [self._concat_part()]
         while self.accept("punc", ","):
@@ -661,6 +737,11 @@ class _Parser:
     def _make_concat(parts) -> _Item:
         flat = []
         for p in parts:
+            if p[0] == "item" and p[1].fn == "instr":
+                raise SqlError(
+                    "INSTR returns an integer — not usable inside "
+                    "CONCAT/||"
+                )
             # splice nested concats (a || b || c parses pairwise)
             if p[0] == "item" and p[1].fn == "concat":
                 flat.extend(p[1].col)
@@ -811,7 +892,8 @@ class _Parser:
     def _join_how(self) -> Optional[str]:
         for kw, how in (("inner", "inner"), ("left", "left"),
                         ("right", "right"), ("full", "outer"),
-                        ("semi", "semi"), ("anti", "anti")):
+                        ("semi", "semi"), ("anti", "anti"),
+                        ("cross", "cross")):
             if self.peek() == ("kw", kw):
                 self.next()
                 self.accept("kw", "outer")
@@ -890,6 +972,15 @@ class _Parser:
 
     def _leaf(self):
         k, v = self.peek()
+        if (k, v) == ("kw", "exists"):
+            # [NOT] EXISTS (SELECT ...): resolved before execution —
+            # uncorrelated inners fold to a constant, single-equality
+            # correlated inners rewrite to IN (see _resolve_exists)
+            self.next()
+            self.expect("punc", "(")
+            sub = self._union()
+            self.expect("punc", ")")
+            return ("exists", _InSubquery(sub))
         if k == "name" and v.lower() in ("upper", "lower") \
                 and self.peek(1) == ("punc", "("):
             # case-folded text predicate: UPPER(col) = 'X' / LIKE / IN
@@ -1128,6 +1219,9 @@ def table_refs(query: str) -> List[str]:
                 and isinstance(e[2], _InSubquery):
             _walk(e[2].ast)
         elif isinstance(e, tuple) and len(e) == 2 \
+                and e[0] == "exists":
+            _walk(e[1].ast)
+        elif isinstance(e, tuple) and len(e) == 2 \
                 and e[0] in ("and", "or"):
             for x in e[1]:
                 _walk_where(x)
@@ -1221,13 +1315,20 @@ def _explain_ast(ast: _Ast) -> str:
         lines.append("outer pipeline -> host twins over the derived "
                      "frame (_run_over_frame)")
     if ast.join_table is not None:
-        lines.append(
-            f"JOIN ({ast.join_how}): device sort-merge "
-            "(join.join_records — right side sorts once, per-left-row "
-            "searchsorted, host pair expansion)"
-        )
-        on = ", ".join(f"{a} = {b}" for a, b in ast.join_on)
-        lines.append(f"  on: {on}")
+        if ast.join_how == "cross":
+            lines.append(
+                "JOIN (cross): Cartesian record-id product "
+                "(join.join_records how='cross'), both sides "
+                "materialize by gathered ids"
+            )
+        else:
+            lines.append(
+                f"JOIN ({ast.join_how}): device sort-merge "
+                "(join.join_records — right side sorts once, "
+                "per-left-row searchsorted, host pair expansion)"
+            )
+            on = ", ".join(f"{a} = {b}" for a, b in ast.join_on)
+            lines.append(f"  on: {on}")
     if ast.where is not None:
         tgt = ("host mask over the joined frame"
                if ast.join_table is not None
@@ -1583,14 +1684,193 @@ def _scalar_subquery_value(sub: _InSubquery, resolve_table, kw):
     return v
 
 
+def _outer_qualifiers(ast: _Ast) -> set:
+    """The qualifier names (alias or bare table name) a nested
+    subquery could use to reference THIS select's tables."""
+    out = set()
+    if ast.table_alias:
+        out.add(ast.table_alias)
+    elif ast.table[0] == "name":
+        out.add(ast.table[1])
+    if ast.join_table is not None:
+        if ast.join_alias:
+            out.add(ast.join_alias)
+        elif ast.join_table[0] == "name":
+            out.add(ast.join_table[1])
+    return out
+
+
+def _resolve_exists(sub: _InSubquery, ast: _Ast, resolve_table, kw):
+    """Resolve one [NOT] EXISTS (SELECT ...) leaf.
+
+    - UNCORRELATED (the inner WHERE references no outer qualifier):
+      run the inner select once, return True/False — the caller folds
+      the constant through the boolean tree. Note EXISTS over a pure
+      aggregate (SELECT COUNT(*) ...) is always True: aggregates
+      return one row, per SQL.
+    - CORRELATED via a single top-level equality conjunct
+      `inner.col = outer.col`: rewrite to the equivalent semi-join
+      `outer_col IN (SELECT inner_col FROM ... WHERE rest)`, riding
+      the IN machinery (device pushdowns included). Inner aliases
+      shadow outer ones (SQL scoping). Anything more entangled
+      (inequality correlation, OR-nested correlation, correlated
+      GROUP BY/LIMIT) raises a clear SqlError."""
+    inner = sub.ast
+    inner_quals = (set() if isinstance(inner, _Union)
+                   else _outer_qualifiers(inner))
+    outer_quals = _outer_qualifiers(ast) - inner_quals
+
+    def _corr_col(ref) -> Optional[str]:
+        if isinstance(ref, str) and "." in ref \
+                and ref.split(".", 1)[0] in outer_quals:
+            return ref
+        return None
+
+    def _tree_corr_refs(e) -> List[str]:
+        from .query import TextFold, VExpr, _where_leaves
+
+        out = []
+        for leaf in _where_leaves(e):
+            cands = []
+            lhs = leaf[0]
+            if isinstance(lhs, TextFold):
+                cands.append(lhs.col)
+            elif isinstance(lhs, VExpr):
+                cands.extend(lhs.columns())
+            else:
+                cands.append(lhs)
+            if isinstance(leaf[2], VExpr):
+                cands.extend(leaf[2].columns())
+            out.extend(c for c in cands if _corr_col(c))
+        return out
+
+    if isinstance(inner, _Union):
+        for b in inner.branches:
+            if b.where is not None and _tree_corr_refs(b.where):
+                raise SqlError(
+                    "correlated EXISTS over a compound (UNION/...) "
+                    "subquery is not supported"
+                )
+        return _exists_uncorrelated(inner, resolve_table, kw)
+
+    corr = ([] if inner.where is None
+            else _tree_corr_refs(inner.where))
+    if not corr:
+        return _exists_uncorrelated(inner, resolve_table, kw)
+
+    # correlated: find THE correlation conjunct at the top level
+    from .query import VExpr
+
+    conjuncts = (list(inner.where[1])
+                 if (isinstance(inner.where, tuple)
+                     and inner.where[0] == "and")
+                 else [inner.where])
+
+    def _split_eq(leaf):
+        """(outer_col, inner_col) when `leaf` is an equality between
+        one outer-qualified column and one inner column."""
+        if not (isinstance(leaf, tuple) and len(leaf) == 3
+                and leaf[1] == "=="):
+            return None
+        a, b = leaf[0], leaf[2]
+        if not (isinstance(a, VExpr) and isinstance(b, VExpr)):
+            return None
+        ta, tb = a.tree, b.tree
+        if ta[0] != "col" or tb[0] != "col":
+            return None
+        ca, cb = ta[1], tb[1]
+        if _corr_col(ca) and not _corr_col(cb):
+            return ca, cb
+        if _corr_col(cb) and not _corr_col(ca):
+            return cb, ca
+        return None
+
+    hits = [(i, _split_eq(c)) for i, c in enumerate(conjuncts)]
+    hits = [(i, h) for i, h in hits if h is not None]
+    rest = [c for i, c in enumerate(conjuncts)
+            if not any(i == j for j, _ in hits)]
+    if len(hits) != 1 or any(_tree_corr_refs(c) for c in rest):
+        raise SqlError(
+            "correlated EXISTS is supported when the correlation is "
+            "exactly one top-level equality conjunct "
+            "(inner.col = outer.col); rewrite other shapes as a JOIN"
+        )
+    if inner.group_by or inner.having is not None or inner.limit \
+            is not None or inner.offset:
+        raise SqlError(
+            "correlated EXISTS cannot combine with GROUP BY/HAVING/"
+            "LIMIT in the subquery"
+        )
+    outer_col, inner_col = hits[0][1]
+    inner.items = [_Item("col", col=inner_col)]
+    inner.order_by = []
+    inner.distinct = False  # IN dedupes
+    inner.where = (None if not rest
+                   else rest[0] if len(rest) == 1
+                   else ("and", rest))
+    return (outer_col, "in", _InSubquery(inner))
+
+
+def _exists_uncorrelated(inner, resolve_table, kw) -> bool:
+    kw2 = kw
+    if kw.get("schema"):
+        refs = _referenced_cols(inner)
+        if refs is not None:
+            pruned = {k: v for k, v in kw["schema"].items()
+                      if k in refs}
+            kw2 = dict(kw, schema=(pruned or None))
+    fr = _as_frame(_dispatch(inner, resolve_table, kw2))
+    return len(fr) > 0
+
+
+def _false_where_leaf(ast: _Ast, resolve_table, kw):
+    """A match-nothing predicate for a WHERE that folded to constant
+    FALSE (e.g. NOT EXISTS over a non-empty table): an empty IN list
+    on a column the statement already references; the source header
+    is resolved only when the statement names no column at all
+    (SELECT COUNT(*) / SELECT *)."""
+    for it in ast.items:
+        for c in _item_input_cols(it):
+            if isinstance(c, str):
+                return (c, "in", [])
+    for k in ast.group_by:
+        if isinstance(k, str):
+            return (k, "in", [])
+    for it, _d in ast.order_by:
+        if it.kind != "star":
+            for c in _item_input_cols(it):
+                if isinstance(c, str):
+                    return (c, "in", [])
+    from .frame import _resolve_tape
+
+    try:
+        src = resolve_table(ast.table, True)
+        _t, names = _resolve_tape(src, kw["dialect"], kw["backend"],
+                                  kw["engine"], False)
+        return (names[0], "in", [])
+    except SqlError:
+        raise
+    except Exception as e:
+        raise SqlError(
+            "the WHERE clause folded to constant FALSE but no column "
+            f"is available to encode a match-nothing predicate ({e})"
+        )
+
+
 def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
     """Replace every _InSubquery in the statement's WHERE tree (and
     CASE WHEN conditions) with its materialized value list, in place,
-    before any executor compiles the predicates."""
+    before any executor compiles the predicates. EXISTS leaves resolve
+    to True/False constants (uncorrelated) or rewrite to IN
+    (correlated) — constants fold through AND/OR/NOT; a whole-tree
+    True drops the WHERE, a False compiles to a match-nothing leaf."""
 
     def walk(e):
         if e is None:
             return None
+        if isinstance(e, tuple) and len(e) == 2 and e[0] == "exists":
+            r = _resolve_exists(e[1], ast, resolve_table, kw)
+            return r if isinstance(r, bool) else walk(r)
         if isinstance(e, tuple) and len(e) == 3:
             if isinstance(e[2], _InSubquery):
                 if e[2].scalar:
@@ -1617,16 +1897,45 @@ def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
             return e
         if isinstance(e, tuple) and len(e) == 2 and e[0] in ("and",
                                                              "or"):
-            return (e[0], [walk(x) for x in e[1]])
+            kids = [walk(x) for x in e[1]]
+            if e[0] == "and":
+                if any(k is False for k in kids):
+                    return False
+                kids = [k for k in kids if k is not True]
+                if not kids:
+                    return True
+            else:
+                if any(k is True for k in kids):
+                    return True
+                kids = [k for k in kids if k is not False]
+                if not kids:
+                    return False
+            return kids[0] if len(kids) == 1 else (e[0], kids)
         if isinstance(e, tuple) and len(e) == 2 and e[0] == "not":
-            return ("not", walk(e[1]))
+            k = walk(e[1])
+            if isinstance(k, bool):
+                return not k
+            return ("not", k)
         return e
 
+    def as_leaf(cond):
+        # a CASE WHEN condition that folded to a constant still needs
+        # a compilable predicate tree
+        if cond is False:
+            return _false_where_leaf(ast, resolve_table, kw)
+        if cond is True:
+            return ("not", _false_where_leaf(ast, resolve_table, kw))
+        return cond
+
     ast.where = walk(ast.where)
+    if ast.where is True:
+        ast.where = None
+    elif ast.where is False:
+        ast.where = _false_where_leaf(ast, resolve_table, kw)
     for coll in (ast.items, [it for it, _ in ast.order_by]):
         for it in coll:
             if it.kind == "case":
-                it.branches = [(walk(cond), val)
+                it.branches = [(as_leaf(walk(cond)), val)
                                for cond, val in it.branches]
 
 
@@ -1967,7 +2276,7 @@ def _item_input_cols(it: _Item):
             out.extend(it.col.columns())
         return out
     if it.kind == "fold":
-        if it.fn == "substr":
+        if it.fn in _TUPLE_FOLDS:
             return [it.col[0]]
         if it.fn == "concat":
             out = []
@@ -2335,9 +2644,17 @@ def _fold_column(fr, it: _Item, resolve):
             ["".join(p if isinstance(p, str) else p[i]
                      for p in cols_vals) for i in range(n)], object)
         return out, ok, spec
-    ref = it.col if fn != "substr" else it.col[0]
+    ref = it.col[0] if fn in _TUPLE_FOLDS else it.col
     strs, okm, col = _text_source(fr, ref, resolve,
                                   f"{fn.upper()}()")
+    if fn == "instr":
+        # 1-based position of the first occurrence, 0 when absent
+        # (SQLite semantics; INSTR(col, '') is 1): an INT column
+        from .frame import Col
+
+        _, sub = it.col
+        vals = [s.find(sub) + 1 for s in strs]
+        return np.array(vals, np.int64), okm, Col("int32")
     if fn in ("upper", "lower"):
         vals = [_ascii_fold(s, fn) for s in strs]
     elif fn == "trim":
@@ -2346,6 +2663,11 @@ def _fold_column(fr, it: _Item, resolve):
         vals = [s.lstrip(" ") for s in strs]
     elif fn == "rtrim":
         vals = [s.rstrip(" ") for s in strs]
+    elif fn == "replace":
+        # REPLACE(col, '', x) returns the text unchanged (SQLite),
+        # unlike Python's str.replace
+        _, frm, to = it.col
+        vals = [s.replace(frm, to) if frm else s for s in strs]
     else:  # substr, 1-based start
         _, start, length = it.col
         lo = start - 1
@@ -3793,7 +4115,7 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
                            kw["engine"], False)
     rt, _rn = _resolve_tape(right_src, kw["dialect"], kw["backend"],
                             kw["engine"], False)
-    if ast.group_by:
+    if ast.group_by and ast.join_how != "cross":
         res = _try_join_groupby_pushdown(
             ast, lt, ln, rt, _rn, on_l, on_r, l_alias, r_alias, kw
         )
@@ -3801,8 +4123,10 @@ def _run_join(ast: _Ast, left_src, right_src, kw):
             return res
     fr = join_typed(
         lt, rt,
-        on_l if len(on_l) > 1 else on_l[0],
-        right_on=on_r if len(on_r) > 1 else on_r[0],
+        (None if ast.join_how == "cross"
+         else on_l if len(on_l) > 1 else on_l[0]),
+        right_on=(None if ast.join_how == "cross"
+                  else on_r if len(on_r) > 1 else on_r[0]),
         how=ast.join_how, schema=kw["schema"],
         right_schema=kw["right_schema"],
         engine=kw["engine"], backend=kw["backend"],

@@ -269,7 +269,21 @@ def test_join_key_type_mismatch():
 def test_join_how_validation():
     lt, rt = _tapes()
     with pytest.raises(ValueError, match="how must be"):
-        join_records(lt, rt, "sym", how="cross")
+        join_records(lt, rt, "sym", how="sideways")
+
+
+def test_join_records_cross():
+    lt, rt = _tapes()
+    nl, nr = len(LROWS), len(RROWS)
+    l_ids, r_ids = join_records(lt, rt, None, how="cross")
+    assert l_ids.shape == r_ids.shape == (nl * nr,)
+    assert list(l_ids) == list(np.repeat(np.arange(nl), nr))
+    assert list(r_ids) == list(np.tile(np.arange(nr), nl))
+    # restricted sides compose
+    l_ids, r_ids = join_records(lt, rt, None, how="cross",
+                                left_records=np.array([2, 0]),
+                                right_records=np.array([1]))
+    assert list(l_ids) == [2, 0] and list(r_ids) == [1, 1]
 
 
 def test_join_single_key_domain_mismatch():
