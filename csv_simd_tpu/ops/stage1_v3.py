@@ -105,7 +105,8 @@ def _classify_raw(x: jnp.ndarray, dialect: Dialect):
 
 def _stage1_v3_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, packed_ref,
-    parity_ref, carry_sm, *, dialect: Dialect, tile: int
+    parity_ref, carry_sm, *, dialect: Dialect, tile: int,
+    base_mode: str = "mul",
 ):
     i = pl.program_id(0)
 
@@ -139,8 +140,16 @@ def _stage1_v3_kernel(
 
     # carry folds into the NARROW (T,1) column, saving one full-width add
     rowcol = row_excl_par[:, :1] + carry_sm[0]
-    base = (lane_excl + rowcol) & 1
-    inq = p_in ^ swar_broadcast_flag(base)    # inclusive in-quote flags
+    if base_mode == "shift":
+        # sign-broadcast bit 0 of the parity count via two shift-class
+        # ops instead of (& 1) + (* 0x80808080): inq gains garbage
+        # outside bit-7 positions, which the mask chain's final
+        # & 0x80808080 clears (the contract swar_classify_raw already
+        # imposes). Shifts issue ~3.6x faster than alu on this VPU.
+        inq = p_in ^ (((lane_excl + rowcol) << 31) >> 31)
+    else:
+        base = (lane_excl + rowcol) & 1
+        inq = p_in ^ swar_broadcast_flag(base)  # inclusive in-quote flags
     masked = ~(s_no | inq) & _HI1
     packed_ref[:] = _fold_pack(masked, tile)
 
@@ -151,7 +160,8 @@ def _stage1_v3_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dialect", "row_tile", "interpret", "vma")
+    jax.jit,
+    static_argnames=("dialect", "row_tile", "interpret", "vma", "base_mode"),
 )
 def stage1_fused(
     w2d: jnp.ndarray,
@@ -160,6 +170,7 @@ def stage1_fused(
     row_tile: int = DEFAULT_ROW_TILE,
     interpret: bool = False,
     vma: tuple = (),
+    base_mode: str = "mul",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed (rows//8, 128) int32, parity_out). rows % row-tile == 0
@@ -177,7 +188,7 @@ def stage1_fused(
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
 
     kernel = functools.partial(_stage1_v3_kernel, dialect=dialect,
-                               tile=tile)
+                               tile=tile, base_mode=base_mode)
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
         # inside shard_map the scan constants are replicated while the

@@ -72,6 +72,20 @@ def _seq_pack_weights16() -> np.ndarray:
     return w
 
 
+def _seq_pack_weights128() -> np.ndarray:
+    """(128, 128) wide variant: columns 0..15 = lo-half weights, 16..31
+    = hi-half, 32..127 zero. ONE matmul with a full-width (T,128)
+    output — the natural vreg layout — instead of mm1's (T,32) output,
+    the shape class this toolchain miscompiles in context (PERF_NOTES
+    round-3). Costs the same single MXU pass; the combine is an offset
+    lane slice of a FULL-WIDTH matmul output."""
+    w16 = _seq_pack_weights16()
+    w = np.zeros((LANES, LANES), np.float32)
+    w[:, :WORDS] = w16[0]
+    w[:, WORDS : 2 * WORDS] = w16[1]
+    return w
+
+
 def _seq_pack_weights32() -> np.ndarray:
     """(128, 32) stacked [lo | hi] variant of _seq_pack_weights16: one
     matmul emits both halves (lanes 0..15 = lo, 16..31 = hi), halving
@@ -86,7 +100,7 @@ def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
     packed_ref, parity_ref, nonascii_ref, *rest,
     dialect: Dialect, tile: int, emit_counts: bool, count_nonascii: bool,
-    pack_mode: str,
+    pack_mode: str, base_mode: str, compress_mode: str,
 ):
     counts_ref = rest[0] if emit_counts else None
     carry_sm = rest[-1]
@@ -136,19 +150,43 @@ def _stage1_v4_kernel(
         preferred_element_type=jnp.int32)
     # carry folds into the NARROW (T,1) column, saving one full-width add
     rowcol = row_excl[:, :1] + carry_sm[0]
-    base = (lane_excl + rowcol) & 1
-    inq = p_in ^ (base * _HI1)                # 0x80 in-quote per byte
+    if base_mode == "shift":
+        # sign-broadcast via two cheap shifts: bit 0 of the parity count
+        # replicated to 0/-1 per word. inq then has garbage OUTSIDE
+        # bit-7 positions — its only consumer is the mask chain, whose
+        # final & 0x80808080 clears every non-bit-7 bit (the same
+        # contract swar_classify_raw already relies on). Replaces the
+        # (& 1) alu op + (* 0x80808080) mul with two shift-class ops
+        # (shifts issue ~3.6x faster than alu on this VPU —
+        # tools/vpu_roofline.py).
+        binq = ((lane_excl + rowcol) << 31) >> 31  # (T,128) 0/-1
+        inq = p_in ^ binq
+    else:
+        base = (lane_excl + rowcol) & 1
+        inq = p_in ^ (base * _HI1)            # 0x80 in-quote per byte
     # mask in the 0x80 domain, then one LOGICAL shift yields clean
     # 0x01 flags. The classify cleanup is folded in: bit 7 of
     # ~(s_no | inq) = structural AND not-in-quote, and the single
     # & 0x80808080 clears every garbage bit (measured +3-5% same-batch
     # vs clean-flag classify + separate mask; PERF_NOTES round-2-late)
-    masked_u = jax.lax.shift_right_logical(~(s_no | inq) & _HI1, 7)
-
-    # 4 flag bits per word; bits 28..31 are provably zero so no & 0xF
-    # (see swar.swar_nibble_compress's proof)
-    v = (masked_u * 0x01020408) >> 24
-    vb = v.astype(jnp.bfloat16)
+    if compress_mode == "m80":
+        # nibble compress straight from the 0x80 flag domain: the
+        # multiplier 0x204081 (bits 0,7,14,21) lifts the four flag bits
+        # (7,15,23,31) to bits 28..31 — pair sums 7+21, 15+14, 23+7,
+        # 31+0; every cross term lands below 28 or wraps past 31 — so
+        # the logical >>28 is exact. Skips materializing the 0x01 form
+        # entirely (one shift-class op fewer than lsr7 + mul + asr24).
+        m80 = ~(s_no | inq) & _HI1
+        v = jax.lax.shift_right_logical(m80 * 0x204081, 28)
+        masked_u = (jax.lax.shift_right_logical(m80, 7)
+                    if emit_counts else None)
+    else:
+        masked_u = jax.lax.shift_right_logical(~(s_no | inq) & _HI1, 7)
+        # 4 flag bits per word; bits 28..31 are provably zero so no
+        # & 0xF (see swar.swar_nibble_compress's proof)
+        v = (masked_u * 0x01020408) >> 24
+    vb = (None if pack_mode in ("roll", "rollslice", "none")
+          else v.astype(jnp.bfloat16))
     # Pack constructions, in history order:
     # - mm2 (round-2 default): two (128,16) matmuls whose outputs align
     #   in lanes 0..15, no lane movement — the construction that stayed
@@ -162,7 +200,48 @@ def _stage1_v4_kernel(
     #   on the 700 KB gate corpus, interpret bit-exact) — the
     #   mm1_in_context probe is the only adoption signal; mm2 stays
     #   the default.
-    if pack_mode == "mm1":
+    if pack_mode == "none":
+        # MEASUREMENT ONLY (tools/ablate4.py): the full scan+mask with
+        # the pack amputated — output is a meaningless (T,16) slice of
+        # the masked flags, NOT the packed layout. v4(mode) - v4(none)
+        # = the in-context cost of pack `mode` (VERDICT r3 item 1b).
+        packed_ref[:] = (~(s_no | inq) & _HI1)[:, :WORDS]
+    elif pack_mode in ("roll", "rollslice"):
+        # non-MXU pack (VERDICT r3 item 1a): a 3-step lane roll ladder
+        # ORs each lane's 4-bit nibble with its neighbors' at shifts
+        # 4/8/16, so lane 8g accumulates the full 32-bit packed word g
+        # (wrap lanes past 8g+7 produce garbage in lanes not 0 mod 8,
+        # never read). Shift-class ops are ~3.6x cheaper than alu on
+        # this VPU; whether 3 rolls beat 2 MXU matmuls is an empirical
+        # question (tools/ablate2.py v4roll vs v4).
+        s = v
+        for step, sh in ((1, 4), (2, 8), (4, 16)):
+            # pltpu.roll is np.roll: result lane L = x[(L - k) % 128];
+            # k = 128 - step brings lane L+step down to lane L
+            s = s | (pltpu.roll(s, LANES - step, 1) << sh)
+        if pack_mode == "rollslice":
+            # strided lane slice (1,8): the direct extraction if the
+            # toolchain lowers it
+            packed_ref[:] = jax.lax.slice(
+                s, (0, 0), (tile, LANES), (1, 8))
+        else:
+            # int32 lane gather of lanes 0,8,..,120 (int32 gathers DO
+            # lower on this toolchain; int8 don't — CLAUDE.md)
+            idx = (jax.lax.broadcasted_iota(
+                jnp.int32, (tile, LANES), 1) & 0x0F) << 3
+            g = jnp.take_along_axis(s, idx, axis=1)
+            packed_ref[:] = g[:, :WORDS]
+    elif pack_mode == "mm1w":
+        # one (128,128)-weight matmul, full-width (T,128) output: lanes
+        # 0..15 carry the lo halves, 16..31 the hi halves, 32..127 are
+        # zero. Halves the MXU passes like mm1 but keeps the matmul
+        # output at the natural full-lane shape — dodging the (T,32)
+        # matmul-output lowering this toolchain miscompiles in context.
+        out = jax.lax.dot_general(
+            vb, wlo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        packed_ref[:] = out[:, :WORDS] | (out[:, WORDS : 2 * WORDS] << 16)
+    elif pack_mode == "mm1":
         out = jax.lax.dot_general(
             vb, wlo_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -202,7 +281,7 @@ def _stage1_v4_kernel(
     jax.jit,
     static_argnames=(
         "dialect", "row_tile", "interpret", "vma", "emit_counts",
-        "count_nonascii", "pack_mode",
+        "count_nonascii", "pack_mode", "base_mode", "compress_mode",
     ),
 )
 def stage1_fused_v4(
@@ -215,6 +294,8 @@ def stage1_fused_v4(
     emit_counts: bool = False,
     count_nonascii: bool = True,
     pack_mode: str = "mm2",
+    base_mode: str = "mul",
+    compress_mode: str = "lsr7",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count[,
@@ -234,7 +315,15 @@ def stage1_fused_v4(
 
     triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
     tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
-    if pack_mode in ("mm1", "mm1r"):
+    if pack_mode in ("roll", "rollslice", "none"):
+        # non-MXU pack: no weights read; keep tiny placeholders so the
+        # pallas_call signature stays uniform
+        wlo = jnp.zeros((LANES, WORDS), jnp.bfloat16)
+        whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)
+    elif pack_mode == "mm1w":
+        wlo = jnp.asarray(_seq_pack_weights128(), jnp.bfloat16)
+        whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread
+    elif pack_mode in ("mm1", "mm1r"):
         wlo = jnp.asarray(_seq_pack_weights32(), jnp.bfloat16)
         whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread
     else:
@@ -245,7 +334,8 @@ def stage1_fused_v4(
     kernel = functools.partial(
         _stage1_v4_kernel, dialect=dialect, tile=tile,
         emit_counts=emit_counts, count_nonascii=count_nonascii,
-        pack_mode=pack_mode,
+        pack_mode=pack_mode, base_mode=base_mode,
+        compress_mode=compress_mode,
     )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:

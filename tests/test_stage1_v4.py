@@ -122,3 +122,41 @@ def test_v4_pack_modes_match_mm2(pack_mode):
                                        pack_mode=pack_mode)
         assert bool(jnp.array_equal(ref, got))
         assert int(rpar) == int(gpar)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(base_mode="shift"),
+        dict(compress_mode="m80"),
+        dict(base_mode="shift", compress_mode="m80"),
+        dict(pack_mode="roll"),
+        dict(pack_mode="roll", base_mode="shift", compress_mode="m80"),
+        dict(pack_mode="mm1w"),
+    ],
+)
+def test_v4_variant_modes_match_oracle(kw):
+    """Round-4 ablation variants (tools/ablate4.py) stay bit-identical
+    in interpret mode: base sign-broadcast via shifts, 0x80-domain
+    nibble compress, the non-MXU roll-ladder pack, and the wide
+    single-matmul pack. (mm1w MISCOMPILES on the chip — kept here so
+    interpret-vs-compiled drift keeps being detectable; production is
+    gated by bench.py/tools/ablate4.py on hardware.)"""
+    data = _rand(200_000, seed=11)
+    w2d = jnp.asarray(pad_to_words(data))
+    ref, rpar = stage1_seq_xla(w2d, 0)
+    got, gpar, _na = stage1_fused_v4(
+        w2d, 0, interpret=True, count_nonascii=False, **kw)
+    assert bool(jnp.array_equal(ref, got))
+    assert int(rpar) == int(gpar)
+
+
+def test_v4_m80_emit_counts():
+    data = _rand(150_000, seed=12)
+    w2d = jnp.asarray(pad_to_words(data))
+    got, _p, _na, counts = stage1_fused_v4(
+        w2d, 0, interpret=True, count_nonascii=False,
+        compress_mode="m80", emit_counts=True)
+    mask = _unpack_seq(got, data.size)
+    np.testing.assert_array_equal(mask, golden.structural_mask(data))
+    assert int(np.asarray(counts).sum()) == int(mask.sum())
