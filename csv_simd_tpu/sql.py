@@ -1291,6 +1291,12 @@ def _explain_any(ast) -> str:
     return _explain_ast(ast)
 
 
+def _dev_window_min_rows() -> int:
+    from .window import DEVICE_WINDOW_MIN_ROWS
+
+    return DEVICE_WINDOW_MIN_ROWS
+
+
 def _has_subquery(e) -> bool:
     if isinstance(e, tuple) and len(e) == 3:
         return isinstance(e[2], _InSubquery)
@@ -1396,8 +1402,11 @@ def _explain_ast(ast: _Ast) -> str:
         lines.append(
             "WINDOW "
             + ", ".join(it.name() for it in wins)
-            + " -> host pass over the materialized frame "
-            "(stable partition+order sort, peer-frame aggregates)")
+            + " -> device plan: one lexicographic device sort + "
+            "segmented scans, peer frames via suffix-min gather "
+            f"(window.window_column; frames under "
+            f"{_dev_window_min_rows()} rows, float sums, or >=2^20-row "
+            "partitions fall back to the host peer-frame pass)")
     if ast.limit is not None:
         lines.append(f"LIMIT {ast.limit}"
                      + (f" OFFSET {ast.offset}" if ast.offset else ""))
@@ -2676,6 +2685,58 @@ def _fold_column(fr, it: _Item, resolve):
     return np.array(vals, object), okm, col
 
 
+def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
+                          okm, vspec, is_int):
+    """Device window execution (window.window_column): ONE device
+    lexicographic sort + segmented scans instead of the host Python
+    row loop. Returns the (vals, ok, Col) triple in the host
+    executor's exact contract, or None when ineligible (small frames,
+    float sums, >=2**20-row partitions, non-factorizable keys) — the
+    host pass below is the fallback AND the differential oracle
+    (tests/test_sql_window_device.py)."""
+    from .frame import Col
+    from .window import window_column
+
+    part_arrays = [(fr._columns[c], fr._ok[c]) for c in part_cols]
+    order_arrays = [(fr._columns[c], fr._ok[c], d) for c, d in order_refs]
+    res = window_column(
+        fn, n, part_arrays, order_arrays, vals, okm,
+        offset=getattr(it, "offset", 1) or 1, is_int=is_int,
+    )
+    if res is None:
+        return None
+    kind, payload = res
+    if kind == "int":
+        return payload, None, Col("int32")
+    if kind == "sum":
+        sums, okb = payload
+        out = sums.astype(object)
+        out[~okb] = None
+        return out, (None if okb.all() else okb), Col("int32")
+    if kind == "mean":
+        means, okb = payload
+        means = means.copy()
+        means[~okb] = np.nan
+        return means, (None if okb.all() else okb), Col("float")
+    if kind == "minmax":
+        valsb, okb = payload
+        out = valsb.astype(object)
+        out[~okb] = None
+        return out, (None if okb.all() else okb), vspec
+    # kind == "src": lag/lead — gather source values on host (works for
+    # every column type; the device computed partition-bounded indices)
+    src = payload
+    out = np.empty(n, object)
+    okb = src >= 0
+    if okm is not None:
+        okb = okb & np.where(src >= 0, np.asarray(okm, bool)[
+            np.clip(src, 0, n - 1)], False)
+    out[~okb] = None
+    sel = np.flatnonzero(okb)
+    out[sel] = np.asarray(vals, object)[src[sel]]
+    return out, (None if okb.all() else okb), vspec
+
+
 def _window_column(fr, it: _Item, resolve):
     """Evaluate a window item over a materialized frame (the values
     are on host — plain selections materialize — so windows are host
@@ -2694,24 +2755,6 @@ def _window_column(fr, it: _Item, resolve):
     part_cols = [resolve(c) for c in it.part]
     order_refs = [(resolve(c), d) for c, d in it.worder]
 
-    def _colpair(ref):
-        return fr._columns[ref], fr._ok[ref]
-
-    sort_keys = [(c, False) for c in part_cols] + list(order_refs)
-    perm = (_host_multi_order_perm(n, _colpair, sort_keys)
-            if sort_keys else np.arange(n, dtype=np.int64))
-
-    def _tuples(refs):
-        if not refs:
-            return [()] * n
-        arrs = [(np.asarray(fr._columns[c]), fr._ok[c]) for c in refs]
-        return [tuple((None if (ok is not None and not ok[i])
-                       else _pykey(a[i])) for a, ok in arrs)
-                for i in range(n)]
-
-    ptup = _tuples(part_cols)
-    otup = _tuples([c for c, _ in order_refs])
-
     vals = okm = vspec = None
     if it.col is not None:
         if isinstance(it.col, VExpr):
@@ -2729,6 +2772,29 @@ def _window_column(fr, it: _Item, resolve):
             f"{('AVG' if fn == 'mean' else 'SUM')}() OVER needs a "
             f"numeric column, got {vspec.type if vspec else None!r}"
         )
+
+    dev = _device_window_column(fr, it, fn, n, part_cols, order_refs,
+                                vals, okm, vspec, is_int)
+    if dev is not None:
+        return dev
+
+    def _colpair(ref):
+        return fr._columns[ref], fr._ok[ref]
+
+    sort_keys = [(c, False) for c in part_cols] + list(order_refs)
+    perm = (_host_multi_order_perm(n, _colpair, sort_keys)
+            if sort_keys else np.arange(n, dtype=np.int64))
+
+    def _tuples(refs):
+        if not refs:
+            return [()] * n
+        arrs = [(np.asarray(fr._columns[c]), fr._ok[c]) for c in refs]
+        return [tuple((None if (ok is not None and not ok[i])
+                       else _pykey(a[i])) for a, ok in arrs)
+                for i in range(n)]
+
+    ptup = _tuples(part_cols)
+    otup = _tuples([c for c, _ in order_refs])
 
     def _ok_at(i):
         return okm is None or bool(okm[i])

