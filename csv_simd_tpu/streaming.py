@@ -232,6 +232,92 @@ class StreamingIndexBuilder:
         )
 
 
+class ShardedStreamingIndexBuilder:
+    """Chunked ingestion ACROSS a device mesh: streaming and sharding
+    composed (VERDICT r3 item 5; SURVEY §5.7(c)+§5.8).
+
+    Each fed chunk is split byte-wise over the mesh's shards and scanned
+    by parallel.sharded.sharded_stage1, whose exclusive XOR-scan
+    collective resolves quote parity across the SHARD cuts inside the
+    chunk; the builder threads the single quote-parity carry across the
+    CHUNK cuts (kept as a device scalar — no host sync per chunk). The
+    two carries are the same associative triple at two granularities
+    (the reference's in_string carry, reader.rs:218, generalized), so
+    the result is bit-identical to a one-shot single-device build even
+    when a quoted region spans both a chunk AND a shard boundary."""
+
+    def __init__(self, mesh=None, dialect: Dialect = DEFAULT_DIALECT,
+                 use_pallas: Optional[bool] = None,
+                 interpret: Optional[bool] = None):
+        import jax
+
+        from .parallel.sharded import make_mesh
+
+        self._mesh = mesh or make_mesh()
+        self._dialect = dialect
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        self._use_pallas = on_tpu if use_pallas is None else use_pallas
+        self._interpret = ((self._use_pallas and not on_tpu)
+                           if interpret is None else interpret)
+        self._parity = 0  # int or device scalar
+        self._offset = 0
+        self._parts = [np.zeros(1, dtype=np.int64)]
+
+    def feed(self, chunk: bytes | np.ndarray) -> None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.sharded import (
+            AXIS,
+            pad_words_for_mesh,
+            sharded_stage1,
+        )
+        from .ops.stage1_v3 import unpack_packed_host
+
+        arr = as_u8(chunk)
+        if arr.size == 0:
+            return
+        n_shards = self._mesh.devices.size
+        w2d = pad_words_for_mesh(arr, n_shards)
+        w_dev = jax.device_put(
+            w2d, NamedSharding(self._mesh, P(AXIS, None)))
+        packed, _c, _ce, _t, parity = sharded_stage1(
+            w_dev, self._parity, self._mesh, self._dialect,
+            use_pallas=self._use_pallas, interpret=self._interpret,
+        )
+        self._parity = parity  # device scalar: next chunk chains async
+        shard_rows = w2d.shape[0] // n_shards
+        mask = unpack_packed_host(
+            np.asarray(packed), arr.size, tile=min(512, shard_rows))
+        local = np.flatnonzero(mask).astype(np.int64)
+        if local.size:
+            self._parts.append(local + self._offset)
+        self._offset += arr.size
+
+    @property
+    def quote_parity(self) -> int:
+        return int(self._parity)
+
+    def finish(self) -> np.ndarray:
+        return np.concatenate(self._parts)
+
+
+def build_index_sharded_streaming(
+    source: Union[str, os.PathLike, BinaryIO, Iterable[bytes]],
+    mesh=None,
+    dialect: Dialect = DEFAULT_DIALECT,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    use_pallas: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+) -> np.ndarray:
+    """Streamed + sharded build -> host int64 index with sentinel,
+    bit-identical to golden / the one-shot builds."""
+    b = ShardedStreamingIndexBuilder(mesh, dialect, use_pallas, interpret)
+    for chunk in _iter_chunks(source, chunk_bytes):
+        b.feed(chunk)
+    return b.finish()
+
+
 def build_index_streaming(
     source: Union[str, os.PathLike, BinaryIO, Iterable[bytes]],
     dialect: Dialect = DEFAULT_DIALECT,
