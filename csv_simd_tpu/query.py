@@ -373,6 +373,8 @@ def _lock_where_schema(corpus, where, schema, sample: int):
                 refs += pred[2].columns()
         elif isinstance(pred[0], TextFold):
             refs = pred[0].columns()
+        elif isinstance(pred[0], tuple):  # composite in_rows key
+            refs = list(pred[0])
         else:
             refs = [pred[0]]
         for r in refs:
@@ -1445,6 +1447,99 @@ def _where_mask(tape, names, expr, col_specs, dialect, sample):
     raise ValueError(f"bad where expression: {expr!r}")
 
 
+def _norm_row_key(v):
+    """Normalize one composite-IN key element for cross-type equality:
+    bytes decode to str, numpy scalars unwrap to Python values."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "surrogateescape")
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def rows_in_mask(col_arrays, ok_arrays, tuples) -> np.ndarray:
+    """(n,) bool: row i True iff (col_arrays[0][i], ..) is a member of
+    `tuples` and every key is non-NULL (SQL: a NULL key compares
+    UNKNOWN, never matching). Fast path: per-column shared-code
+    factorization over column values + tuple elements, radix-combined
+    to one int64 code, membership via np.isin; columns whose values
+    and literals don't co-sort (mixed types) fall back to a tuple-set
+    scan."""
+    n = col_arrays[0].shape[0]
+    ok = np.ones(n, bool)
+    for o in ok_arrays:
+        if o is not None:
+            ok &= np.asarray(o, bool)
+    if not tuples:
+        return np.zeros(n, bool)
+    lits = [tuple(_norm_row_key(x) for x in t) for t in tuples]
+    try:
+        combined = None
+        lit_combined = None
+        for j, col in enumerate(col_arrays):
+            vals = np.array([_norm_row_key(v) for v in col], object)
+            lj = np.array([t[j] for t in lits], object)
+            cat = np.concatenate([vals, lj])
+            _u, inv = np.unique(cat, return_inverse=True)
+            inv = inv.astype(np.int64)
+            g = int(inv.max(initial=0)) + 1
+            cv, clit = inv[:n], inv[n:]
+            if combined is None:
+                combined, lit_combined = cv, clit
+            else:
+                if g and combined.size and (
+                        int(combined.max(initial=0)) + 1) * g >= 2**62:
+                    raise TypeError("code space overflow")
+                combined = combined * g + cv
+                lit_combined = lit_combined * g + clit
+        return ok & np.isin(combined, lit_combined)
+    except TypeError:
+        lset = set(lits)
+        return ok & np.array(
+            [tuple(_norm_row_key(col[i]) for col in col_arrays) in lset
+             for i in range(n)], bool)
+
+
+def _in_rows_mask(tape, names, cols, tuples, col_specs, dialect,
+                  sample: int) -> np.ndarray:
+    """Composite-key IN over a tape: (col_a, col_b, ...) IN
+    {(v_a, v_b, ...)}. The multi-key correlated EXISTS/IN rewrite
+    (sql._resolve_exists) compiles to this leaf; typed key columns
+    parse on device, text keys decode via the stage-2 gather, and the
+    membership itself is the vectorized shared-code host pass above."""
+    from .frame import _true_window, infer_schema
+
+    col_arrays, ok_arrays = [], []
+    for key in cols:
+        field = _field_index(names, key)
+        name = names[field]
+        col = col_specs.get(name)
+        if col is None:
+            col = infer_schema(tape, names, columns=[field],
+                               sample=sample)[name]
+            col_specs[name] = col
+        if col.type in ("str", "bytes"):
+            window = col.max_len or _true_window(tape, field, 16)
+            ids = np.arange(
+                int(getattr(tape, "num_data_records",
+                            int(tape.record_cnt) - 1)), dtype=np.int32)
+            out, ln, v = tape.gather_decoded(
+                ids, np.full(ids.shape, field, np.int32),
+                max_len=window, dialect=dialect, trim=col.trim)
+            raw = tape.to_host_lists(out, ln, v)
+            okm = np.array([b is not None for b in raw], bool)
+            vals = np.array(
+                [b"" if b is None else b for b in raw], object)
+            col_arrays.append(vals)
+            ok_arrays.append(okm)
+        else:
+            vals, okm, kind = _parse_column(tape, field, col, dialect)
+            col_arrays.append(np.asarray(vals))
+            ok_arrays.append(None if okm is None
+                             else np.asarray(okm, bool))
+    return rows_in_mask(col_arrays, ok_arrays, tuples)
+
+
 def _predicate_mask(tape, names, pred, col_specs, dialect,
                     sample: int) -> np.ndarray:
     from .frame import _true_window, infer_schema
@@ -1454,6 +1549,9 @@ def _predicate_mask(tape, names, pred, col_specs, dialect,
             f"predicate must be (column, op, value), got {pred!r}"
         )
     key, op, value = pred
+    if op == "in_rows":
+        return _in_rows_mask(tape, names, key, value, col_specs,
+                             dialect, sample)
     if isinstance(key, VExpr):
         if op not in ("==", "!=", "<", "<=", ">", ">="):
             raise ValueError(

@@ -124,10 +124,14 @@ Supported grammar (case-insensitive keywords):
   (SELECT ...): an uncorrelated inner runs once and folds to a
   constant through the AND/OR/NOT tree (a whole-tree TRUE drops the
   WHERE, FALSE matches nothing); a correlated inner whose
-  correlation is exactly one top-level equality conjunct
-  `inner.col = outer.col` rewrites to the equivalent
-  `outer_col IN (SELECT inner_col ...)` semi-join (inner aliases
-  shadow outer names, SQL scoping; other correlation shapes raise) —
+  correlation is top-level equality conjuncts (one or MORE:
+  `inner.a = outer.a AND inner.b = outer.b AND ...`) rewrites to the
+  equivalent semi-join — single key rides `outer_col IN (SELECT
+  inner_col ...)`, multiple keys compile to a composite-key
+  membership leaf evaluated by shared-code factorization
+  (query._in_rows_mask / sql._frame_leaf) — (inner aliases shadow
+  outer names, SQL scoping; inequality or OR-nested correlation
+  raises) —
   LIKE 'pat' [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
   anywhere incl. mid-pattern — greedy in-order segment matching;
@@ -1279,11 +1283,19 @@ def _explain_any(ast) -> str:
                      "(by position; names from branch 1)")
         labels = {
             "all": "UNION ALL (row concatenation)",
-            "distinct": "plain UNION dedupe "
+            "distinct": "plain UNION dedupe — device plan for fully "
+                        "typed frames >= "
+                        f"{_dev_setop_min_rows()} rows (one stable lex "
+                        "device sort + run detection, setops.py), host "
+                        "row codes otherwise "
                         "(np.unique over per-column row codes)",
-            "except": "EXCEPT (distinct left rows absent from right)",
+            "except": "EXCEPT (distinct left rows absent from right) — "
+                      "device stable-sort + segmented membership for "
+                      "fully typed frames, host row-code set otherwise",
             "intersect": "INTERSECT (distinct left rows present in "
-                         "right)",
+                         "right) — device stable-sort + segmented "
+                         "membership for fully typed frames, host "
+                         "row-code set otherwise",
         }
         for i, op in enumerate(ast.ops):
             lines.append(f"  joint {i + 1}: {labels[op]}")
@@ -1295,6 +1307,12 @@ def _dev_window_min_rows() -> int:
     from .window import DEVICE_WINDOW_MIN_ROWS
 
     return DEVICE_WINDOW_MIN_ROWS
+
+
+def _dev_setop_min_rows() -> int:
+    from .setops import DEVICE_SETOP_MIN_ROWS
+
+    return DEVICE_SETOP_MIN_ROWS
 
 
 def _has_subquery(e) -> bool:
@@ -1594,7 +1612,11 @@ def _referenced_cols(ast):
         if e is None:
             return
         for leaf in _where_leaves(e):
-            add(leaf[0])
+            if isinstance(leaf[0], tuple):  # composite in_rows key
+                for c in leaf[0]:
+                    add(c)
+            else:
+                add(leaf[0])
             if isinstance(leaf[2], VExpr):
                 add(leaf[2])
 
@@ -1648,6 +1670,34 @@ def _in_subquery_values(sub: _InSubquery, resolve_table, kw):
         if v not in seen:
             seen.add(v)
             out.append(v)
+    return out
+
+
+def _in_subquery_rows(sub: _InSubquery, resolve_table, kw) -> list:
+    """Materialize a MULTI-column subquery to a deduped list of row
+    tuples for the composite in_rows leaf. Rows with any NULL key are
+    dropped (SQL: an equality against NULL is UNKNOWN — such an inner
+    row can never witness the EXISTS)."""
+    kw2 = kw
+    if kw.get("schema"):
+        refs = _referenced_cols(sub.ast)
+        if refs is not None:
+            pruned = {k: v for k, v in kw["schema"].items()
+                      if k in refs}
+            kw2 = dict(kw, schema=(pruned or None))
+    fr = _as_frame(_dispatch(sub.ast, resolve_table, kw2))
+    from .query import _norm_row_key
+
+    cols = [np.asarray(fr._columns[nm]) for nm in fr.names]
+    oks = [fr._ok[nm] for nm in fr.names]
+    out, seen = [], set()
+    for i in range(len(fr)):
+        if any(ok is not None and not ok[i] for ok in oks):
+            continue
+        t = tuple(_norm_row_key(c[i]) for c in cols)
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
     return out
 
 
@@ -1798,11 +1848,12 @@ def _resolve_exists(sub: _InSubquery, ast: _Ast, resolve_table, kw):
     hits = [(i, h) for i, h in hits if h is not None]
     rest = [c for i, c in enumerate(conjuncts)
             if not any(i == j for j, _ in hits)]
-    if len(hits) != 1 or any(_tree_corr_refs(c) for c in rest):
+    if not hits or any(_tree_corr_refs(c) for c in rest):
         raise SqlError(
             "correlated EXISTS is supported when the correlation is "
-            "exactly one top-level equality conjunct "
-            "(inner.col = outer.col); rewrite other shapes as a JOIN"
+            "top-level equality conjuncts (inner.col = outer.col, one "
+            "or more); rewrite other shapes (inequality or OR-nested "
+            "correlation) as a JOIN"
         )
     if inner.group_by or inner.having is not None or inner.limit \
             is not None or inner.offset:
@@ -1810,14 +1861,21 @@ def _resolve_exists(sub: _InSubquery, ast: _Ast, resolve_table, kw):
             "correlated EXISTS cannot combine with GROUP BY/HAVING/"
             "LIMIT in the subquery"
         )
-    outer_col, inner_col = hits[0][1]
-    inner.items = [_Item("col", col=inner_col)]
     inner.order_by = []
     inner.distinct = False  # IN dedupes
     inner.where = (None if not rest
                    else rest[0] if len(rest) == 1
                    else ("and", rest))
-    return (outer_col, "in", _InSubquery(inner))
+    if len(hits) == 1:
+        outer_col, inner_col = hits[0][1]
+        inner.items = [_Item("col", col=inner_col)]
+        return (outer_col, "in", _InSubquery(inner))
+    # multi-key correlation -> composite semi-join: (o1, o2, ...) IN
+    # (SELECT i1, i2, ... FROM ... WHERE rest), compiled by the
+    # in_rows leaf (query._in_rows_mask / sql._frame_leaf)
+    outer_cols = tuple(h[0] for _i, h in hits)
+    inner.items = [_Item("col", col=h[1]) for _i, h in hits]
+    return (outer_cols, "in_rows", _InSubquery(inner))
 
 
 def _exists_uncorrelated(inner, resolve_table, kw) -> bool:
@@ -1901,6 +1959,9 @@ def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
                         return (VExpr(("col", e[0])), e[1],
                                 VExpr(("lit", v)))
                     return (e[0], e[1], v)
+                if e[1] == "in_rows":
+                    return (e[0], "in_rows",
+                            _in_subquery_rows(e[2], resolve_table, kw))
                 return (e[0], e[1],
                         _in_subquery_values(e[2], resolve_table, kw))
             return e
@@ -1981,9 +2042,17 @@ def _slice_frame(fr, keep: np.ndarray):
 
 def _dedupe_frame(fr):
     """Row-level dedupe of a frame (plain UNION): first occurrence of
-    each distinct row survives, in order; NULLs compare equal."""
+    each distinct row survives, in order; NULLs compare equal. Fully
+    typed frames above the size floor dedupe ON DEVICE (one stable
+    lexicographic sort + run detection, setops.dedupe_keep); the host
+    row-code path handles text/mixed columns and stays the oracle."""
     if len(fr) == 0:
         return fr
+    from .setops import dedupe_keep
+
+    keep = dedupe_keep(fr)
+    if keep is not None:
+        return _slice_frame(fr, keep)
     _, first = np.unique(_frame_row_codes(fr), axis=0,
                          return_index=True)
     return _slice_frame(fr, np.sort(first))
@@ -1998,6 +2067,15 @@ def _setop_frames(acc, other, op: str):
     both = _union_frames([acc, other])
     if len(both) == 0:
         return both
+    from .setops import setop_keep
+
+    na_dev = len(acc)
+    acc_u = _slice_frame(both, np.arange(na_dev, dtype=np.int64))
+    other_u = _slice_frame(
+        both, np.arange(na_dev, len(both), dtype=np.int64))
+    keep_dev = setop_keep(acc_u, other_u, op)
+    if keep_dev is not None:
+        return _slice_frame(both, keep_dev)
     codes = _frame_row_codes(both)
     na = len(acc)
     a, b = codes[:na], codes[na:]
@@ -2103,6 +2181,9 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
             from .query import TextFold
             if isinstance(e[0], TextFold):
                 return (TextFold(e[0].fn, deq(e[0].col)), e[1], e[2])
+            if e[1] == "in_rows" and isinstance(e[0], tuple):
+                # composite semi-join key: dequalify every column
+                return (tuple(deq(c) for c in e[0]), e[1], e[2])
             return (deq(e[0]), e[1], e[2])
         if isinstance(e, tuple) and len(e) == 2 \
                 and e[0] in ("and", "or"):
@@ -4376,6 +4457,19 @@ def _frame_leaf(fr, leaf, resolve) -> np.ndarray:
     from .query import TextFold, VExpr, _typed_literal
 
     col_ref, op, lit = leaf
+    if op == "in_rows":
+        # composite-key IN over a materialized frame (host twin of
+        # query._in_rows_mask; multi-key correlated EXISTS rewrite)
+        from .query import rows_in_mask
+
+        cols, oks = [], []
+        for c in col_ref:
+            nm = resolve(c)
+            cols.append(np.asarray(fr._columns[nm], object)
+                        if fr.schema[nm].type in ("str", "bytes")
+                        else np.asarray(fr._columns[nm]))
+            oks.append(fr._ok[nm])
+        return rows_in_mask(cols, oks, lit)
     if isinstance(col_ref, TextFold):
         # case-folded text predicate over a materialized frame (host
         # twin of the device fold in query._predicate_mask)

@@ -1,0 +1,118 @@
+"""Multi-key correlated EXISTS/NOT EXISTS (VERDICT r3 item 8): the
+multi-conjunct equality correlation rewrites to a composite semi-join
+(the in_rows leaf), differential against Python/pandas oracles."""
+
+import csv as pycsv
+import io
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from csv_simd_tpu.sql import SqlError, sql
+
+T_CSV = (b"a,b,v\n"
+         b"1,x,10\n"
+         b"2,y,20\n"
+         b"1,y,30\n"
+         b"3,z,40\n"
+         b"bad!,x,50\n"   # a parse failure -> NULL key: never matches
+         b"2,x,60\n")
+U_CSV = (b"a,b,w\n"
+         b"1,x,5\n"
+         b"1,y,6\n"
+         b"2,x,7\n"
+         b"2,x,8\n"       # duplicate pair: EXISTS stays set-like
+         b"9,z,9\n"
+         b"oops,y,1\n")   # NULL key row: can never witness
+TBL = {"t": T_CSV, "u": U_CSV}
+S = {"a": "int32", "v": "int32"}
+
+TROWS = list(pycsv.reader(io.StringIO(T_CSV.decode())))[1:]
+UPAIRS = {(r[0], r[1]) for r in
+          pycsv.reader(io.StringIO(U_CSV.decode()))
+          if r[0].isdigit()} - {("a", "b")}
+
+
+def _t_ok(r):
+    return r[0].lstrip("-").isdigit()
+
+
+def test_exists_two_keys():
+    fr = sql("SELECT v FROM t WHERE EXISTS (SELECT a FROM u WHERE "
+             "u.a = t.a AND u.b = t.b)", tables=TBL, schema=S)
+    want = [int(r[2]) for r in TROWS
+            if _t_ok(r) and (r[0], r[1]) in UPAIRS]
+    assert fr["v"].tolist() == want
+    assert want  # fixture really matches something
+
+
+def test_not_exists_two_keys():
+    fr = sql("SELECT v FROM t WHERE NOT EXISTS (SELECT a FROM u WHERE "
+             "u.a = t.a AND u.b = t.b)", tables=TBL, schema=S)
+    # EXISTS is an existence test, never UNKNOWN: a NULL outer key
+    # matches no inner row, so EXISTS is FALSE and NOT EXISTS is TRUE —
+    # the bad! row IS included (matches the single-key rewrite too)
+    want = [int(r[2]) for r in TROWS
+            if not _t_ok(r) or (r[0], r[1]) not in UPAIRS]
+    assert fr["v"].tolist() == want
+
+
+def test_exists_two_keys_plus_uncorrelated_rest():
+    fr = sql("SELECT v FROM t WHERE EXISTS (SELECT a FROM u WHERE "
+             "u.a = t.a AND w >= 7 AND u.b = t.b)", tables=TBL,
+             schema=S)
+    upairs7 = {(r[0], r[1]) for r in
+               pycsv.reader(io.StringIO(U_CSV.decode()))
+               if r[2].isdigit() and int(r[2]) >= 7}
+    want = [int(r[2]) for r in TROWS
+            if _t_ok(r) and (r[0], r[1]) in upairs7]
+    assert fr["v"].tolist() == want
+
+
+def test_exists_multikey_pandas_differential():
+    rng = np.random.default_rng(3)
+    n, m = 400, 300
+    t = pd.DataFrame({"a": rng.integers(0, 8, n),
+                      "b": rng.choice(list("pqrs"), n),
+                      "v": np.arange(n)})
+    u = pd.DataFrame({"a": rng.integers(0, 8, m),
+                      "b": rng.choice(list("pqrs"), m),
+                      "w": rng.integers(0, 100, m)})
+    tcsv = t.to_csv(index=False).encode()
+    ucsv = u.to_csv(index=False).encode()
+    fr = sql("SELECT v FROM t WHERE EXISTS (SELECT a FROM u WHERE "
+             "u.a = t.a AND u.b = t.b AND w > 50)",
+             tables={"t": tcsv, "u": ucsv},
+             schema={"a": "int32", "v": "int32"})
+    pairs = set(map(tuple, u[u.w > 50][["a", "b"]].itertuples(
+        index=False, name=None)))
+    want = t[[(r.a, r.b) in pairs for r in t.itertuples()]]["v"]
+    assert fr["v"].tolist() == want.tolist()
+
+
+def test_exists_multikey_combined_with_outer_where():
+    fr = sql("SELECT v FROM t WHERE v < 60 AND EXISTS (SELECT a FROM "
+             "u WHERE u.a = t.a AND u.b = t.b)", tables=TBL, schema=S)
+    want = [int(r[2]) for r in TROWS
+            if _t_ok(r) and int(r[2]) < 60 and (r[0], r[1]) in UPAIRS]
+    assert fr["v"].tolist() == want
+
+
+def test_inequality_correlation_still_raises():
+    with pytest.raises(SqlError, match="equality conjunct"):
+        sql("SELECT v FROM t WHERE EXISTS (SELECT a FROM u WHERE "
+            "u.a = t.a AND u.w > t.v)", tables=TBL, schema=S)
+
+
+def test_multikey_over_derived_frame():
+    """The in_rows leaf must also compile on the host frame path
+    (derived table outer, aliased — correlation against the alias;
+    correlation against a non-aliased derived table was never
+    supported, single-key included)."""
+    fr = sql("SELECT v FROM (SELECT a, b, v FROM t WHERE v > 5) AS d "
+             "WHERE EXISTS (SELECT a FROM u WHERE u.a = d.a AND "
+             "u.b = d.b)", tables=TBL, schema=S)
+    want = [int(r[2]) for r in TROWS
+            if _t_ok(r) and int(r[2]) > 5 and (r[0], r[1]) in UPAIRS]
+    assert fr["v"].tolist() == want
