@@ -38,6 +38,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__linux__)
+#include <sys/mman.h>
+#include <unistd.h>
+#endif
+
 #if defined(__x86_64__) || defined(_M_X64)
 #include <immintrin.h>
 #define CSVIDX_X86 1
@@ -81,7 +86,10 @@ static inline uint64_t prefix_xor_bits(uint64_t f) {
 
 #ifdef CSVIDX_X86
 static inline bool cpu_has_avx2() {
-  static const bool ok = __builtin_cpu_supports("avx2");
+  // the extraction fast path uses _tzcnt_u64/_blsr_u64 (BMI1); every
+  // AVX2-era x86 has BMI1 but dispatch checks both to be exact
+  static const bool ok =
+      __builtin_cpu_supports("avx2") && __builtin_cpu_supports("bmi");
   return ok;
 }
 
@@ -115,7 +123,7 @@ __attribute__((target("avx2"))) static int chunk_quote_parity_avx2(
 // Stage-1 over the leading floor(n/64)*64 bytes. Offsets rebased by
 // +base; returns count or -1 on cap overflow. *parity_io carries quote
 // parity in and out; *done = bytes consumed (tail goes to the SWAR core).
-__attribute__((target("avx2"))) static int64_t chunk_stage1_avx2(
+__attribute__((target("avx2,bmi"))) static int64_t chunk_stage1_avx2(
     const uint8_t* data, int64_t n, int64_t base, const Dialect64& d,
     int carry_in, int64_t* out, int64_t cap, int* parity_io, int64_t* done) {
   const __m256i vq = _mm256_set1_epi8(static_cast<char>(d.quote & 0xff));
@@ -143,6 +151,14 @@ __attribute__((target("avx2"))) static int64_t chunk_stage1_avx2(
                   << 32);
     uint64_t pin = prefix_xor_bits(q);
     uint64_t m = s & ~(pin ^ carry);
+    // The plain tzcnt/blsr loop measured FASTEST here: branch-free 8x
+    // unconditional writes (simdjson flatten / the reference's
+    // reserve-64 trick, stage1.rs:211-292), two independent 32-bit
+    // chains, and 32-bit staging were all measured equal-or-slower on
+    // real corpus data (tools/ablate_native.py r4) — real CSV has
+    // near-periodic structure, so the loop branch predicts well, and
+    // this host is uop-throughput-bound (classify alone measures
+    // ~4.9 GB/s 1T), not mispredict- or chain-latency-bound.
     if (m) {
       if (k + __builtin_popcountll(m) > cap) return -1;
       do {
@@ -364,6 +380,19 @@ int64_t host_stage1(const uint8_t* data, int64_t n, int delim, int quote,
     *parity_out = carry_in & 1;
     return 0;
   }
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+  // The caller hands a fresh hundreds-of-MB output buffer; with THP in
+  // madvise mode (this rig) first-touch pays a 4 KiB fault per page
+  // inside the hot extraction loop. Ask for 2 MiB faults instead —
+  // harmless no-op where unsupported.
+  if (out_cap >= (1 << 18)) {
+    uintptr_t a = reinterpret_cast<uintptr_t>(out);
+    uintptr_t pg = static_cast<uintptr_t>(sysconf(_SC_PAGESIZE));
+    uintptr_t lo = a & ~(pg - 1);
+    madvise(reinterpret_cast<void*>(lo),
+            static_cast<size_t>(out_cap) * 8 + (a - lo), MADV_HUGEPAGE);
+  }
+#endif
   if (n_threads <= 1 || n < (1 << 20)) {
     return chunk_stage1(data, n, 0, d, carry_in & 1, out, out_cap,
                         parity_out);
