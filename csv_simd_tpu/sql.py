@@ -2780,9 +2780,19 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
 
     part_arrays = [(fr._columns[c], fr._ok[c]) for c in part_cols]
     order_arrays = [(fr._columns[c], fr._ok[c], d) for c, d in order_refs]
+    # one cache dict per OVER clause per frame: every window item over
+    # the same (PARTITION BY, ORDER BY) shares the key factorization
+    # and the single device sort
+    try:
+        caches = fr.__dict__.setdefault("_window_prep_cache", {})
+        cache = caches.setdefault(
+            (tuple(part_cols), tuple(order_refs)), {})
+    except (AttributeError, TypeError):
+        cache = None
     res = window_column(
         fn, n, part_arrays, order_arrays, vals, okm,
         offset=getattr(it, "offset", 1) or 1, is_int=is_int,
+        cache=cache,
     )
     if res is None:
         return None

@@ -248,7 +248,8 @@ class ShardedStreamingIndexBuilder:
 
     def __init__(self, mesh=None, dialect: Dialect = DEFAULT_DIALECT,
                  use_pallas: Optional[bool] = None,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 pipeline_depth: int = 2):
         import jax
 
         from .parallel.sharded import make_mesh
@@ -262,6 +263,11 @@ class ShardedStreamingIndexBuilder:
         self._parity = 0  # int or device scalar
         self._offset = 0
         self._parts = [np.zeros(1, dtype=np.int64)]
+        # same lagging-extraction pipeline as StreamingIndexBuilder:
+        # chunk k+1's sharded scan launches (parity chains as a device
+        # scalar) while chunk k's packed words extract on host
+        self._depth = max(pipeline_depth, 1)
+        self._pending = []  # [(packed_sharded, n_bytes, base, tile)]
 
     def feed(self, chunk: bytes | np.ndarray) -> None:
         import jax
@@ -272,7 +278,6 @@ class ShardedStreamingIndexBuilder:
             pad_words_for_mesh,
             sharded_stage1,
         )
-        from .ops.stage1_v3 import unpack_packed_host
 
         arr = as_u8(chunk)
         if arr.size == 0:
@@ -287,18 +292,28 @@ class ShardedStreamingIndexBuilder:
         )
         self._parity = parity  # device scalar: next chunk chains async
         shard_rows = w2d.shape[0] // n_shards
-        mask = unpack_packed_host(
-            np.asarray(packed), arr.size, tile=min(512, shard_rows))
+        self._pending.append(
+            (packed, arr.size, self._offset, min(512, shard_rows)))
+        self._offset += arr.size
+        while len(self._pending) > self._depth:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        from .ops.stage1_v3 import unpack_packed_host
+
+        packed, n, base, tile = self._pending.pop(0)
+        mask = unpack_packed_host(np.asarray(packed), n, tile=tile)
         local = np.flatnonzero(mask).astype(np.int64)
         if local.size:
-            self._parts.append(local + self._offset)
-        self._offset += arr.size
+            self._parts.append(local + base)
 
     @property
     def quote_parity(self) -> int:
         return int(self._parity)
 
     def finish(self) -> np.ndarray:
+        while self._pending:
+            self._drain_one()
         return np.concatenate(self._parts)
 
 

@@ -144,20 +144,29 @@ def _ends(change, idx, n):
     return nxt - 1
 
 
-@functools.partial(
-    jax.jit, static_argnames=("fn", "offset", "has_order"))
-def _window_device(sort_k, part_k, order_k, vals, vok, *, fn: str,
-                   offset: int, has_order: bool):
-    """Sorted-space window compute. sort_k (S, n) int32 radix-combined
-    lexicographic sort chunks (covers part THEN order keys); part_k
-    (P, n) / order_k (O, n) int32 codes for boundary detection; vals
-    (n,) int32/float32 (zeros when unused), vok (n,) bool. Returns
-    (perm, outputs...) — all in sorted space; callers scatter back
-    with perm."""
+@jax.jit
+def _lex_sort(sort_k):
+    """(S, n) int32 radix-combined lexicographic chunks -> stable sort
+    permutation. Jitted separately from the window compute so multiple
+    window items over the SAME OVER clause share one device sort
+    (sql passes a per-clause cache)."""
     n = sort_k.shape[1]
     perm = jnp.arange(n, dtype=jnp.int32)
     for i in range(sort_k.shape[0] - 1, -1, -1):
         perm = perm[jnp.argsort(sort_k[i][perm], stable=True)]
+    return perm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fn", "offset", "has_order"))
+def _window_device(perm, part_k, order_k, vals, vok, *, fn: str,
+                   offset: int, has_order: bool):
+    """Sorted-space window compute. perm = _lex_sort of the combined
+    part+order keys; part_k (P, n) / order_k (O, n) int32 codes for
+    boundary detection; vals (n,) int32/float32 (zeros when unused),
+    vok (n,) bool. Returns (perm, outputs...) — all in sorted space;
+    callers scatter back with perm."""
+    n = perm.shape[0]
     sp = part_k[:, perm]
     part_change = _changes(sp)
     if has_order:
@@ -218,6 +227,7 @@ def window_column(
     *,
     offset: int = 1,
     is_int: bool = False,
+    cache: Optional[dict] = None,
 ):
     """Device window evaluation, or None when ineligible (caller falls
     back to the host executor). Returns (kind, payload):
@@ -235,18 +245,39 @@ def window_column(
     if fn in ("sum", "mean") and not is_int:
         return None  # float sums stay on host (float64 accumulation)
 
-    pcodes = []
-    for v, ok in part_keys:
-        c = factorize_key(v, ok, desc=False)
-        if c is None:
+    # key prep + the device sort are shared across every window item of
+    # the same OVER clause (sql passes one `cache` dict per clause)
+    if cache is not None and cache.get("ineligible"):
+        return None
+    prep = cache.get("prep") if cache is not None else None
+    if prep is not None:
+        pcodes, ocodes, pk, okk, perm_dev = prep
+    else:
+        def _bail():
+            if cache is not None:
+                cache["ineligible"] = True
             return None
-        pcodes.append(c)
-    ocodes = []
-    for v, ok, desc in order_keys:
-        c = factorize_key(v, ok, desc=desc)
-        if c is None:
-            return None
-        ocodes.append(c)
+
+        pcodes = []
+        for v, ok in part_keys:
+            c = factorize_key(v, ok, desc=False)
+            if c is None:
+                return _bail()
+            pcodes.append(c)
+        ocodes = []
+        for v, ok, desc in order_keys:
+            c = factorize_key(v, ok, desc=desc)
+            if c is None:
+                return _bail()
+            ocodes.append(c)
+        pk = (jnp.asarray(np.stack(pcodes)) if pcodes
+              else jnp.zeros((0, n), jnp.int32))
+        okk = (jnp.asarray(np.stack(ocodes)) if ocodes
+               else jnp.zeros((0, n), jnp.int32))
+        perm_dev = _lex_sort(jnp.asarray(_radix_combine(
+            pcodes + ocodes, n)))
+        if cache is not None:
+            cache["prep"] = (pcodes, ocodes, pk, okk, perm_dev)
 
     dvals = jnp.zeros(n, jnp.int32)
     dok = jnp.ones(n, bool)
@@ -299,13 +330,8 @@ def window_column(
         elif n >= _MAX_EXACT_PARTITION:
             return None
 
-    pk = (jnp.asarray(np.stack(pcodes)) if pcodes
-          else jnp.zeros((0, n), jnp.int32))
-    okk = (jnp.asarray(np.stack(ocodes)) if ocodes
-           else jnp.zeros((0, n), jnp.int32))
-    sk = jnp.asarray(_radix_combine(pcodes + ocodes, n))
-    out = _window_device(sk, pk, okk, dvals, dok, fn=fn, offset=offset,
-                         has_order=bool(ocodes))
+    out = _window_device(perm_dev, pk, okk, dvals, dok, fn=fn,
+                         offset=offset, has_order=bool(ocodes))
     perm = np.asarray(out[0])
 
     def scatter(a, dtype=None):
