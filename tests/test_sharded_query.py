@@ -150,3 +150,33 @@ def test_sql_over_sharded_tapes(setup):
     f_sh = sql("SELECT id, qty FROM t WHERE sym = 'TSLA' "
                "ORDER BY qty DESC LIMIT 7", spt)
     _assert_frames_equal(f_dev, f_sh)
+
+
+def test_sql_window_and_setops_over_sharded_tape(setup, monkeypatch):
+    """Round-4 surface composes with sharding: window functions and
+    set ops through sql() over the mesh-sharded offsets-free tape match
+    the single-device tape exactly (the frame materializes via
+    shard_map gathers; the window/setop executors then run on device)."""
+    import csv_simd_tpu.setops as SO
+    import csv_simd_tpu.window as W
+    from csv_simd_tpu.sql import sql
+
+    data, dev, spt, _st = setup
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    monkeypatch.setattr(SO, "DEVICE_SETOP_MIN_ROWS", 1)
+    q = ("SELECT id, SUM(qty) OVER (PARTITION BY sym ORDER BY qty) AS s,"
+         " ROW_NUMBER() OVER (PARTITION BY sym ORDER BY qty) AS rn"
+         " FROM t")
+    sch = {"id": "int32", "qty": "int32"}
+    a = sql(q, spt, schema=sch)
+    b = sql(q, dev, schema=sch)
+    for nm in ("id", "s", "rn"):
+        assert [v for v in a[nm]] == [v for v in b[nm]], nm
+
+    q2 = ("SELECT id, qty FROM t WHERE qty > 100 "
+          "EXCEPT SELECT id, qty FROM t WHERE qty > 2000")
+    a2 = sql(q2, spt, schema=sch)
+    b2 = sql(q2, dev, schema=sch)
+    assert a2["id"].tolist() == b2["id"].tolist()
+    assert a2["qty"].tolist() == b2["qty"].tolist()
+    assert len(a2) > 0

@@ -131,3 +131,45 @@ def test_huge_partition_guard(monkeypatch):
     r2 = W.window_column("count", n, [(part, None)], [], vals, None,
                          is_int=True)
     assert r2 is not None  # counts have no exactness cliff
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_tiny_frames_device(n, monkeypatch):
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    csv = b"g,v\n" + b"".join(b"%d,%d\n" % (i % 2, i) for i in range(n))
+    fr = sql("SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS r,"
+             " SUM(v) OVER (PARTITION BY g) AS s FROM t", csv,
+             schema={"g": "int32", "v": "int32"})
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
+    want = sql("SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS"
+               " r, SUM(v) OVER (PARTITION BY g) AS s FROM t", csv,
+               schema={"g": "int32", "v": "int32"})
+    assert _vals(fr, "r") == _vals(want, "r")
+    assert _vals(fr, "s") == _vals(want, "s")
+
+
+def test_all_null_values_and_keys(monkeypatch):
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    csv = (b"g,v\n"
+           b"1,x\n1,y\n2,z\n2,w\n")  # every v fails the int parse
+    q = ("SELECT SUM(v) OVER (PARTITION BY g) AS s, "
+         "COUNT(v) OVER (PARTITION BY g) AS c, "
+         "MIN(v) OVER (PARTITION BY g ORDER BY g) AS lo FROM t")
+    fr = sql(q, csv, schema={"g": "int32", "v": "int32"})
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
+    want = sql(q, csv, schema={"g": "int32", "v": "int32"})
+    for nm in ("s", "c", "lo"):
+        assert _vals(fr, nm) == _vals(want, nm)
+
+
+def test_order_key_all_null(monkeypatch):
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    csv = b"g,o,v\n1,x,10\n1,y,20\n1,z,30\n"  # o always parse-fails
+    q = ("SELECT ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) AS r,"
+         " SUM(v) OVER (PARTITION BY g ORDER BY o) AS s FROM t")
+    sch = {"g": "int32", "o": "int32", "v": "int32"}
+    fr = sql(q, csv, schema=sch)
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
+    want = sql(q, csv, schema=sch)
+    assert _vals(fr, "r") == _vals(want, "r")
+    assert _vals(fr, "s") == _vals(want, "s")
