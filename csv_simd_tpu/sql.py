@@ -81,9 +81,16 @@ Supported grammar (case-insensitive keywords):
   the window orders internally (stable, NULLs last). Aggregates with
   an OVER ORDER BY are cumulative with SQL's default RANGE frame
   (peer rows — equal order keys — share the value); without one they
-  cover the whole partition. LAG/LEAD step over ROWS; out-of-
-  partition offsets are NULL. Applied on host at materialization,
-  like the text functions.
+  cover the whole partition. Explicit frames: `ROWS BETWEEN <bound>
+  AND <bound>` (bounds: UNBOUNDED PRECEDING, k PRECEDING, CURRENT
+  ROW, k FOLLOWING, UNBOUNDED FOLLOWING; single-bound shorthand
+  `ROWS <bound>` = .. AND CURRENT ROW) — strictly row-positional, no
+  peer sharing, NULL values skipped, empty frame -> NULL (COUNT 0);
+  RANGE spellings of the default and of UNBOUNDED..UNBOUNDED are
+  accepted, value-offset RANGE frames raise. LAG/LEAD step over ROWS;
+  out-of-partition offsets are NULL. Frames and windows execute on
+  DEVICE when eligible (window.py: one sort + segmented scans;
+  bounded-window min/max stays on host), host pass otherwise.
 - ORDER BY accepts output aliases, plain columns (device sort, top-k
   under LIMIT), and computed keys — arithmetic expressions,
   LENGTH(col), UPPER/LOWER(col) — which sort on host over the
@@ -479,7 +486,7 @@ class _Parser:
                 )
             else:
                 w = _Item("window", col=it.col, fn=it.fn)
-                w.part, w.worder = self._over_clause()
+                w.part, w.worder, w.frame = self._over_clause()
                 w.offset = 0
                 it = w
         if self.peek() == ("op", "||"):
@@ -631,11 +638,22 @@ class _Parser:
                 and self.peek(1) == ("punc", "("))
 
     def _over_clause(self):
-        """OVER ( [PARTITION BY cols] [ORDER BY col [ASC|DESC], ...] )
-        — returns (partition cols, [(order col, desc)])."""
+        """OVER ( [PARTITION BY cols] [ORDER BY col [ASC|DESC], ...]
+        [ROWS|RANGE frame] ) — returns (partition cols,
+        [(order col, desc)], frame).
+
+        frame is None (SQL's default RANGE UNBOUNDED PRECEDING with
+        peer sharing) or ("rows", lo, hi) with lo/hi row offsets
+        relative to the current row (None = unbounded on that side):
+        ROWS BETWEEN <bound> AND <bound>, or the single-bound shorthand
+        ROWS <bound> (= BETWEEN <bound> AND CURRENT ROW). RANGE is
+        accepted for its two spellable-by-default forms (UNBOUNDED
+        PRECEDING..CURRENT ROW = the default; UNBOUNDED..UNBOUNDED =
+        whole partition, returned as ("rows", None, None) since they
+        coincide); value-offset RANGE frames raise."""
         self.next()  # 'over'
         self.expect("punc", "(")
-        part, worder = [], []
+        part, worder, frame = [], [], None
         if self.peek()[0] == "name" \
                 and self.peek()[1].lower() == "partition":
             self.next()
@@ -651,8 +669,78 @@ class _Parser:
                 worder.append((c, desc))
                 if not self.accept("punc", ","):
                     break
+        kind = None
+        if self.peek()[0] == "name" \
+                and self.peek()[1].lower() in ("rows", "range"):
+            kind = self.next()[1].lower()
+            if not worder:
+                raise SqlError(
+                    f"a {kind.upper()} frame needs ORDER BY in OVER")
+
+            def _bound(is_hi):
+                k, v = self.peek()
+                word = (v.lower() if k in ("name", "kw") else "")
+                if word == "unbounded":
+                    self.next()
+                    d = self.next()[1].lower()
+                    if d == "preceding":
+                        return ("unb", -1)
+                    if d == "following":
+                        return ("unb", 1)
+                    raise SqlError(
+                        "UNBOUNDED must be PRECEDING or FOLLOWING")
+                if word == "current":
+                    self.next()
+                    nxt = self.next()[1].lower()
+                    if nxt != "row":
+                        raise SqlError("expected CURRENT ROW")
+                    return ("off", 0)
+                off = self._number()
+                if not isinstance(off, int) or off < 0:
+                    raise SqlError(
+                        f"frame offset must be a non-negative integer, "
+                        f"got {off!r}")
+                d = self.next()[1].lower()
+                if d == "preceding":
+                    return ("off", -off)
+                if d == "following":
+                    return ("off", off)
+                raise SqlError(
+                    "frame offset must be PRECEDING or FOLLOWING")
+
+            if self.accept("kw", "between"):
+                b1 = _bound(False)
+                self.expect("kw", "and")
+                b2 = _bound(True)
+            else:
+                b1 = _bound(False)
+                b2 = ("off", 0)  # shorthand: .. AND CURRENT ROW
+            lo = None if b1 == ("unb", -1) else b1[1]
+            hi = None if b2 == ("unb", 1) else b2[1]
+            if b1 == ("unb", 1) or b2 == ("unb", -1):
+                raise SqlError(
+                    "frame bounds reversed (UNBOUNDED FOLLOWING can "
+                    "only end a frame)")
+            if kind == "range":
+                if (lo, hi) not in ((None, 0), (None, None)):
+                    raise SqlError(
+                        "RANGE frames support only UNBOUNDED "
+                        "PRECEDING..CURRENT ROW (the default) or "
+                        "UNBOUNDED..UNBOUNDED FOLLOWING; use ROWS for "
+                        "offset frames")
+                # UNBOUNDED..CURRENT ROW *with peer sharing* IS the
+                # default — represent as no frame; UNBOUNDED..UNBOUNDED
+                # = whole partition, same under ROWS or RANGE
+                frame = None if (lo, hi) == (None, 0) \
+                    else ("rows", None, None)
+            else:
+                if lo is not None and hi is not None and lo > hi:
+                    raise SqlError(
+                        f"empty ROWS frame: {lo} PRECEDING/FOLLOWING "
+                        f"starts after {hi}")
+                frame = ("rows", lo, hi)
         self.expect("punc", ")")
-        return part, worder
+        return part, worder, frame
 
     def _window_fn_item(self) -> _Item:
         """ROW_NUMBER()/RANK()/DENSE_RANK() and LAG/LEAD(col [, n]),
@@ -671,8 +759,12 @@ class _Parser:
         if not self._at_over():
             raise SqlError(f"{fn.upper()}() needs OVER (...)")
         it = _Item("window", col=col, fn=fn)
-        it.part, it.worder = self._over_clause()
+        it.part, it.worder, it.frame = self._over_clause()
         it.offset = off
+        if it.frame is not None:
+            raise SqlError(
+                f"{fn.upper()}() does not take a ROWS/RANGE frame "
+                "(frames apply to aggregates OVER)")
         if fn in ("rank", "dense_rank") and not it.worder:
             raise SqlError(f"{fn.upper()}() needs ORDER BY in OVER")
         return it
@@ -2207,6 +2299,7 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
             it2.part = [deq(c) for c in it.part]
             it2.worder = [(deq(c), d) for c, d in it.worder]
             it2.offset = it.offset
+            it2.frame = getattr(it, "frame", None)
         if it.kind == "expr":
             it2.expr = VExpr(deq_tree(it.expr.tree))
         def deq_cval(spec):
@@ -2792,7 +2885,7 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
     res = window_column(
         fn, n, part_arrays, order_arrays, vals, okm,
         offset=getattr(it, "offset", 1) or 1, is_int=is_int,
-        cache=cache,
+        cache=cache, frame=getattr(it, "frame", None),
     )
     if res is None:
         return None
@@ -2897,6 +2990,65 @@ def _window_column(fr, it: _Item, resolve):
 
     out = np.empty(n, object)
     ok_out = np.ones(n, bool)
+    wframe = getattr(it, "frame", None)
+
+    def _fill_rows_frame(rows):
+        """Explicit ROWS frame over one partition: per-row [lo, hi]
+        row-offset windows (None = unbounded side), NULLs skipped.
+        sum/count/mean ride prefix arrays (exact Python ints);
+        unbounded-side min/max ride prefix/suffix extrema; doubly
+        bounded min/max scan their (user-sized) window."""
+        _k, lo_off, hi_off = wframe
+        L = len(rows)
+        oks = [(it.col is None) or _ok_at(i) for i in rows]
+        pc = [0]
+        for p in range(L):
+            pc.append(pc[p] + (1 if oks[p] else 0))
+        ps = pref = suf = None
+        if fn in ("sum", "mean"):
+            ps = [0]
+            for p, i in enumerate(rows):
+                v = ((int(vals[i]) if is_int else float(vals[i]))
+                     if oks[p] else 0)
+                ps.append(ps[p] + v)
+        red = min if fn == "min" else max
+        if fn in ("min", "max") and lo_off is None:
+            pref, cur = [], None
+            for p, i in enumerate(rows):
+                if oks[p]:
+                    cur = vals[i] if cur is None else red(cur, vals[i])
+                pref.append(cur)
+        if fn in ("min", "max") and lo_off is not None \
+                and hi_off is None:
+            suf, cur = [None] * L, None
+            for p in range(L - 1, -1, -1):
+                if oks[p]:
+                    v = vals[rows[p]]
+                    cur = v if cur is None else red(cur, v)
+                suf[p] = cur
+        for p, i in enumerate(rows):
+            lo = 0 if lo_off is None else max(0, p + lo_off)
+            hi = L - 1 if hi_off is None else min(L - 1, p + hi_off)
+            c = 0 if lo > hi else pc[hi + 1] - pc[lo]
+            if fn == "count":
+                out[i] = c
+                continue
+            if c == 0:
+                out[i] = None
+                ok_out[i] = False
+                continue
+            if fn in ("sum", "mean"):
+                s = ps[hi + 1] - ps[lo]
+                out[i] = s if fn == "sum" else s / c
+            elif lo_off is None:
+                out[i] = pref[hi]
+            elif hi_off is None:
+                out[i] = suf[lo]
+            else:
+                sel = [vals[rows[p2]] for p2 in range(lo, hi + 1)
+                       if oks[p2]]
+                out[i] = red(sel)
+
     for rows in parts.values():
         if fn == "row_number":
             for k, i in enumerate(rows):
@@ -2911,6 +3063,10 @@ def _window_column(fr, it: _Item, resolve):
                 else:
                     out[i] = None
                     ok_out[i] = False
+            continue
+        if wframe is not None and fn in ("count", "sum", "mean",
+                                         "min", "max"):
+            _fill_rows_frame(rows)
             continue
         # peer groups: runs of equal OVER-ORDER-BY keys (the whole
         # partition is one peer group when there is no ORDER BY)

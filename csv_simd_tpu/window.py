@@ -158,9 +158,9 @@ def _lex_sort(sort_k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fn", "offset", "has_order"))
+    jax.jit, static_argnames=("fn", "offset", "has_order", "frame"))
 def _window_device(perm, part_k, order_k, vals, vok, *, fn: str,
-                   offset: int, has_order: bool):
+                   offset: int, has_order: bool, frame=None):
     """Sorted-space window compute. perm = _lex_sort of the combined
     part+order keys; part_k (P, n) / order_k (O, n) int32 codes for
     boundary detection; vals (n,) int32/float32 (zeros when unused),
@@ -193,19 +193,58 @@ def _window_device(perm, part_k, order_k, vals, vok, *, fn: str,
         return perm, src
 
     sv = vok[perm]
-    peer_end = _ends(peer_change, idx, n)
-    cnt = _seg_scan(sv.astype(jnp.int32), part_change, jnp.add)[peer_end]
+    if frame is None:
+        # SQL's default RANGE UNBOUNDED PRECEDING: peers (equal order
+        # keys) share the value at their peer group's LAST row, and the
+        # frame always starts at the partition start
+        gather_at = _ends(peer_change, idx, n)
+        lo_i = None
+        empty = None
+    else:
+        # explicit ROWS frame: offsets are row positions relative to
+        # the current row, clamped to the partition; no peer sharing
+        _kind, lo, hi = frame
+        part_end = _ends(part_change, idx, n)
+        gather_at = part_end if hi is None \
+            else jnp.minimum(part_end, idx + hi)
+        lo_i = seg_start if lo is None \
+            else jnp.maximum(seg_start, idx + lo)
+        empty = gather_at < lo_i
+        gather_at = jnp.clip(gather_at, 0, n - 1)
+
+    def _windowed(scan, is_sum: bool):
+        """Frame value from an inclusive segmented scan: value at the
+        frame end, minus (for +-decomposable scans) the prefix before
+        the frame start."""
+        at_end = scan[gather_at]
+        if frame is None:
+            return at_end
+        if is_sum:
+            prev = jnp.where(
+                lo_i > seg_start,
+                scan[jnp.clip(lo_i - 1, 0, n - 1)],
+                jnp.zeros((), scan.dtype))
+            at_end = at_end - prev
+        return jnp.where(empty, jnp.zeros((), scan.dtype), at_end)
+
+    cnt = _windowed(_seg_scan(sv.astype(jnp.int32), part_change,
+                              jnp.add), True)
     if fn == "count":
         return perm, cnt
     v = vals[perm]
     if fn in ("min", "max"):
+        # only prefix-shaped frames reach the device (window_column
+        # gates): frame None (peer end), (None, 0) = current row,
+        # (None, None) = whole partition — all gathers of the cummin/
+        # cummax scan, never a subtraction
         if vals.dtype == jnp.float32:
             sent = jnp.float32(jnp.inf if fn == "min" else -jnp.inf)
         else:
             sent = jnp.int32(2**31 - 1 if fn == "min" else -(2**31))
         m = jnp.where(sv, v, sent)
         comb = jnp.minimum if fn == "min" else jnp.maximum
-        return perm, _seg_scan(m, part_change, comb)[peer_end], cnt
+        return perm, _windowed(_seg_scan(m, part_change, comb),
+                               False), cnt
     # sum / mean over ints: exact digit-split segmented cumsums
     zero = jnp.where(sv, v, 0)
     w = _SPLIT[1]
@@ -213,7 +252,7 @@ def _window_device(perm, part_k, order_k, vals, vok, *, fn: str,
     for s, width in ((0, w), (w, w), (_SPLIT[0], 31)):
         d = (zero >> s) & ((1 << width) - 1) if s + width <= 31 \
             else zero >> s
-        digs.append(_seg_scan(d, part_change, jnp.add)[peer_end])
+        digs.append(_windowed(_seg_scan(d, part_change, jnp.add), True))
     return perm, digs[0], digs[1], digs[2], cnt
 
 
@@ -228,6 +267,7 @@ def window_column(
     offset: int = 1,
     is_int: bool = False,
     cache: Optional[dict] = None,
+    frame=None,
 ):
     """Device window evaluation, or None when ineligible (caller falls
     back to the host executor). Returns (kind, payload):
@@ -244,6 +284,11 @@ def window_column(
         return None
     if fn in ("sum", "mean") and not is_int:
         return None  # float sums stay on host (float64 accumulation)
+    if frame is not None and fn in ("min", "max") \
+            and (frame[1], frame[2]) not in ((None, 0), (None, None)):
+        # bounded-window min/max is not prefix-decomposable; the host
+        # sliding pass handles it
+        return None
 
     # key prep + the device sort are shared across every window item of
     # the same OVER clause (sql passes one `cache` dict per clause)
@@ -331,7 +376,8 @@ def window_column(
             return None
 
     out = _window_device(perm_dev, pk, okk, dvals, dok, fn=fn,
-                         offset=offset, has_order=bool(ocodes))
+                         offset=offset, has_order=bool(ocodes),
+                         frame=frame)
     perm = np.asarray(out[0])
 
     def scatter(a, dtype=None):

@@ -116,3 +116,48 @@ def test_multikey_over_derived_frame():
     want = [int(r[2]) for r in TROWS
             if _t_ok(r) and int(r[2]) > 5 and (r[0], r[1]) in UPAIRS]
     assert fr["v"].tolist() == want
+
+
+def test_rows_in_mask_fast_vs_fallback_property():
+    """The vectorized shared-code membership must equal the tuple-set
+    scan on randomized inputs (mixed dtypes per column, NULLs,
+    duplicate tuples, empty lists)."""
+    from csv_simd_tpu.query import _norm_row_key, rows_in_mask
+
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        n = int(rng.integers(1, 200))
+        k = int(rng.integers(1, 4))
+        cols, oks = [], []
+        for j in range(k):
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                cols.append(rng.integers(-5, 5, n).astype(np.int32))
+            elif kind == 1:
+                cols.append((rng.integers(-8, 8, n) / 2.0))
+            else:
+                cols.append(np.array(
+                    [f"s{int(x)}" for x in rng.integers(0, 6, n)],
+                    object))
+            oks.append(None if rng.random() < 0.5
+                       else rng.random(n) > 0.2)
+        n_lit = int(rng.integers(0, 10))
+        lits = []
+        for _ in range(n_lit):
+            t = []
+            for j in range(k):
+                i = int(rng.integers(0, n))
+                t.append(_norm_row_key(cols[j][i]))
+            lits.append(tuple(t))
+        got = rows_in_mask(cols, oks, lits)
+        # oracle: plain tuple-set scan
+        lset = {tuple(_norm_row_key(x) for x in t) for t in lits}
+        ok_all = np.ones(n, bool)
+        for o in oks:
+            if o is not None:
+                ok_all &= o
+        want = np.array(
+            [ok_all[i] and tuple(
+                _norm_row_key(c[i]) for c in cols) in lset
+             for i in range(n)], bool)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
