@@ -76,8 +76,12 @@ Supported grammar (case-insensitive keywords):
   derived tables (not with GROUP BY — wrap the grouped select in a
   derived table): `agg(col) OVER ([PARTITION BY cols] [ORDER BY col
   [ASC|DESC], ...])` for SUM/MIN/MAX/COUNT/AVG (COUNT(*) too), plus
-  ROW_NUMBER(), RANK(), DENSE_RANK() (ORDER BY required), and
-  LAG/LEAD(col [, n]) (default n=1). Rows keep their original order;
+  ROW_NUMBER(), RANK(), DENSE_RANK(), NTILE(n) (ORDER BY required),
+  LAG/LEAD(col [, n]) (default n=1), and FIRST_VALUE/LAST_VALUE(col)
+  / NTH_VALUE(col, n) — frame-position values that do NOT skip NULLs;
+  their default frame ends at the current peer group (give LAST_VALUE
+  an explicit ROWS ... UNBOUNDED FOLLOWING frame for the usual
+  partition-last semantics). Rows keep their original order;
   the window orders internally (stable, NULLs last). Aggregates with
   an OVER ORDER BY are cumulative with SQL's default RANGE frame
   (peer rows — equal order keys — share the value); without one they
@@ -210,7 +214,8 @@ _TEXT_FNS = {"upper", "lower", "trim", "ltrim", "rtrim",
 # folds whose first tuple element is the column ref (rest: arguments)
 _TUPLE_FOLDS = ("substr", "replace", "instr")
 # pure window functions (aggregates also become windows via OVER)
-_WIN_FNS = {"row_number", "rank", "dense_rank", "lag", "lead"}
+_WIN_FNS = {"row_number", "rank", "dense_rank", "lag", "lead",
+            "first_value", "last_value", "nth_value", "ntile"}
 
 
 def _tokenize(text: str) -> List[Tuple[str, str]]:
@@ -743,29 +748,43 @@ class _Parser:
         return part, worder, frame
 
     def _window_fn_item(self) -> _Item:
-        """ROW_NUMBER()/RANK()/DENSE_RANK() and LAG/LEAD(col [, n]),
+        """ROW_NUMBER()/RANK()/DENSE_RANK(), LAG/LEAD(col [, n]),
+        FIRST_VALUE/LAST_VALUE(col), NTH_VALUE(col, n), NTILE(n) —
         each requiring an OVER clause."""
         fn = self.next()[1].lower()
         self.expect("punc", "(")
         col, off = None, 1
-        if fn in ("lag", "lead"):
+        if fn in ("lag", "lead", "first_value", "last_value",
+                  "nth_value"):
             col = self._colref()
-            if self.accept("punc", ","):
+            if fn in ("lag", "lead") and self.accept("punc", ","):
                 off = self._number()
                 if not isinstance(off, int) or off < 1:
                     raise SqlError(
                         f"{fn.upper()} offset must be >= 1, got {off!r}")
+            if fn == "nth_value":
+                self.expect("punc", ",")
+                off = self._number()
+                if not isinstance(off, int) or off < 1:
+                    raise SqlError(
+                        f"NTH_VALUE position must be >= 1, got {off!r}")
+        elif fn == "ntile":
+            off = self._number()
+            if not isinstance(off, int) or off < 1:
+                raise SqlError(
+                    f"NTILE bucket count must be >= 1, got {off!r}")
         self.expect("punc", ")")
         if not self._at_over():
             raise SqlError(f"{fn.upper()}() needs OVER (...)")
         it = _Item("window", col=col, fn=fn)
         it.part, it.worder, it.frame = self._over_clause()
         it.offset = off
-        if it.frame is not None:
+        if it.frame is not None and fn not in (
+                "first_value", "last_value", "nth_value"):
             raise SqlError(
                 f"{fn.upper()}() does not take a ROWS/RANGE frame "
-                "(frames apply to aggregates OVER)")
-        if fn in ("rank", "dense_rank") and not it.worder:
+                "(frames apply to aggregates and FIRST/LAST/NTH_VALUE)")
+        if fn in ("rank", "dense_rank", "ntile") and not it.worder:
             raise SqlError(f"{fn.upper()}() needs ORDER BY in OVER")
         return it
 
@@ -3064,6 +3083,50 @@ def _window_column(fr, it: _Item, resolve):
                     out[i] = None
                     ok_out[i] = False
             continue
+        if fn == "ntile":
+            # SQL NTILE: L rows into nt buckets, the first L % nt
+            # buckets one row larger
+            L, nt = len(rows), it.offset
+            small, rem = L // nt, L % nt
+            cut = rem * (small + 1)
+            for p, i in enumerate(rows):
+                out[i] = (p // (small + 1) + 1 if p < cut
+                          else rem + (p - cut) // max(small, 1) + 1)
+            continue
+        if fn in ("first_value", "last_value", "nth_value"):
+            # value AT a frame position — NULLs are NOT skipped (SQL:
+            # these return the value of that row, null or not); the
+            # default frame starts at the partition and ends at the
+            # current PEER group's last row (peer sharing)
+            L = len(rows)
+            if wframe is None:
+                ends = [0] * L
+                for p in range(L - 1, -1, -1):
+                    ends[p] = (p if p == L - 1
+                               or otup[rows[p]] != otup[rows[p + 1]]
+                               else ends[p + 1])
+                los = [0] * L
+            else:
+                _k, lo_off, hi_off = wframe
+                los = [0 if lo_off is None else max(0, p + lo_off)
+                       for p in range(L)]
+                ends = [L - 1 if hi_off is None
+                        else min(L - 1, p + hi_off) for p in range(L)]
+            for p, i in enumerate(rows):
+                lo, hi = los[p], ends[p]
+                if fn == "first_value":
+                    pos = lo
+                elif fn == "last_value":
+                    pos = hi
+                else:
+                    pos = lo + it.offset - 1
+                if lo > hi or pos > hi or pos < lo \
+                        or not _ok_at(rows[pos]):
+                    out[i] = None
+                    ok_out[i] = False
+                else:
+                    out[i] = vals[rows[pos]]
+            continue
         if wframe is not None and fn in ("count", "sum", "mean",
                                          "min", "max"):
             _fill_rows_frame(rows)
@@ -3121,7 +3184,7 @@ def _window_column(fr, it: _Item, resolve):
                     out[i] = acc_max
                     ok_out[i] = acc_max is not None
     ok_final = None if ok_out.all() else ok_out
-    if fn in ("row_number", "rank", "dense_rank", "count"):
+    if fn in ("row_number", "rank", "dense_rank", "count", "ntile"):
         return (np.array([int(v) for v in out], np.int64), None,
                 Col("int32"))
     if fn == "mean":

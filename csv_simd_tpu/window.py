@@ -191,6 +191,39 @@ def _window_device(perm, part_k, order_k, vals, vok, *, fn: str,
                  & (j >= 0) & (j < n))
         src = jnp.where(valid, perm[jnp.clip(j, 0, n - 1)], -1)
         return perm, src
+    if fn == "ntile":
+        part_end = _ends(part_change, idx, n)
+        size = part_end - seg_start + 1
+        p = idx - seg_start
+        small = size // offset
+        rem = size - small * offset
+        cut = rem * (small + 1)
+        return perm, jnp.where(
+            p < cut, p // (small + 1),
+            rem + (p - cut) // jnp.maximum(small, 1)) + 1
+    if fn in ("first_value", "last_value", "nth_value"):
+        # frame-position value: computed as a source ROW id gathered
+        # host-side (works for every column type; NULLs NOT skipped)
+        part_end = _ends(part_change, idx, n)
+        if frame is None:
+            lo_i = seg_start
+            hi_i = _ends(peer_change, idx, n)
+        else:
+            _k, lo, hi = frame
+            lo_i = seg_start if lo is None \
+                else jnp.maximum(seg_start, idx + lo)
+            hi_i = part_end if hi is None \
+                else jnp.minimum(part_end, idx + hi)
+        if fn == "first_value":
+            pos = lo_i
+        elif fn == "last_value":
+            pos = hi_i
+        else:
+            pos = lo_i + (offset - 1)
+        valid = (lo_i <= hi_i) & (pos >= lo_i) & (pos <= hi_i) \
+            & (pos >= 0) & (pos < n)
+        src = jnp.where(valid, perm[jnp.clip(pos, 0, n - 1)], -1)
+        return perm, src
 
     sv = vok[perm]
     if frame is None:
@@ -386,9 +419,9 @@ def window_column(
         res[perm] = a
         return res
 
-    if fn in ("row_number", "rank", "dense_rank", "count"):
+    if fn in ("row_number", "rank", "dense_rank", "count", "ntile"):
         return "int", scatter(out[1], np.int64)
-    if fn in ("lag", "lead"):
+    if fn in ("lag", "lead", "first_value", "last_value", "nth_value"):
         return "src", scatter(out[1], np.int64)
     if fn in ("min", "max"):
         valsb = scatter(out[1])

@@ -157,3 +157,51 @@ def test_frame_parse_errors():
         sql("SELECT SUM(v) OVER (PARTITION BY g ORDER BY i ROWS "
             "BETWEEN CURRENT ROW AND 2 PRECEDING) FROM t", CSV,
             schema=S)
+
+
+def test_first_last_nth_value_semantics():
+    csv = b"g,o,v\n1,1,10\n1,2,20\n1,2,30\n1,3,bad\n2,1,7\n"
+    sch = {"g": "int32", "o": "int32", "v": "int32"}
+    r = sql("SELECT FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY o)"
+            " AS f, LAST_VALUE(v) OVER (PARTITION BY g ORDER BY o)"
+            " AS l, NTH_VALUE(v, 2) OVER (PARTITION BY g ORDER BY o)"
+            " AS n2 FROM t", csv, schema=sch)
+    # default frame: start = partition start; end = current PEER end
+    assert _vals(r, "f") == [10, 10, 10, 10, 7]
+    # row 4 (o=3, v NULL): LAST_VALUE returns the NULL itself (no skip)
+    assert _vals(r, "l") == [10, 30, 30, None, 7]
+    # NTH_VALUE(2): frame must reach position 2
+    assert _vals(r, "n2") == [None, 20, 20, 20, None]
+    # explicit frame makes LAST_VALUE useful
+    r2 = sql("SELECT LAST_VALUE(v) OVER (PARTITION BY g ORDER BY o "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+             "FOLLOWING) AS l FROM t", csv, schema=sch)
+    assert _vals(r2, "l") == [None, None, None, None, 7]
+
+
+def test_ntile_distribution():
+    csv = b"g,o\n" + b"".join(b"1,%d\n" % i for i in range(7))
+    r = sql("SELECT NTILE(3) OVER (ORDER BY o) AS b FROM t", csv,
+            schema={"g": "int32", "o": "int32"})
+    # 7 rows / 3 buckets -> sizes 3,2,2
+    assert _vals(r, "b") == [1, 1, 1, 2, 2, 3, 3]
+    r2 = sql("SELECT NTILE(10) OVER (ORDER BY o) AS b FROM t", csv,
+             schema={"g": "int32", "o": "int32"})
+    assert _vals(r2, "b") == [1, 2, 3, 4, 5, 6, 7]
+
+
+@pytest.mark.parametrize("q", [
+    "SELECT FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY i) AS x FROM t",
+    "SELECT LAST_VALUE(v) OVER (PARTITION BY g ORDER BY i) AS x FROM t",
+    "SELECT LAST_VALUE(v) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN"
+    " CURRENT ROW AND UNBOUNDED FOLLOWING) AS x FROM t",
+    "SELECT NTH_VALUE(v, 3) OVER (PARTITION BY g ORDER BY i ROWS "
+    "BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS x FROM t",
+    "SELECT NTILE(4) OVER (PARTITION BY g ORDER BY i) AS x FROM t",
+])
+def test_new_winfns_device_matches_host(q, monkeypatch):
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    dev = sql(q, CSV, schema=S)
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
+    host = sql(q, CSV, schema=S)
+    assert _vals(dev, "x") == _vals(host, "x"), q
