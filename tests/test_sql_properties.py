@@ -227,3 +227,89 @@ def test_setop_differential(a, b, op):
     else:
         want = [v for v in dict.fromkeys(a) if v in set(b)]
     assert got == want
+
+
+# ------------------------------------------- ROWS-frame property
+
+
+_bound = st.one_of(st.none(), st.integers(-3, 3))  # None = unbounded
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.sampled_from("ab"),
+                       st.one_of(st.none(), st.integers(-9, 9))),
+             min_size=1, max_size=18),
+    st.sampled_from(["sum", "count", "min", "max", "avg"]),
+    _bound,  # lo offset (None = UNBOUNDED PRECEDING)
+    _bound,  # hi offset (None = UNBOUNDED FOLLOWING)
+    st.booleans(),  # force device path too?
+)
+def test_rows_frame_differential(rows, fn, lo, hi, force_device):
+    import csv_simd_tpu.window as W
+
+    if lo is not None and hi is not None and lo > hi:
+        lo, hi = hi, lo
+    def b(v, end):
+        if v is None:
+            return ("UNBOUNDED PRECEDING" if not end
+                    else "UNBOUNDED FOLLOWING")
+        if v == 0:
+            return "CURRENT ROW"
+        return (f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING")
+    frame = f"ROWS BETWEEN {b(lo, False)} AND {b(hi, True)}"
+    csv = b"g,o,v\n" + b"".join(
+        ("%s,%d,%s\n" % (g, i, "x" if v is None else v)).encode()
+        for i, (g, v) in enumerate(rows))
+    call = {"sum": "SUM(v)", "count": "COUNT(v)", "min": "MIN(v)",
+            "max": "MAX(v)", "avg": "AVG(v)"}[fn]
+    q = (f"SELECT {call} OVER (PARTITION BY g ORDER BY o {frame})"
+         " AS w FROM t")
+    sch = {"o": "int32", "v": "int32"}
+    old = W.DEVICE_WINDOW_MIN_ROWS
+    try:
+        W.DEVICE_WINDOW_MIN_ROWS = 1 if force_device else 10**9
+        fr = sql(q, csv, schema=sch)
+    finally:
+        W.DEVICE_WINDOW_MIN_ROWS = old
+
+    # brute-force oracle (rows are already in (g asc, o asc) window
+    # order because o is the input index and the sort is stable)
+    n = len(rows)
+    want = [None] * n
+    parts = {}
+    for i, (g, _v) in enumerate(rows):
+        parts.setdefault(g, []).append(i)
+    for idxs in parts.values():
+        L = len(idxs)
+        for p, i in enumerate(idxs):
+            a = 0 if lo is None else max(0, p + lo)
+            z = L - 1 if hi is None else min(L - 1, p + hi)
+            sel = [rows[idxs[p2]][1] for p2 in range(a, z + 1)
+                   if a <= z and rows[idxs[p2]][1] is not None]
+            if fn == "count":
+                want[i] = len(sel)
+            elif not sel:
+                want[i] = None
+            else:
+                want[i] = {"sum": sum(sel), "min": min(sel),
+                           "max": max(sel),
+                           "avg": sum(sel) / len(sel)}[fn]
+    got = []
+    okm = fr._ok.get("w")
+    for i, v in enumerate(fr["w"]):
+        if (okm is not None and not okm[i]) or v is None or (
+                isinstance(v, float) and v != v):
+            got.append(None)
+        elif fn == "avg":
+            got.append(float(v))
+        else:
+            got.append(int(v))
+    if fn == "avg":
+        assert all(
+            (a is None) == (b_ is None)
+            and (a is None or abs(a - b_) < 1e-9)
+            for a, b_ in zip(got, want)), (got, want, frame)
+    else:
+        assert got == want, (got, want, frame)
