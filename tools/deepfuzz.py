@@ -9,7 +9,8 @@ Two sweeps, both CPU-only and deterministic per seed:
           pandas (150 iterations ~3 min).
 
 Run:  python tools/deepfuzz.py [index|sql|all] [seed]
-Last clean runs: 2026-08-18 (both sweeps, 0 mismatches).
+Last clean runs: 2026-08-19 round-4 (all sweeps, 0 mismatches — after
+the window/setop/in_rows executor additions).
 """
 
 import io

@@ -285,6 +285,18 @@ def main():
         return
 
     table = {"buffer_mb": MB}
+    if "--keep-chip" in sys.argv:
+        # rerun the HOST sections without touching the chip row (e.g.
+        # after a contended-CPU capture): reuse the existing measured
+        # row instead of overwriting it with the recorded fallback
+        try:
+            with open(os.path.join(ROOT, "SCALING.json")) as f:
+                prev_chip = json.load(f)["chip"]
+        except Exception:
+            prev_chip = None
+        if prev_chip is not None:
+            table["chip"] = prev_chip
+            sys.argv.append("--skip-chip")
     chip_up = False
     if "--skip-chip" not in sys.argv:
         print("# probing the real chip (bounded)...", file=sys.stderr)
@@ -296,7 +308,9 @@ def main():
             chip_up = probe.returncode == 0
         except subprocess.TimeoutExpired:
             chip_up = False
-    if chip_up:
+    if "chip" in table:
+        pass  # --keep-chip: measured row carried over
+    elif chip_up:
         table["chip"] = _sub("chip")
     else:
         # never lose the chip row to an outage (the round-2 lesson):
