@@ -101,6 +101,35 @@ def run(n_bytes=64 * 1024 * 1024):
     print(f"sort-merge self-join:        {n / dt / 1e6:7.1f} Mrows/s "
           f"({dt * 1e3:.1f} ms, {len(l)} pairs)")
 
+    # round-4 surface: device window + device set ops through sql()
+    import csv_simd_tpu.window as W
+    import csv_simd_tpu.setops as SO
+    from csv_simd_tpu.sql import sql as run_sql
+
+    W.DEVICE_WINDOW_MIN_ROWS = 1
+    SO.DEVICE_SETOP_MIN_ROWS = 1
+    sch = {"f1": "int32", "f2": "int32"}
+
+    def win():
+        return run_sql(
+            "SELECT SUM(f1) OVER (PARTITION BY f2 ORDER BY f1) AS s "
+            "FROM t LIMIT 5", tape, schema=sch)
+
+    win()
+    dt = best_of(win, 3)
+    print(f"window SUM OVER (device):    {n / dt / 1e6:7.1f} Mrows/s "
+          f"({dt * 1e3:.1f} ms)")
+
+    def setop():
+        return run_sql(
+            "SELECT f2 FROM t WHERE f1 > 0 INTERSECT "
+            "SELECT f2 FROM t WHERE f1 < 0", tape, schema=sch)
+
+    r2 = setop()
+    dt = best_of(setop, 3)
+    print(f"INTERSECT (device setop):    {n / dt / 1e6:7.1f} Mrows/s "
+          f"({dt * 1e3:.1f} ms, {len(r2)} rows)")
+
 
 if __name__ == "__main__":
     run(int(sys.argv[1]) if len(sys.argv) > 1 else 64 * 1024 * 1024)
