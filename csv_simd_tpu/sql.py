@@ -11,6 +11,7 @@ relational layer.
 
 Supported grammar (case-insensitive keywords):
 
+    [WITH name AS ( select [UNION ...] ) [, name2 AS ( ... )]]
     select [UNION ALL select ...]   where each select is:
     SELECT [DISTINCT] * | item [, item ...]
     FROM table [[AS] alias]
@@ -379,9 +380,44 @@ class _Parser:
 
     # -- grammar
     def parse(self):
+        ctes = self._with_clause()
         ast = self._union()
         self.expect("end")
+        if ctes:
+            _inject_ctes(ast, ctes)
         return ast
+
+    def _with_clause(self):
+        """WITH name AS ( select ) [, name2 AS ( select2 )] ... —
+        common table expressions. Each CTE body may reference EARLIER
+        CTEs; references inject as derived tables (every reference
+        re-executes the body; WITH RECURSIVE raises). Returns
+        {name: sub-ast}, empty when there is no WITH."""
+        if not (self.peek()[0] == "name"
+                and self.peek()[1].lower() == "with"):
+            return {}
+        self.next()
+        if self.peek()[0] == "name" \
+                and self.peek()[1].lower() == "recursive":
+            raise SqlError("WITH RECURSIVE is not supported")
+        ctes: Dict[str, object] = {}
+        while True:
+            name = self.expect("name")[1]
+            if name in ctes:
+                raise SqlError(f"duplicate CTE name {name!r}")
+            self.expect("kw", "as")
+            self.expect("punc", "(")
+            sub = self._union()
+            self.expect("punc", ")")
+            _inject_ctes(sub, ctes)  # earlier CTEs visible to later
+            if _refs_table(sub, name):
+                raise SqlError(
+                    f"CTE {name!r} references itself (WITH RECURSIVE "
+                    "is not supported)")
+            ctes[name] = sub
+            if not self.accept("punc", ","):
+                break
+        return ctes
 
     def _union(self):
         """select (UNION [ALL] select)* — rows concatenate by
@@ -2249,6 +2285,77 @@ def _all_columns(src, kw) -> List[str]:
     _, names = _resolve_tape(src, kw["dialect"], kw["backend"],
                              kw["engine"], False)
     return list(names)
+
+
+def _walk_statement_asts(node):
+    """Yield every _Ast in a statement tree: union branches, derived
+    tables on both FROM sides, and IN/EXISTS/scalar subquery inners
+    (incl. inside CASE conditions)."""
+    if isinstance(node, _Union):
+        for b in node.branches:
+            yield from _walk_statement_asts(b)
+        return
+    yield node
+    for tbl in (node.table, node.join_table):
+        if tbl is not None and tbl[0] == "subquery":
+            yield from _walk_statement_asts(tbl[1][0])
+
+    def walk_where(e):
+        if isinstance(e, _InSubquery):
+            yield from _walk_statement_asts(e.ast)
+            return
+        if isinstance(e, tuple):
+            if len(e) == 3:
+                if isinstance(e[2], _InSubquery):
+                    yield from _walk_statement_asts(e[2].ast)
+                return
+            if len(e) == 2 and e[0] in ("and", "or"):
+                for x in e[1]:
+                    yield from walk_where(x)
+                return
+            if len(e) == 2 and e[0] == "not":
+                yield from walk_where(e[1])
+                return
+            if len(e) == 2 and e[0] == "exists":
+                yield from _walk_statement_asts(e[1].ast)
+                return
+        if isinstance(e, list):
+            for x in e:
+                yield from walk_where(x)
+
+    if node.where is not None:
+        yield from walk_where(node.where)
+    for it in list(node.items) + [i for i, _d in node.order_by]:
+        if getattr(it, "kind", None) == "case":
+            for cond, _v in it.branches:
+                yield from walk_where(cond)
+
+
+def _refs_table(node, name: str) -> bool:
+    """Does any FROM/JOIN in the statement reference table `name`?"""
+    return any(
+        tbl is not None and tbl[0] == "name" and tbl[1] == name
+        for a in _walk_statement_asts(node)
+        for tbl in (a.table, a.join_table)
+    )
+
+
+def _inject_ctes(node, ctes: Dict) -> None:
+    """Rewrite every FROM/JOIN reference to a CTE name into a derived
+    table carrying a DEEP COPY of the CTE body (each reference
+    executes independently — execution mutates asts in place, so
+    sharing one body object between sites would be unsound)."""
+    if not ctes:
+        return
+    import copy
+
+    for a in _walk_statement_asts(node):
+        for attr in ("table", "join_table"):
+            tbl = getattr(a, attr)
+            if tbl is not None and tbl[0] == "name" and tbl[1] in ctes:
+                setattr(a, attr, ("subquery",
+                                  (copy.deepcopy(ctes[tbl[1]]),
+                                   tbl[1])))
 
 
 def _dequalify_ast(ast: _Ast, tname: str) -> None:

@@ -1,0 +1,81 @@
+"""WITH (common table expressions): sugar over derived tables —
+references inject as independent subquery executions; earlier CTEs
+visible to later bodies; recursion (incl. mutual) raises."""
+
+import numpy as np
+import pytest
+
+from csv_simd_tpu.sql import SqlError, explain, sql
+
+CSV = (b"sym,qty\n"
+       b"AA,10\n"
+       b"BB,-3\n"
+       b"AA,7\n"
+       b"CC,5\n"
+       b"BB,4\n")
+S = {"qty": "int32"}
+
+
+def test_basic_cte():
+    fr = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0) "
+             "SELECT sym, qty FROM pos WHERE qty >= 7", CSV, schema=S)
+    assert [str(v) for v in fr["sym"]] == ["AA", "AA"]
+    assert fr["qty"].tolist() == [10, 7]
+
+
+def test_cte_with_aggregate_outer():
+    r = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0) "
+            "SELECT sym, SUM(qty) AS s FROM pos GROUP BY sym "
+            "ORDER BY sym", CSV, schema=S)
+    assert list(r["sym"]) == ["AA", "BB", "CC"]
+    assert [int(v) for v in r["s"]] == [17, 4, 5]
+
+
+def test_chained_ctes():
+    r = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0), "
+            "big AS (SELECT sym, qty FROM pos WHERE qty > 4) "
+            "SELECT COUNT(*) AS c FROM big", CSV, schema=S)
+    assert int(r["c"][0]) == 3  # 10, 7, 5
+
+
+def test_cte_referenced_twice():
+    r = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0) "
+            "SELECT sym FROM pos WHERE qty > 6 "
+            "UNION ALL SELECT sym FROM pos WHERE qty < 6",
+            CSV, schema=S)
+    assert sorted(str(v) for v in r["sym"]) == ["AA", "AA", "BB", "CC"]
+
+
+def test_cte_in_in_subquery():
+    fr = sql("WITH big AS (SELECT sym FROM t WHERE qty > 6) "
+             "SELECT qty FROM t WHERE sym IN (SELECT sym FROM big)",
+             CSV, schema=S)
+    assert fr["qty"].tolist() == [10, 7]
+
+
+def test_cte_window_over_body():
+    fr = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0) "
+             "SELECT sym, ROW_NUMBER() OVER (PARTITION BY sym "
+             "ORDER BY qty DESC) AS rn FROM pos", CSV, schema=S)
+    got = list(zip([str(v) for v in fr["sym"]], fr["rn"].tolist()))
+    assert got == [("AA", 1), ("AA", 2), ("CC", 1), ("BB", 1)]
+
+
+def test_recursion_raises():
+    with pytest.raises(SqlError, match="references itself|RECURSIVE"):
+        sql("WITH a AS (SELECT sym FROM a) SELECT * FROM a", CSV)
+    with pytest.raises(SqlError, match="references itself|RECURSIVE"):
+        sql("WITH a AS (SELECT sym FROM b), b AS (SELECT sym FROM a) "
+            "SELECT * FROM b", CSV)
+    with pytest.raises(SqlError, match="RECURSIVE"):
+        sql("WITH RECURSIVE a AS (SELECT sym FROM t) SELECT * FROM a",
+            CSV)
+    with pytest.raises(SqlError, match="duplicate CTE"):
+        sql("WITH a AS (SELECT sym FROM t), a AS (SELECT qty FROM t) "
+            "SELECT * FROM a", CSV)
+
+
+def test_cte_explain_shows_inner_plan():
+    txt = explain("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0) "
+                  "SELECT sym FROM pos WHERE qty > 6")
+    assert "subquery AS pos" in txt and "inner plan" in txt
