@@ -316,6 +316,40 @@ class ShardedStreamingIndexBuilder:
             self._drain_one()
         return np.concatenate(self._parts)
 
+    # -- checkpoint/resume (same contract as StreamingIndexBuilder:
+    #    parity bit + byte offset + partial index restart an
+    #    interrupted ingest exactly; SURVEY §5.4) --
+
+    def state_dict(self) -> dict:
+        while self._pending:
+            self._drain_one()
+        return {
+            "parity": int(self._parity),
+            "offset": self._offset,
+            "index_parts": np.concatenate(self._parts),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict, mesh=None, dialect=None,
+                   use_pallas=None, interpret=None):
+        b = cls(mesh, dialect or DEFAULT_DIALECT, use_pallas, interpret)
+        b._parity = int(state["parity"])
+        b._offset = int(state["offset"])
+        b._parts = [np.asarray(state["index_parts"], dtype=np.int64)]
+        return b
+
+    def save(self, path) -> None:
+        np.savez_compressed(path, **self.state_dict())
+
+    @classmethod
+    def load(cls, path, mesh=None, dialect=None, use_pallas=None,
+             interpret=None):
+        z = np.load(path, allow_pickle=False)
+        return cls.from_state(
+            {k: z[k] for k in ("parity", "offset", "index_parts")},
+            mesh, dialect, use_pallas, interpret,
+        )
+
 
 def build_index_sharded_streaming(
     source: Union[str, os.PathLike, BinaryIO, Iterable[bytes]],

@@ -95,3 +95,20 @@ def test_tail_chunk_and_parity_property():
     b.feed(data[7:])
     assert b.quote_parity == 1
     np.testing.assert_array_equal(b.finish(), _golden_index(data))
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Interrupt mid-stream, save, reload on a DIFFERENT mesh size,
+    continue — bit-identical to golden (parity + offset + partial
+    index are the whole state, same contract as the single-device
+    builder)."""
+    mesh4, mesh8 = make_mesh(4), make_mesh(8)
+    b = ShardedStreamingIndexBuilder(mesh4)
+    b.feed(DATA[:CHUNK])
+    b.feed(DATA[CHUNK : 2 * CHUNK])
+    p = tmp_path / "ckpt.npz"
+    b.save(p)
+    b2 = ShardedStreamingIndexBuilder.load(p, mesh8)
+    for start in range(2 * CHUNK, len(DATA), CHUNK):
+        b2.feed(DATA[start : start + CHUNK])
+    np.testing.assert_array_equal(b2.finish(), _golden_index(DATA))
