@@ -1477,8 +1477,18 @@ def rows_in_mask(col_arrays, ok_arrays, tuples) -> np.ndarray:
         combined = None
         lit_combined = None
         for j, col in enumerate(col_arrays):
-            vals = np.array([_norm_row_key(v) for v in col], object)
-            lj = np.array([t[j] for t in lits], object)
+            if col.dtype != object:
+                # typed columns: no per-element Python boxing — numpy
+                # promotes the literal array to a common dtype
+                # (int + float -> float64, exact for int32 values)
+                vals = col
+                lj = np.array([t[j] for t in lits])
+                if lj.dtype == object or lj.dtype.kind not in "iufb" \
+                        or col.dtype.kind not in "iufb":
+                    raise TypeError("mixed literal/column types")
+            else:
+                vals = np.array([_norm_row_key(v) for v in col], object)
+                lj = np.array([t[j] for t in lits], object)
             cat = np.concatenate([vals, lj])
             _u, inv = np.unique(cat, return_inverse=True)
             inv = inv.astype(np.int64)

@@ -112,9 +112,30 @@ def dedupe_keep(fr) -> Optional[np.ndarray]:
     return np.flatnonzero(keep)
 
 
+def setop_keep_concat(both, na: int, op: str) -> Optional[np.ndarray]:
+    """Device plan for EXCEPT/INTERSECT over the already-concatenated
+    frame (acc rows first): ascending acc row ids of distinct acc rows
+    absent from / present in the other rows, or None when ineligible.
+    Taking the concatenation directly avoids materializing per-side
+    frame slices just to re-concatenate their values here."""
+    n = len(both)
+    if n < DEVICE_SETOP_MIN_ROWS:
+        return None
+    codes = _columns_codes([both])
+    if codes is None:
+        return None
+    chunks = jnp.asarray(_radix_combine(codes, n))
+    is_b = jnp.arange(n) >= na
+    first_acc, has_b = (np.asarray(x)
+                        for x in _setop_device(chunks, is_b))
+    want_in = op == "intersect"
+    keep = first_acc[:na] & (has_b[:na] == want_in)
+    return np.flatnonzero(keep)
+
+
 def setop_keep(acc, other, op: str) -> Optional[np.ndarray]:
-    """Device plan for EXCEPT/INTERSECT: ascending row ids (into acc)
-    of distinct acc rows absent from / present in other, or None."""
+    """Two-frame convenience wrapper over setop_keep_concat (columns
+    factorize over both frames at once for the shared code space)."""
     na, nb = len(acc), len(other)
     if na + nb < DEVICE_SETOP_MIN_ROWS:
         return None

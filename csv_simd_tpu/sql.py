@@ -1644,14 +1644,32 @@ def _dispatch(ast, resolve_table, kw):
                 if op == "distinct":
                     acc = _dedupe_frame(acc)
         return acc
-    if ast.table[0] == "subquery" or (
-            ast.join_table is not None
-            and ast.join_table[0] == "subquery"):
-        if ast.join_table is not None:
-            raise SqlError(
-                "a derived table cannot be a JOIN side (join the "
-                "base tables inside the subquery instead)"
-            )
+    if ast.join_table is not None and (
+            ast.table[0] == "subquery"
+            or ast.join_table[0] == "subquery"):
+        # derived table / CTE as a JOIN side: materialize it and feed
+        # the join through the round-trip CSV writer (write_csv is
+        # designed so read_typed(write_csv(f)) round-trips exactly —
+        # quoting, canonical floats, empty cells for NULLs), carrying
+        # the frame's own schema so nothing re-infers
+        if ast.table[0] == "subquery":
+            sub, alias = ast.table[1]
+            left_src, sch = _frame_join_source(sub, resolve_table, kw)
+            kw = dict(kw, schema=sch)
+            ast.table_alias = ast.table_alias or alias or "l"
+            ast.table = ("name", ast.table_alias)
+        else:
+            left_src = resolve_table(ast.table, True)
+        if ast.join_table[0] == "subquery":
+            sub, alias = ast.join_table[1]
+            right_src, sch = _frame_join_source(sub, resolve_table, kw)
+            kw = dict(kw, right_schema=sch)
+            ast.join_alias = ast.join_alias or alias or "r"
+            ast.join_table = ("name", ast.join_alias)
+        else:
+            right_src = resolve_table(ast.join_table, False)
+        return _run_join(ast, left_src, right_src, kw)
+    if ast.table[0] == "subquery":
         sub, alias = ast.table[1]
         fr = _as_frame(_dispatch(sub, resolve_table, kw))
         if alias:
@@ -2214,13 +2232,9 @@ def _setop_frames(acc, other, op: str):
     both = _union_frames([acc, other])
     if len(both) == 0:
         return both
-    from .setops import setop_keep
+    from .setops import setop_keep_concat
 
-    na_dev = len(acc)
-    acc_u = _slice_frame(both, np.arange(na_dev, dtype=np.int64))
-    other_u = _slice_frame(
-        both, np.arange(na_dev, len(both), dtype=np.int64))
-    keep_dev = setop_keep(acc_u, other_u, op)
+    keep_dev = setop_keep_concat(both, len(acc), op)
     if keep_dev is not None:
         return _slice_frame(both, keep_dev)
     codes = _frame_row_codes(both)
@@ -2607,6 +2621,10 @@ def _item_input_cols(it: _Item):
             for leaf in _where_leaves(cond):
                 if isinstance(leaf[0], str):
                     out.append(leaf[0])
+                elif isinstance(leaf[0], tuple):
+                    # composite in_rows key (multi-key correlated
+                    # EXISTS rewritten inside a CASE WHEN)
+                    out.extend(leaf[0])
                 else:  # arithmetic WHEN condition
                     out.extend(leaf[0].columns())
                     if not isinstance(leaf[2], str) \
@@ -4555,6 +4573,33 @@ def _split_qualified(ref: str, l_alias: str, r_alias: str):
             f"{r_alias!r})"
         )
     return None, ref
+
+
+def _frame_join_source(sub, resolve_table, kw):
+    """Materialize a derived table / CTE for use as a JOIN side:
+    (csv bytes, {name: Col}) via the round-trip writer. Integer
+    columns must fit int32 to survive the re-parse (exact aggregate
+    sums can exceed it) — raise clearly instead of silently NULLing."""
+    fr = _as_frame(_dispatch(sub, resolve_table, kw))
+    for nm in fr.names:
+        if fr.schema[nm].type != "int32":
+            continue
+        col = fr._columns[nm]
+        okm = fr._ok[nm]
+        try:
+            a = np.asarray(col, dtype=np.int64)
+        except (OverflowError, TypeError, ValueError):
+            a = None
+        if a is None or (
+                (np.abs(a[np.asarray(okm, bool)] if okm is not None
+                        else a) >= 2**31).any()):
+            raise SqlError(
+                f"derived-table join side: column {nm!r} holds "
+                "integers outside int32 — they cannot round-trip "
+                "through the join's typed re-parse (CAST or aggregate "
+                "after the join instead)"
+            )
+    return fr.to_csv(), {nm: fr.schema[nm] for nm in fr.names}
 
 
 def _run_join(ast: _Ast, left_src, right_src, kw):

@@ -392,20 +392,31 @@ def window_column(
         # exactness guard: digit cumsums stay exact only under 2**20
         # rows per partition. Combine the per-key codes into ONE int64
         # radix code — 1-D np.unique is ~150x faster than axis=0's
-        # void-record rows at multi-million n (measured).
-        if pcodes:
-            combined = pcodes[0].astype(np.int64)
-            space = int(combined.max(initial=0)) + 1
-            for c in pcodes[1:]:
-                g = int(c.max(initial=0)) + 1
-                if space * g >= 2**62:
-                    return None  # absurd key space; host handles it
-                combined = combined * g + c
-                space *= g
-            _u, counts = np.unique(combined, return_counts=True)
-            if counts.max(initial=0) >= _MAX_EXACT_PARTITION:
-                return None
-        elif n >= _MAX_EXACT_PARTITION:
+        # void-record rows at multi-million n (measured). The verdict
+        # is shared across every SUM/AVG item of the clause (cache).
+        oversized = (cache or {}).get("oversized_partition")
+        if oversized is None:
+            if pcodes:
+                oversized = False
+                combined = pcodes[0].astype(np.int64)
+                space = int(combined.max(initial=0)) + 1
+                for c in pcodes[1:]:
+                    g = int(c.max(initial=0)) + 1
+                    if space * g >= 2**62:
+                        oversized = True  # absurd key space; host path
+                        break
+                    combined = combined * g + c
+                    space *= g
+                if not oversized:
+                    _u, counts = np.unique(combined,
+                                           return_counts=True)
+                    oversized = bool(
+                        counts.max(initial=0) >= _MAX_EXACT_PARTITION)
+            else:
+                oversized = n >= _MAX_EXACT_PARTITION
+            if cache is not None:
+                cache["oversized_partition"] = oversized
+        if oversized:
             return None
 
     out = _window_device(perm_dev, pk, okk, dvals, dok, fn=fn,

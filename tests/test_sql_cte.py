@@ -79,3 +79,36 @@ def test_cte_explain_shows_inner_plan():
     txt = explain("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0) "
                   "SELECT sym FROM pos WHERE qty > 6")
     assert "subquery AS pos" in txt and "inner plan" in txt
+
+
+def test_cte_as_join_side():
+    """A CTE (or inline derived table) as a JOIN side materializes
+    through the round-trip CSV writer and joins on device."""
+    fr = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 0) "
+             "SELECT t.sym, t.qty, p.qty AS pq FROM t "
+             "JOIN pos AS p ON t.sym = p.sym ORDER BY t.qty",
+             CSV, schema=S)
+    # AA rows (10,7) x pos AA (10,7); BB: only qty 4 is pos; CC: 5
+    rows = sorted(zip([str(v) for v in fr["sym"]],
+                      fr["qty"].tolist(), fr["pq"].tolist()))
+    assert rows == [("AA", 7, 7), ("AA", 7, 10), ("AA", 10, 7),
+                    ("AA", 10, 10), ("BB", -3, 4), ("BB", 4, 4),
+                    ("CC", 5, 5)]
+
+
+def test_derived_table_join_side_inline():
+    fr = sql("SELECT t.sym, d.s FROM t JOIN "
+             "(SELECT sym, SUM(qty) AS s FROM t GROUP BY sym) AS d "
+             "ON t.sym = d.sym WHERE t.qty > 0 ORDER BY t.qty",
+             CSV, schema=S)
+    assert list(zip([str(v) for v in fr["sym"]],
+                    [int(v) for v in fr["s"]])) == [
+        ("BB", 1), ("CC", 5), ("AA", 17), ("AA", 17)]
+
+
+def test_derived_join_side_int_overflow_raises():
+    big = b"sym,qty\nAA,2000000000\nAA,2000000000\n"
+    with pytest.raises(SqlError, match="outside int32"):
+        sql("SELECT t.sym FROM t JOIN (SELECT sym, SUM(qty) AS s "
+            "FROM t GROUP BY sym) AS d ON t.sym = d.sym",
+            big, schema=S)

@@ -161,3 +161,14 @@ def test_rows_in_mask_fast_vs_fallback_property():
                 _norm_row_key(c[i]) for c in cols) in lset
              for i in range(n)], bool)
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_multikey_exists_in_case_condition():
+    """Regression (round-4 review finding): the in_rows leaf inside a
+    CASE WHEN crashed _item_input_cols (tuple key has no .columns)."""
+    fr = sql("SELECT CASE WHEN EXISTS (SELECT a FROM u WHERE "
+             "u.a = t.a AND u.b = t.b) THEN v ELSE 0 END AS x FROM t",
+             tables=TBL, schema=S)
+    want = [int(r[2]) if _t_ok(r) and (r[0], r[1]) in UPAIRS else 0
+            for r in TROWS]
+    assert [int(v) for v in fr["x"]] == want

@@ -86,3 +86,21 @@ def test_fold_pack_layout_roundtrip():
     mask = unpack_packed_host(np.asarray(packed), arr.size, tile=tile)
     want = golden.structural_mask(arr)
     np.testing.assert_array_equal(mask, want)
+
+
+def test_v3_base_shift_corpus():
+    """Corpus coverage for the round-4 base_mode='shift' mask chain
+    (CLAUDE.md rule: mask/carry changes get corpus cases — the
+    hi_bit_quote_* adversaries pin the bit-7-only garbage contract)."""
+    from corpus import basic_cases
+
+    for case in basic_cases():
+        arr = np.frombuffer(case.data, dtype=np.uint8)
+        if arr.size == 0:
+            continue
+        w2d = jnp.asarray(pad_to_words(arr))
+        got, _p = stage1_fused(w2d, 0, interpret=True,
+                               base_mode="shift")
+        mask = unpack_packed_host(np.asarray(got), arr.size, tile=512)
+        np.testing.assert_array_equal(
+            mask, golden.structural_mask(arr), err_msg=case.name)

@@ -90,6 +90,28 @@ def test_v4_corpus(case):
     )
 
 
+@pytest.mark.parametrize("case", basic_cases(), ids=lambda c: c.name)
+def test_v4_variant_mask_chains_corpus(case):
+    """CLAUDE.md rule: mask/carry changes get corpus coverage. The
+    round-4 base_mode='shift' and compress_mode='m80' chains propagate
+    garbage outside bit-7 positions by design — the hi_bit_quote_*
+    cases (bytes whose low-7 bits equal structural chars with bit 7
+    set) are exactly what pins them."""
+    arr = np.frombuffer(case.data, dtype=np.uint8)
+    if arr.size == 0:
+        return
+    w2d = jnp.asarray(pad_to_words(arr))
+    want = golden.structural_mask(arr)
+    for kw in (dict(base_mode="shift"),
+               dict(compress_mode="m80"),
+               dict(base_mode="shift", compress_mode="m80")):
+        got, _p, _na = stage1_fused_v4(
+            w2d, 0, interpret=True, count_nonascii=False, **kw)
+        np.testing.assert_array_equal(
+            _unpack_seq(got, arr.size), want,
+            err_msg=f"{case.name} {kw}")
+
+
 def test_v4_emit_counts():
     """Fused per-row popcounts match a popcount over the packed words
     and the packed output is unchanged by the extra output."""
