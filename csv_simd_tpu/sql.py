@@ -172,10 +172,28 @@ frame (the join itself still runs on device).
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+
+def _spanned(name: str):
+    """Record the wrapped executor into utils.metrics.GLOBAL (the
+    tracing registry EXPLAIN ANALYZE reports from)."""
+
+    def deco(f):
+        @functools.wraps(f)
+        def wrapper(*a, **k):
+            from .utils.metrics import GLOBAL
+
+            with GLOBAL.span(name):
+                return f(*a, **k)
+
+        return wrapper
+
+    return deco
 
 __all__ = ["sql", "explain", "SqlResult", "SqlError"]
 
@@ -1419,6 +1437,38 @@ def explain(query: str) -> str:
     return _explain_any(_Parser(query).parse())
 
 
+def _explain_analyze(query: str, source, **kw) -> str:
+    """EXPLAIN ANALYZE: the plan text PLUS an execution record —
+    total wall time, result shape, and the per-stage span deltas the
+    executors record into utils.metrics.GLOBAL (window/setop/join and
+    any instrumented pipeline stages the statement touched)."""
+    import time as _time
+
+    from .utils.metrics import GLOBAL
+
+    plan = explain(query)
+    before = {k: (s.calls, s.seconds, s.bytes)
+              for k, s in GLOBAL.stages.items()}
+    t0 = _time.perf_counter()
+    res = sql(query, source, **kw)
+    dt = _time.perf_counter() - t0
+    lines = [plan, "", "-- ANALYZE --"]
+    try:
+        shape = f"{len(res)} rows x {len(res.names)} cols"
+    except Exception:
+        shape = type(res).__name__
+    lines.append(f"executed in {dt * 1e3:.1f} ms -> {shape}")
+    for k, s in GLOBAL.stages.items():
+        c0, t0_, b0 = before.get(k, (0, 0.0, 0))
+        dc, dtm = s.calls - c0, s.seconds - t0_
+        if dc > 0:
+            db = s.bytes - b0
+            rate = f"  {db / dtm / 1e9:.2f} GB/s" if db and dtm else ""
+            lines.append(f"  {k:24s} {dc:4d} calls "
+                         f"{dtm * 1e3:9.2f} ms{rate}")
+    return "\n".join(lines)
+
+
 def _explain_any(ast) -> str:
     if isinstance(ast, _Union):
         lines = []
@@ -1602,8 +1652,18 @@ def sql(query: str, source=None, *, tables: Optional[Dict] = None,
              covers the JOINed table.
     Returns a Frame (plain selection / join) or SqlResult (aggregate /
     GROUP BY / DISTINCT). A statement prefixed with EXPLAIN returns
-    the plan text instead (see explain())."""
-    if query.lstrip()[:8].lower() == "explain ":
+    the plan text instead (see explain()); EXPLAIN ANALYZE executes
+    the statement and returns the plan plus measured wall time, result
+    shape, and per-stage spans (window/setop/join executors)."""
+    stripped = query.lstrip()
+    if stripped[:16].lower().startswith("explain analyze"):
+        real = stripped[15:].lstrip()
+        return _explain_analyze(real, source, tables=tables,
+                                schema=schema,
+                                right_schema=right_schema,
+                                engine=engine, backend=backend,
+                                dialect=dialect, sample=sample)
+    if stripped[:8].lower() == "explain ":
         return explain(_strip_explain(query))
     ast = _Parser(query).parse()
 
@@ -1801,6 +1861,7 @@ def _referenced_cols(ast):
     return out
 
 
+@_spanned("sql.subquery")
 def _in_subquery_values(sub: _InSubquery, resolve_table, kw):
     """Run the inner select of `col IN (SELECT ...)` and return its
     distinct non-NULL values as Python scalars (the literal list the
@@ -1838,6 +1899,7 @@ def _in_subquery_values(sub: _InSubquery, resolve_table, kw):
     return out
 
 
+@_spanned("sql.subquery")
 def _in_subquery_rows(sub: _InSubquery, resolve_table, kw) -> list:
     """Materialize a MULTI-column subquery to a deduped list of row
     tuples for the composite in_rows leaf. Rows with any NULL key are
@@ -2205,6 +2267,7 @@ def _slice_frame(fr, keep: np.ndarray):
     return Frame(list(fr.names), cols, oks, dict(fr.schema), len(keep))
 
 
+@_spanned("sql.union_dedupe")
 def _dedupe_frame(fr):
     """Row-level dedupe of a frame (plain UNION): first occurrence of
     each distinct row survives, in order; NULLs compare equal. Fully
@@ -2223,6 +2286,7 @@ def _dedupe_frame(fr):
     return _slice_frame(fr, np.sort(first))
 
 
+@_spanned("sql.setop")
 def _setop_frames(acc, other, op: str):
     """EXCEPT / INTERSECT: distinct rows of `acc` that are absent from
     / present in `other` (first occurrence kept, in order; NULLs equal
@@ -3065,6 +3129,7 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
     return out, (None if okb.all() else okb), vspec
 
 
+@_spanned("sql.window")
 def _window_column(fr, it: _Item, resolve):
     """Evaluate a window item over a materialized frame (the values
     are on host — plain selections materialize — so windows are host
@@ -4602,6 +4667,7 @@ def _frame_join_source(sub, resolve_table, kw):
     return fr.to_csv(), {nm: fr.schema[nm] for nm in fr.names}
 
 
+@_spanned("sql.join")
 def _run_join(ast: _Ast, left_src, right_src, kw):
     from .join import join_typed
 

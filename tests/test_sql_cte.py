@@ -112,3 +112,14 @@ def test_derived_join_side_int_overflow_raises():
         sql("SELECT t.sym FROM t JOIN (SELECT sym, SUM(qty) AS s "
             "FROM t GROUP BY sym) AS d ON t.sym = d.sym",
             big, schema=S)
+
+
+def test_explain_analyze():
+    txt = sql("EXPLAIN ANALYZE WITH pos AS (SELECT sym, qty FROM t "
+              "WHERE qty > 0) SELECT sym, SUM(qty) OVER "
+              "(PARTITION BY sym ORDER BY qty) AS s FROM pos", CSV,
+              schema=S)
+    assert isinstance(txt, str)
+    assert "-- ANALYZE --" in txt and "executed in" in txt
+    assert "rows x" in txt
+    assert "sql.window" in txt  # the window executor span recorded
