@@ -19,7 +19,7 @@ Supported grammar (case-insensitive keywords):
                  ON a.col = b.col [AND a.col2 = b.col2 ...]
                  | USING (col [, col ...])
           | CROSS JOIN table [[AS] alias] ]
-    [WHERE expr] [GROUP BY col [, col ...]] [HAVING agg_expr]
+    [WHERE expr] [GROUP BY col|alias [, ...]] [HAVING agg_expr]
     [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n [OFFSET m]]
 
 - item: column | arithmetic expression (`qty * price`, `(a + b) / 2`,
@@ -501,7 +501,7 @@ class _Parser:
             ast.limit = self._int_literal("LIMIT")
             if self.accept("kw", "offset"):
                 ast.offset = self._int_literal("OFFSET")
-        return ast
+        return _rewrite_alias_group_by(ast)
 
     def _number(self):
         """Numeric literal with optional unary minus (numbers tokenize
@@ -2363,6 +2363,50 @@ def _all_columns(src, kw) -> List[str]:
     _, names = _resolve_tape(src, kw["dialect"], kw["backend"],
                              kw["engine"], False)
     return list(names)
+
+
+def _rewrite_alias_group_by(ast: _Ast) -> _Ast:
+    """GROUP BY on the ALIAS of a computed SELECT item (expression,
+    text function, CASE, COALESCE) rewrites to a derived table: the
+    inner select projects `*` plus the computed items (WHERE stays
+    inside — it filters pre-grouping either way), the outer groups by
+    the now-plain alias columns. Plain-column GROUP BY keeps the
+    direct device pushdown path untouched."""
+    if not ast.group_by:
+        return ast
+    expr_kinds = ("expr", "fold", "case", "coalesce")
+    by_alias = {it.alias: it for it in ast.items if it.alias}
+    special = {k: by_alias[k] for k in ast.group_by
+               if isinstance(k, str) and k in by_alias
+               and by_alias[k].kind in expr_kinds}
+    if not special:
+        return ast
+    if ast.join_table is not None:
+        raise SqlError(
+            "GROUP BY on a computed alias over a JOIN is not "
+            "supported — wrap the join in a derived table "
+            "(WITH / FROM (SELECT ...)) first"
+        )
+    inner = _Ast()
+    inner.table = ast.table
+    inner.table_alias = ast.table_alias
+    inner.where = ast.where
+    inner.items = [_Item("star")] + list(special.values())
+    outer = _Ast()
+    outer.table = ("subquery", (inner, None))
+    outer.distinct = ast.distinct
+    outer.group_by = list(ast.group_by)
+    outer.having = ast.having
+    outer.order_by = ast.order_by
+    outer.limit, outer.offset = ast.limit, ast.offset
+
+    def _as_col(it):
+        if it.alias in special and it is special[it.alias]:
+            return _Item("col", col=it.alias, alias=it.alias)
+        return it
+
+    outer.items = [_as_col(it) for it in ast.items]
+    return outer
 
 
 def _walk_statement_asts(node):
