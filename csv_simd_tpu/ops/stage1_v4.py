@@ -21,14 +21,20 @@ stage1_fused_seq), per tools/ablate2.py measurements:
   prefix-XOR + int8 MXU lane/row scans) — measured ablations showed
   scan/mask work on narrow (T,16) packed tensors lowers ~10x worse
   per element than full-width, so scanning BEFORE packing wins;
-- the pack is the 4-bit nibble compress (multiply-gather) + MXU
-  matmuls: pack_mode='mm2' (two (128,16) matmuls, lo | hi << 16, no
-  lane movement) or 'mm1'/'mm1r' (one (128,32) matmul + slice/roll
-  combine, ~11% faster whole-kernel but dependent on the toolchain's
-  (T,32) matmul-output path: MISCOMPILED in round 2, and in round 3
-  STILL miscompiles in-kernel even though the isolated probes pass —
-  tools/mosaic_probes.py's mm1_in_context probe is the adoption
-  signal; the on-chip compiled-vs-golden gate is the final arbiter).
+- the pack is the 4-bit nibble compress + MXU matmuls: pack_mode='mm2'
+  (two (128,16) matmuls, lo | hi << 16, no lane movement) or
+  'mm1'/'mm1r'/'mm1w' (single-matmul variants, ~11% faster whole-
+  kernel but ALL MISCOMPILE on this toolchain — the broken lowering
+  class is consuming an offset lane slice of the pack matmul's output
+  in this kernel's context, (T,32) AND full-width (T,128) outputs
+  alike; tools/mosaic_probes.py's mm1_in_context probe is the adoption
+  signal; the on-chip compiled-vs-golden gate is the final arbiter);
+- round-4 defaults (adopted, 2-of-3 interleaved batches, avg +3%,
+  bit-identical + corpus-swept): base_mode='shift' (sign-broadcast
+  via two shift-class ops instead of &1 + mul) and
+  compress_mode='m80' (nibble compress straight from the 0x80 flag
+  domain via the 0x204081 multiply-gather). The 'mul'/'lsr7' forms
+  stay selectable for A/B.
 
 Reference lineage: the same fused pass as avx/stage1.rs:193-430; SWAR
 equality replaces the vpshufb nibble LUTs, MXU matmuls replace both
@@ -294,8 +300,8 @@ def stage1_fused_v4(
     emit_counts: bool = False,
     count_nonascii: bool = True,
     pack_mode: str = "mm2",
-    base_mode: str = "mul",
-    compress_mode: str = "lsr7",
+    base_mode: str = "shift",
+    compress_mode: str = "m80",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count[,

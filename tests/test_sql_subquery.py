@@ -146,10 +146,16 @@ def test_table_refs_and_explain():
     assert "device group-by" in txt  # the inner plan is shown
 
 
+def test_subquery_join_side_now_works():
+    # round 4: a derived table as a JOIN side materializes through the
+    # round-trip CSV writer and joins like a base table (previously a
+    # refusal)
+    fr = sql("SELECT * FROM (SELECT sym FROM t) AS d JOIN u "
+             "ON d.sym = u.k", CSV, tables={"u": b"k\nAAPL\n"})
+    assert len(fr) == sum(1 for r in ROWS if r[0] == "AAPL")
+
+
 def test_subquery_errors():
-    with pytest.raises(SqlError, match="JOIN side"):
-        sql("SELECT * FROM (SELECT sym FROM t) JOIN u ON sym = k",
-            CSV, tables={"u": b"k\nAAPL\n"})
     with pytest.raises(SqlError, match="derived table"):
         sql("SELECT nope FROM (SELECT sym FROM t)", CSV)
 
