@@ -61,11 +61,26 @@ def prefix_for_packed(packed: jnp.ndarray) -> jnp.ndarray:
     words: cumsum of per-row bit counts. 1/16 the scan length of a
     per-word prefix; queries resolve within-row at lookup time.
 
+    On TPU this is ONE Pallas kernel (round-4: the XLA composition —
+    popcount + reshape reduce + the ~20-op hierarchical cumsum —
+    measured ~68 us/pass IN CONTEXT on 64 MiB, ~5x its standalone
+    cost; the fused kernel reads the packed words once and carries the
+    running total in SMEM like the stage-1 carry). The XLA path stays
+    for CPU/other platforms and as the differential twin."""
+    rows = packed.shape[0]
+    if (rows % 64 == 0 and rows >= 64
+            and jax.devices()[0].platform in ("tpu", "axon")):
+        return _prefix_for_packed_pallas(packed)
+    return _prefix_for_packed_xla(packed)
+
+
+def _prefix_for_packed_xla(packed: jnp.ndarray) -> jnp.ndarray:
+    """XLA twin of the prefix kernel (any platform, bit-identical).
+
     The popcount + per-row reduce runs at (rows/8, 128) full width
     (narrow (T,16) ops lower worse on this TPU — PERF_NOTES), then
-    shrinks back to per-row sums: measured 14.0 vs 16.6 us/pass on
-    64 MiB, bit-identical (tools/prefix_ablate.py; MXU-matmul segment
-    reduces measured 4-5x WORSE and were rejected)."""
+    shrinks back to per-row sums (MXU-matmul segment reduces measured
+    4-5x WORSE and were rejected, tools/prefix_ablate.py)."""
     rows = packed.shape[0]
     if rows % 8 == 0 and rows >= 8:
         wide = packed.reshape(rows // 8, 128)
@@ -75,6 +90,89 @@ def prefix_for_packed(packed: jnp.ndarray) -> jnp.ndarray:
     else:
         row_counts = jnp.sum(jax.lax.population_count(packed), axis=1)
     return fast_cumsum_i32(row_counts)
+
+
+def _prefix_kernel(w_ref, bdincl_ref, tril_ref, out_ref, carry_sm, *,
+                   tile: int):
+    """One grid step: (tile, 128) packed words viewed 8-rows-wide ->
+    (tile, 8) inclusive row prefixes. popcount at full width; the
+    per-REAL-row inclusive lane prefix comes straight from ONE
+    block-LOWER-TRIANGULAR int8 matmul (weight[l, g] = 1 iff lane l's
+    word belongs to real row <= g of the same wide row — per-word
+    popcounts are <= 32 so int8 inputs are exact and the int32
+    accumulation is <= 4096); wide-row exclusive prefix via the
+    strict-lower tril int8 matmul on split halves (totals <= 4096
+    don't fit int8: lo7 + (hi << 7), both exact); the running total
+    rides SMEM across grid steps (same carry pattern as stage-1)."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_sm[0] = 0
+
+    pc = jax.lax.population_count(w_ref[:])            # (T,128)
+    incl = jax.lax.dot_general(                         # (T,8) int32
+        pc.astype(jnp.int8), bdincl_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)               # inclusive!
+    wide_tot = incl[:, 7:]                              # (T,1)
+    wide_tot8 = jnp.broadcast_to(wide_tot, (tile, 8)).astype(jnp.int32)
+    lo = (wide_tot8 & 0x7F).astype(jnp.int8)
+    hi = (wide_tot8 >> 7).astype(jnp.int8)              # <= 32
+    excl = (
+        jax.lax.dot_general(tril_ref[:], lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        + (jax.lax.dot_general(tril_ref[:], hi,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32) << 7)
+    )[:, :1]
+    out_ref[:] = incl + excl + carry_sm[0]
+    carry_sm[0] = carry_sm[0] + excl[tile - 1, 0] + wide_tot[tile - 1, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prefix_for_packed_pallas(packed: jnp.ndarray,
+                              interpret: bool = False) -> jnp.ndarray:
+    """(rows, 16) packed -> (rows,) inclusive row popcount prefix in
+    one kernel pass (rows % 64 == 0; callers pad to 512-row tiles)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = packed.shape[0]
+    wide_rows = rows // 8
+    wide = packed.reshape(wide_rows, 128)
+    tile = min(512, wide_rows)
+    # grid must divide evenly; fall back when it can't
+    if wide_rows % tile != 0:
+        return _prefix_for_packed_xla(packed)
+    # weight[l, g] = 1 iff lane l's word belongs to real row <= g of
+    # its wide row: one matmul emits the INCLUSIVE per-real-row lane
+    # prefix directly (column g sums rows 0..g's words)
+    bd = np.zeros((128, 8), np.int8)
+    for lane in range(128):
+        for g in range(lane // 16, 8):
+            bd[lane, g] = 1
+    tril = np.tril(np.ones((tile, tile), np.int8), -1)
+
+    out = pl.pallas_call(
+        functools.partial(_prefix_kernel, tile=tile),
+        grid=(wide_rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, tile), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((wide_rows, 8), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(wide, jnp.asarray(bd), jnp.asarray(tril))
+    return out.reshape(rows)
 
 
 def _select_bit(w: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:

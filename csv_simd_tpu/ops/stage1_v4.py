@@ -104,11 +104,14 @@ def _seq_pack_weights32() -> np.ndarray:
 
 def _stage1_v4_kernel(
     carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, whi_ref,
-    packed_ref, parity_ref, nonascii_ref, *rest,
+    ones8_ref, packed_ref, parity_ref, nonascii_ref, *rest,
     dialect: Dialect, tile: int, emit_counts: bool, count_nonascii: bool,
     pack_mode: str, base_mode: str, compress_mode: str,
+    emit_prefix: bool,
 ):
-    counts_ref = rest[0] if emit_counts else None
+    extra = list(rest[:-1])
+    counts_ref = extra.pop(0) if emit_counts else None
+    prefix_ref = extra.pop(0) if emit_prefix else None
     carry_sm = rest[-1]
     i = pl.program_id(0)
 
@@ -116,6 +119,7 @@ def _stage1_v4_kernel(
     def _():
         carry_sm[0] = carry_in_ref[0]
         carry_sm[1] = 0
+        carry_sm[2] = 0
 
     x = w_ref[:]  # (T, 128) int32, 4 bytes per lane
     chars = dialect.newlines + (dialect.delimiter,)
@@ -276,6 +280,39 @@ def _stage1_v4_kernel(
         t = t + (t >> 8)
         t = (t + (t >> 16)) & 0xFF  # per-word flag count (0..4)
         counts_ref[:] = jnp.sum(t, axis=1, keepdims=True, dtype=jnp.int32)
+    if emit_prefix:
+        # FUSED inclusive per-row popcount prefix: ONE full-width
+        # popcount of the masked flags (<= 4 set bits per word ->
+        # int8-exact) + a ones matmul for row sums (<= 512) + the tril
+        # matmul for the within-tile row prefix (totals split lo7/hi
+        # so int8 inputs stay exact), running total in SMEM.
+        # MEASURED-REFUTED for production (round 4, interleaved): the
+        # in-kernel chain costs ~157 us/pass MORE than the separate
+        # Pallas prefix pass (453.8 fused vs 346.2 two-pass vs 296.7
+        # scan-only at 64 MiB) — the v4 kernel's register/schedule
+        # pressure penalizes extra work far beyond its op count, the
+        # same lesson as round-2's emit_counts. Kept verified for
+        # single-pass count consumers; production uses
+        # offsetfree._prefix_for_packed_pallas (the one-launch second
+        # kernel, itself ~7 us faster than the ~20-op XLA composition).
+        flags = m80 if compress_mode == "m80" else masked_u
+        pc8 = jax.lax.population_count(flags).astype(jnp.int8)
+        rowsum = jax.lax.dot_general(      # (T,8) int32, columns equal
+            pc8, ones8_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        rlo = (rowsum & 0x7F).astype(jnp.int8)
+        rhi = (rowsum >> 7).astype(jnp.int8)   # <= 4
+        excl = (
+            jax.lax.dot_general(
+                tril_ref[:], rlo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            + (jax.lax.dot_general(
+                tril_ref[:], rhi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32) << 7)
+        )[:, :1]
+        prefix_ref[:] = excl + rowsum[:, :1] + carry_sm[2]
+        carry_sm[2] = (carry_sm[2] + excl[tile - 1, 0]
+                       + rowsum[tile - 1, 0])
 
     tile_par = (row_excl[tile - 1, 0] + rowpar[tile - 1, 0]) & 1
     new_carry = (carry_sm[0] + tile_par) & 1
@@ -288,6 +325,7 @@ def _stage1_v4_kernel(
     static_argnames=(
         "dialect", "row_tile", "interpret", "vma", "emit_counts",
         "count_nonascii", "pack_mode", "base_mode", "compress_mode",
+        "emit_prefix",
     ),
 )
 def stage1_fused_v4(
@@ -302,6 +340,7 @@ def stage1_fused_v4(
     pack_mode: str = "mm2",
     base_mode: str = "shift",
     compress_mode: str = "m80",
+    emit_prefix: bool = False,
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count[,
@@ -337,11 +376,12 @@ def stage1_fused_v4(
         wlo = jnp.asarray(wboth[0], jnp.bfloat16)
         whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
+    ones8 = jnp.ones((LANES, 8), jnp.int8)
     kernel = functools.partial(
         _stage1_v4_kernel, dialect=dialect, tile=tile,
         emit_counts=emit_counts, count_nonascii=count_nonascii,
         pack_mode=pack_mode, base_mode=base_mode,
-        compress_mode=compress_mode,
+        compress_mode=compress_mode, emit_prefix=emit_prefix,
     )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
@@ -351,9 +391,9 @@ def stage1_fused_v4(
             missing = tuple(a for a in vma if a not in jax.typeof(x).vma)
             return jax.lax.pcast(x, missing, to="varying") if missing else x
 
-        triu, tril, wlo, whi, carry_arr = (
+        triu, tril, wlo, whi, ones8, carry_arr = (
             _align(triu), _align(tril), _align(wlo), _align(whi),
-            _align(carry_arr),
+            _align(ones8), _align(carry_arr),
         )
 
     outs = pl.pallas_call(
@@ -366,24 +406,33 @@ def stage1_fused_v4(
             pl.BlockSpec((tile, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(wlo.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(whi.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tile, WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + ([pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
-             if emit_counts else []),
+             if emit_counts else [])
+          + ([pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+             if emit_prefix else []),
         out_shape=[
             jax.ShapeDtypeStruct((rows, WORDS), jnp.int32, vma=frozenset(vma)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
         ] + ([jax.ShapeDtypeStruct((rows, 1), jnp.int32, vma=frozenset(vma))]
-             if emit_counts else []),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+             if emit_counts else [])
+          + ([jax.ShapeDtypeStruct((rows, 1), jnp.int32, vma=frozenset(vma))]
+             if emit_prefix else []),
+        scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
         interpret=interpret,
-    )(carry_arr, w2d, triu, tril, wlo, whi)
+    )(carry_arr, w2d, triu, tril, wlo, whi, ones8)
+    outs = list(outs)
+    packed, parity, nonascii = outs[0], outs[1], outs[2]
+    tail = outs[3:]
+    res = [packed, parity[0, 0], nonascii[0, 0]]
     if emit_counts:
-        packed, parity, nonascii, counts = outs
-        return packed, parity[0, 0], nonascii[0, 0], counts
-    packed, parity, nonascii = outs
-    return packed, parity[0, 0], nonascii[0, 0]
+        res.append(tail.pop(0))
+    if emit_prefix:
+        res.append(tail.pop(0).reshape(rows))
+    return tuple(res)

@@ -118,3 +118,43 @@ def test_packed_filter_equals():
     pt = PackedDeviceTape(data)
     np.testing.assert_array_equal(pt.filter_equals(1, b"aa"), [0, 2])
     np.testing.assert_array_equal(pt.filter_equals(1, b"zz"), [])
+
+
+def test_prefix_pallas_matches_xla_twin():
+    """The one-launch Pallas prefix kernel (round 4) is bit-identical
+    to the XLA composition at several shapes (interpret mode; the chip
+    gate runs in bench.py's build chain and tools/)."""
+    import jax.numpy as jnp
+
+    from csv_simd_tpu.offsetfree import (
+        _prefix_for_packed_pallas,
+        _prefix_for_packed_xla,
+    )
+
+    rng = np.random.default_rng(9)
+    for rows in (64, 512, 2048, 8192):
+        packed = jnp.asarray(rng.integers(
+            -2**31, 2**31, (rows, 16), dtype=np.int64).astype(np.int32))
+        a = _prefix_for_packed_pallas(packed, interpret=True)
+        b = _prefix_for_packed_xla(packed)
+        assert bool(jnp.array_equal(a, b)), rows
+
+
+def test_v4_emit_prefix_matches_separate_pass():
+    """emit_prefix (fused in-kernel prefix — measured-refuted for
+    production but kept verified) == the separate prefix pass."""
+    import jax.numpy as jnp
+
+    from csv_simd_tpu.offsetfree import _prefix_for_packed_xla
+    from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+    from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
+
+    rng = np.random.default_rng(4)
+    data = rng.choice(np.frombuffer(b'a",\n\rx,z7', np.uint8),
+                      size=200_000)
+    w2d = jnp.asarray(pad_to_words(data))
+    p, _par, _na, prefix = stage1_fused_v4(
+        w2d, 0, row_tile=512, interpret=True, count_nonascii=False,
+        emit_prefix=True)
+    want = _prefix_for_packed_xla(p)
+    assert bool(jnp.array_equal(prefix, want))
