@@ -107,7 +107,7 @@ def _stage1_v4_kernel(
     ones8_ref, packed_ref, parity_ref, nonascii_ref, *rest,
     dialect: Dialect, tile: int, emit_counts: bool, count_nonascii: bool,
     pack_mode: str, base_mode: str, compress_mode: str,
-    emit_prefix: bool,
+    emit_prefix: bool, scan_mm: str,
 ):
     extra = list(rest[:-1])
     counts_ref = extra.pop(0) if emit_counts else None
@@ -150,14 +150,31 @@ def _stage1_v4_kernel(
     p_in = swar_prefix_xor_bytes(qf)          # in-word inclusive parity
     # 0/-1 sign form: parities are only consumed mod 2, (-k)&1 == k&1
     wp = p_in >> 31                           # (T, 128) 0/-1
-    lane_excl = jax.lax.dot_general(          # words before, same row
-        wp.astype(jnp.int8), triu_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    rowpar = (lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]) & 1
-    rowpar8 = jnp.broadcast_to(rowpar, (tile, 8)).astype(jnp.int8)
-    row_excl = jax.lax.dot_general(           # rows before, this tile
-        tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    if scan_mm == "bf16":
+        # homogeneous-MXU variant: the pack matmuls are bf16, and
+        # mixing int8/bf16 MXU modes in one kernel measured ~7-13
+        # us/pass of mode-switch cost in a 4-matmul microkernel —
+        # running the scans in bf16 too avoids the switches. Exact:
+        # wp is 0/-1 and the prefix sums stay <= 512, all f32-exact.
+        lane_excl = jax.lax.dot_general(
+            wp.astype(jnp.bfloat16), triu_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        rowpar = (lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]) & 1
+        rowpar8 = jnp.broadcast_to(
+            rowpar, (tile, 8)).astype(jnp.bfloat16)
+        row_excl = jax.lax.dot_general(
+            tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+    else:
+        lane_excl = jax.lax.dot_general(      # words before, same row
+            wp.astype(jnp.int8), triu_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        rowpar = (lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]) & 1
+        rowpar8 = jnp.broadcast_to(rowpar, (tile, 8)).astype(jnp.int8)
+        row_excl = jax.lax.dot_general(       # rows before, this tile
+            tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
     # carry folds into the NARROW (T,1) column, saving one full-width add
     rowcol = row_excl[:, :1] + carry_sm[0]
     if base_mode == "shift":
@@ -325,7 +342,7 @@ def _stage1_v4_kernel(
     static_argnames=(
         "dialect", "row_tile", "interpret", "vma", "emit_counts",
         "count_nonascii", "pack_mode", "base_mode", "compress_mode",
-        "emit_prefix",
+        "emit_prefix", "scan_mm",
     ),
 )
 def stage1_fused_v4(
@@ -341,6 +358,7 @@ def stage1_fused_v4(
     base_mode: str = "shift",
     compress_mode: str = "m80",
     emit_prefix: bool = False,
+    scan_mm: str = "i8",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count[,
@@ -358,8 +376,12 @@ def stage1_fused_v4(
     assert rows % tile == 0, (rows, tile)
     grid = rows // tile
 
-    triu = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
-    tril = jnp.asarray(np.tril(np.ones((tile, tile), np.int8), -1))
+    scan_np = np.int8 if scan_mm == "i8" else np.float32
+    triu = jnp.asarray(np.triu(np.ones((LANES, LANES), scan_np), 1))
+    tril = jnp.asarray(np.tril(np.ones((tile, tile), scan_np), -1))
+    if scan_mm == "bf16":
+        triu = triu.astype(jnp.bfloat16)
+        tril = tril.astype(jnp.bfloat16)
     if pack_mode in ("roll", "rollslice", "none"):
         # non-MXU pack: no weights read; keep tiny placeholders so the
         # pallas_call signature stays uniform
@@ -382,6 +404,7 @@ def stage1_fused_v4(
         emit_counts=emit_counts, count_nonascii=count_nonascii,
         pack_mode=pack_mode, base_mode=base_mode,
         compress_mode=compress_mode, emit_prefix=emit_prefix,
+        scan_mm=scan_mm,
     )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:

@@ -182,3 +182,15 @@ def test_v4_m80_emit_counts():
     mask = _unpack_seq(got, data.size)
     np.testing.assert_array_equal(mask, golden.structural_mask(data))
     assert int(np.asarray(counts).sum()) == int(mask.sum())
+
+
+def test_v4_bf16_scan_variant():
+    """scan_mm='bf16' (homogeneous-MXU variant, measured-refuted for
+    production) stays bit-identical."""
+    data = _rand(200_000, seed=21)
+    w2d = jnp.asarray(pad_to_words(data))
+    ref, rpar = stage1_seq_xla(w2d, 0)
+    got, gpar, _na = stage1_fused_v4(
+        w2d, 0, interpret=True, count_nonascii=False, scan_mm="bf16")
+    assert bool(jnp.array_equal(ref, got))
+    assert int(rpar) == int(gpar)
