@@ -123,3 +123,20 @@ def test_explain_analyze():
     assert "-- ANALYZE --" in txt and "executed in" in txt
     assert "rows x" in txt
     assert "sql.window" in txt  # the window executor span recorded
+
+
+def test_cte_and_alias_groupby_over_corpus(tmp_path):
+    """The round-4 SQL surface composes with multi-file corpora."""
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    p1, p2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    p1.write_bytes(b"sym,qty\nAA,1\nbb,2\n")
+    p2.write_bytes(b"sym,qty\nAA,3\ncc,4\n")
+    c = CsvCorpus([str(p1), str(p2)])
+    r = sql("SELECT UPPER(sym) AS u, SUM(qty) AS s FROM t GROUP BY u "
+            "ORDER BY u", c, schema={"qty": "int32"})
+    assert list(r["u"]) == ["AA", "BB", "CC"]
+    assert [int(v) for v in r["s"]] == [4, 2, 4]
+    r2 = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 1) "
+             "SELECT COUNT(*) AS n FROM pos", c, schema={"qty": "int32"})
+    assert int(r2["n"][0]) == 3
