@@ -149,6 +149,55 @@ def main():
            for k, c, t_ in zip(r["sym"], r["count"], r["s"])}
     assert got == want, (got, want)
     print("SQL end-to-end on chip: OK")
+
+    # --- round-4 paths, compiled on the chip ---
+    # the one-launch Pallas prefix kernel vs its XLA twin
+    from csv_simd_tpu.offsetfree import (
+        _prefix_for_packed_pallas,
+        _prefix_for_packed_xla,
+    )
+
+    pw = pt.words
+    assert np.array_equal(
+        np.asarray(_prefix_for_packed_pallas(pw)),
+        np.asarray(_prefix_for_packed_xla(pw)),
+    ), "pallas prefix kernel != XLA twin on chip"
+    print("pallas prefix kernel: OK (== XLA twin, compiled)")
+
+    # device window executor vs the host oracle, on the chip
+    import csv_simd_tpu.window as W
+
+    old_min = W.DEVICE_WINDOW_MIN_ROWS
+    try:
+        W.DEVICE_WINDOW_MIN_ROWS = 1
+        wq = ("SELECT SUM(qty) OVER (PARTITION BY sym ORDER BY qty) "
+              "AS s, ROW_NUMBER() OVER (PARTITION BY sym ORDER BY "
+              "qty) AS rn FROM t")
+        dev_r = run_sql(wq, pt)
+        W.DEVICE_WINDOW_MIN_ROWS = 10**9
+        host_r = run_sql(wq, pt)
+        assert [int(v) for v in dev_r["s"]] == \
+            [int(v) for v in host_r["s"]]
+        assert dev_r["rn"].tolist() == host_r["rn"].tolist()
+    finally:
+        W.DEVICE_WINDOW_MIN_ROWS = old_min
+    print("device window executor on chip: OK (== host oracle)")
+
+    # device set-op executor vs the host row codes, on the chip
+    import csv_simd_tpu.setops as SO
+
+    old_so = SO.DEVICE_SETOP_MIN_ROWS
+    try:
+        SO.DEVICE_SETOP_MIN_ROWS = 1
+        sq = ("SELECT qty FROM t WHERE qty > 0 EXCEPT "
+              "SELECT qty FROM t WHERE qty > 500")
+        dev_s = run_sql(sq, pt)
+        SO.DEVICE_SETOP_MIN_ROWS = 10**9
+        host_s = run_sql(sq, pt)
+        assert dev_s["qty"].tolist() == host_s["qty"].tolist()
+    finally:
+        SO.DEVICE_SETOP_MIN_ROWS = old_so
+    print("device set-op executor on chip: OK (== host row codes)")
     print("ALL ON-HARDWARE CHECKS PASSED")
 
 
