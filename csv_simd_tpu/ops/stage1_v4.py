@@ -21,14 +21,21 @@ stage1_fused_seq), per tools/ablate2.py measurements:
   prefix-XOR + int8 MXU lane/row scans) — measured ablations showed
   scan/mask work on narrow (T,16) packed tensors lowers ~10x worse
   per element than full-width, so scanning BEFORE packing wins;
-- the pack is the 4-bit nibble compress + MXU matmuls: pack_mode='mm2'
-  (two (128,16) matmuls, lo | hi << 16, no lane movement) or
-  'mm1'/'mm1r'/'mm1w' (single-matmul variants, ~11% faster whole-
-  kernel but ALL MISCOMPILE on this toolchain — the broken lowering
-  class is consuming an offset lane slice of the pack matmul's output
-  in this kernel's context, (T,32) AND full-width (T,128) outputs
-  alike; tools/mosaic_probes.py's mm1_in_context probe is the adoption
-  signal; the on-chip compiled-vs-golden gate is the final arbiter);
+- the pack is the 4-bit nibble compress + MXU matmuls. Round-4
+  default: pack_mode='mm4i8' — FOUR int8 byte-plane matmuls (weights
+  {1,16} per plane) that emit int32 directly, no bf16/f32 converts
+  anywhere, outputs aligned in lanes 0..15. Same-batch interleaved vs
+  mm2: 283.6-286.1 vs 227.3-236.6 GB/s (+21-25%; the pack's cost was
+  the CONVERTS, not the matmuls — its in-context cost fell 93.5 ->
+  ~35 us/pass), gated bit-identical on 5 fuzz seeds x both carries.
+  Alternatives kept selectable: 'mm2' (two bf16 (128,16) matmuls,
+  lo | hi << 16 — the round-2/3 default), 'mm1'/'mm1r'/'mm1w'
+  (single-matmul variants, ALL MISCOMPILE on this toolchain — the
+  broken lowering class is consuming an offset lane slice of the pack
+  matmul's output in this kernel's context, (T,32) AND full-width
+  (T,128) outputs alike; tools/mosaic_probes.py's mm1_in_context probe
+  is the adoption signal; the on-chip compiled-vs-golden gate is the
+  final arbiter);
 - round-4 defaults (adopted, 2-of-3 interleaved batches, avg +3%,
   bit-identical + corpus-swept): base_mode='shift' (sign-broadcast
   via two shift-class ops instead of &1 + mul) and
@@ -89,6 +96,20 @@ def _seq_pack_weights128() -> np.ndarray:
     w = np.zeros((LANES, LANES), np.float32)
     w[:, :WORDS] = w16[0]
     w[:, WORDS : 2 * WORDS] = w16[1]
+    return w
+
+
+def _seq_pack_weights_i8() -> np.ndarray:
+    """(4, 128, 16) int8 byte-plane weights: plane k accumulates byte k
+    of packed word g from lanes 8g+2k (weight 1) and 8g+2k+1 (weight
+    16) — nibbles are <= 15 so int8 inputs and the <= 255 int32 sums
+    are exact, the matmul emits int32 DIRECTLY (no bf16/f32 converts),
+    and every output stays in lanes 0..15 (no offset slices — the
+    lowering class that miscompiles is never touched)."""
+    w = np.zeros((4, LANES, WORDS), np.int8)
+    for lane in range(LANES):
+        g, l = divmod(lane, 8)
+        w[l // 2, lane, g] = 1 if l % 2 == 0 else 16
     return w
 
 
@@ -212,7 +233,7 @@ def _stage1_v4_kernel(
         # 4 flag bits per word; bits 28..31 are provably zero so no
         # & 0xF (see swar.swar_nibble_compress's proof)
         v = (masked_u * 0x01020408) >> 24
-    vb = (None if pack_mode in ("roll", "rollslice", "none")
+    vb = (None if pack_mode in ("roll", "rollslice", "none", "mm4i8")
           else v.astype(jnp.bfloat16))
     # Pack constructions, in history order:
     # - mm2 (round-2 default): two (128,16) matmuls whose outputs align
@@ -258,6 +279,22 @@ def _stage1_v4_kernel(
                 jnp.int32, (tile, LANES), 1) & 0x0F) << 3
             g = jnp.take_along_axis(s, idx, axis=1)
             packed_ref[:] = g[:, :WORDS]
+    elif pack_mode == "mm4i8":
+        # four int8 byte-plane matmuls: no bf16 convert of v, no
+        # f32->int32 output converts (int8 matmuls emit int32
+        # directly), outputs aligned in lanes 0..15 (weight planes are
+        # ROW slices of the stacked (512,16) int8 input ref — never an
+        # offset slice of a matmul OUTPUT, the miscompiling class)
+        v8 = v.astype(jnp.int8)
+        planes = [
+            jax.lax.dot_general(
+                v8, wlo_ref[LANES * k2 : LANES * (k2 + 1), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            for k2 in range(4)
+        ]
+        packed_ref[:] = (planes[0] | (planes[1] << 8)
+                         | (planes[2] << 16) | (planes[3] << 24))
     elif pack_mode == "mm1w":
         # one (128,128)-weight matmul, full-width (T,128) output: lanes
         # 0..15 carry the lo halves, 16..31 the hi halves, 32..127 are
@@ -354,7 +391,7 @@ def stage1_fused_v4(
     vma: tuple = (),
     emit_counts: bool = False,
     count_nonascii: bool = True,
-    pack_mode: str = "mm2",
+    pack_mode: str = "mm4i8",
     base_mode: str = "shift",
     compress_mode: str = "m80",
     emit_prefix: bool = False,
@@ -387,6 +424,10 @@ def stage1_fused_v4(
         # pallas_call signature stays uniform
         wlo = jnp.zeros((LANES, WORDS), jnp.bfloat16)
         whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)
+    elif pack_mode == "mm4i8":
+        wlo = jnp.asarray(
+            _seq_pack_weights_i8().reshape(4 * LANES, WORDS))
+        whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread
     elif pack_mode == "mm1w":
         wlo = jnp.asarray(_seq_pack_weights128(), jnp.bfloat16)
         whi = jnp.zeros((LANES, WORDS), jnp.bfloat16)  # unread

@@ -40,6 +40,7 @@ SPECS = {
     "v4mm1w":      ("v4", {"pack_mode": "mm1w"}),
     "v4mm1wsm80":  ("v4", {"pack_mode": "mm1w", "base_mode": "shift",
                            "compress_mode": "m80"}),
+    "v4mm4i8":     ("v4", {"pack_mode": "mm4i8"}),
     "v4nopack":    ("v4", {"pack_mode": "none"}),  # timing-only; no gate
     "sol":         ("sol", {}),
 }
