@@ -103,6 +103,11 @@ class Frame:
         #: record ids behind each row (set by read_typed; None for
         #: corpus concatenations, where per-file ids would be ambiguous)
         self.records: Optional[np.ndarray] = None
+        #: device-resident parses of numeric columns (read_typed only:
+        #: {name: (dev_vals, dev_ok)}) — transforms (take/slice/joins)
+        #: construct fresh Frames and so DROP these, which is what
+        #: keeps them from ever going stale
+        self._dev: Dict[str, tuple] = {}
 
     def __getitem__(self, name: str):
         return self._columns[name]
@@ -448,15 +453,23 @@ def _materialize(tape, field: int, col: Col, dialect, strict: bool,
                     dtype=object,
                 ),
                 None,
+                None,
             )
         out, ln, v = tape.gather_fields(
             recs, np.full(recs.shape, field, np.int32), max_len=window
         )
         raw = tape.to_host_lists(out, ln, v)
         return np.array([b"" if b is None else b for b in raw],
-                        dtype=object), None
+                        dtype=object), None, None
     else:  # pragma: no cover - Col.__post_init__ precludes
         raise ValueError(col.type)
+    # keep the DEVICE-resident parses for the numeric dtypes alongside
+    # the host copies: downstream device executors (window/setops) can
+    # then skip a host->device round trip of data that was already in
+    # HBM (Frame transforms drop the handles — only fresh read_typed
+    # output carries them, so they can never go stale)
+    dev = (vals, okm) if col.type in ("int32", "float32", "float") \
+        else None
     vals = np.asarray(vals)
     okm = np.asarray(okm, bool)
     if strict and not okm.all():
@@ -464,7 +477,7 @@ def _materialize(tape, field: int, col: Col, dialect, strict: bool,
         raise InvalidCsvFormat(
             f"column {name!r} row {bad} does not parse as {col.type}"
         )
-    return vals, okm
+    return vals, okm, dev
 
 
 def _format_column(frame: Frame, name: str) -> List[bytes]:
@@ -821,11 +834,15 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
     num = _num_records(tape) if sel is None else int(sel.size)
     cols: Dict[str, np.ndarray] = {}
     oks: Dict[str, Optional[np.ndarray]] = {}
+    dev_cols: Dict[str, tuple] = {}
     for name in order:
-        vals, okm = _materialize(tape, _idx(name), resolved[name],
-                                 dialect, strict, name, records=sel)
+        vals, okm, dev = _materialize(tape, _idx(name), resolved[name],
+                                      dialect, strict, name, records=sel)
         cols[name] = vals
         oks[name] = okm
+        if dev is not None:
+            dev_cols[name] = dev
     f = Frame(order, cols, oks, resolved, num)
+    f._dev = dev_cols
     f.records = (np.arange(num, dtype=np.int32) if sel is None else sel)
     return f

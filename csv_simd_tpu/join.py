@@ -440,7 +440,7 @@ def join_typed(
     lmiss = l_ids < 0
     l_safe = np.where(lmiss, 0, l_ids).astype(np.int32)
     for name, col in lsch.items():
-        vals, okm = _materialize(lt, ln.index(name), col, dialect,
+        vals, okm, _dev = _materialize(lt, ln.index(name), col, dialect,
                                  False, name, records=l_safe)
         vals, okm = _absent_flag(vals, okm, col, lmiss)
         names_out.append(name)
@@ -452,7 +452,7 @@ def join_typed(
         r_safe = np.where(miss, 0, r_ids).astype(np.int32)
         for name, col in rsch.items():
             out_name = name + suffix if name in cols_out else name
-            vals, okm = _materialize(rt, rn.index(name), col, dialect,
+            vals, okm, _dev = _materialize(rt, rn.index(name), col, dialect,
                                      False, out_name, records=r_safe)
             vals, okm = _absent_flag(vals, okm, col, miss)
             names_out.append(out_name)

@@ -3112,7 +3112,7 @@ def _fold_column(fr, it: _Item, resolve):
 
 
 def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
-                          okm, vspec, is_int):
+                          okm, vspec, is_int, dev=None):
     """Device window execution (window.window_column): ONE device
     lexicographic sort + segmented scans instead of the host Python
     row loop. Returns the (vals, ok, Col) triple in the host
@@ -3121,6 +3121,7 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
     host pass below is the fallback AND the differential oracle
     (tests/test_sql_window_device.py)."""
     from .frame import Col
+    from .query import VExpr
     from .window import window_column
 
     part_arrays = [(fr._columns[c], fr._ok[c]) for c in part_cols]
@@ -3137,7 +3138,7 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
     res = window_column(
         fn, n, part_arrays, order_arrays, vals, okm,
         offset=getattr(it, "offset", 1) or 1, is_int=is_int,
-        cache=cache, frame=getattr(it, "frame", None),
+        cache=cache, frame=getattr(it, "frame", None), dev=dev,
     )
     if res is None:
         return None
@@ -3193,6 +3194,7 @@ def _window_column(fr, it: _Item, resolve):
     order_refs = [(resolve(c), d) for c, d in it.worder]
 
     vals = okm = vspec = None
+    dev_handle = None
     if it.col is not None:
         if isinstance(it.col, VExpr):
             vals, okm, vspec = _expr_column(fr, it.col, resolve)
@@ -3200,6 +3202,7 @@ def _window_column(fr, it: _Item, resolve):
             src = resolve(it.col)
             vals, okm, vspec = (np.asarray(fr._columns[src]),
                                 fr._ok[src], fr.schema[src])
+            dev_handle = getattr(fr, "_dev", {}).get(src)
     numeric = vspec is not None and vspec.type in ("int32", "float",
                                                    "float32")
     is_int = vspec is not None and vspec.type == "int32"
@@ -3211,7 +3214,8 @@ def _window_column(fr, it: _Item, resolve):
         )
 
     dev = _device_window_column(fr, it, fn, n, part_cols, order_refs,
-                                vals, okm, vspec, is_int)
+                                vals, okm, vspec, is_int,
+                                dev=dev_handle)
     if dev is not None:
         return dev
 

@@ -301,6 +301,7 @@ def window_column(
     is_int: bool = False,
     cache: Optional[dict] = None,
     frame=None,
+    dev=None,
 ):
     """Device window evaluation, or None when ineligible (caller falls
     back to the host executor). Returns (kind, payload):
@@ -375,7 +376,14 @@ def window_column(
                     if sel.size and (int(sel.max()) >= 2**31
                                      or int(sel.min()) < -(2**31)):
                         return None
-                dvals = jnp.asarray(va.astype(np.int32))
+                if dev is not None and getattr(
+                        dev[0], "dtype", None) == jnp.int32:
+                    # the column's device-resident parse (read_typed
+                    # keeps it in Frame._dev): skip the host->device
+                    # round trip of data that was already in HBM
+                    dvals = dev[0]
+                else:
+                    dvals = jnp.asarray(va.astype(np.int32))
             elif fn in ("min", "max"):
                 if va.dtype.kind != "f":
                     return None
