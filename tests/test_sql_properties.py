@@ -313,3 +313,74 @@ def test_rows_frame_differential(rows, fn, lo, hi, force_device):
             for a, b_ in zip(got, want)), (got, want, frame)
     else:
         assert got == want, (got, want, frame)
+
+
+# --------------------------------------- frame-position fn property
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.sampled_from("ab"),
+                       st.one_of(st.none(), st.integers(-9, 9))),
+             min_size=1, max_size=15),
+    st.sampled_from(["first_value", "last_value", "nth_value",
+                     "ntile"]),
+    st.integers(1, 4),   # NTH position / NTILE buckets
+    st.booleans(),       # force device path?
+)
+def test_value_fns_differential(rows, fn, arg, force_device):
+    import csv_simd_tpu.window as W
+
+    csv = b"g,o,v\n" + b"".join(
+        ("%s,%d,%s\n" % (g, i, "x" if v is None else v)).encode()
+        for i, (g, v) in enumerate(rows))
+    call = {"first_value": "FIRST_VALUE(v)",
+            "last_value": "LAST_VALUE(v)",
+            "nth_value": f"NTH_VALUE(v, {arg})",
+            "ntile": f"NTILE({arg})"}[fn]
+    q = f"SELECT {call} OVER (PARTITION BY g ORDER BY o) AS w FROM t"
+    sch = {"o": "int32", "v": "int32"}
+    old = W.DEVICE_WINDOW_MIN_ROWS
+    try:
+        W.DEVICE_WINDOW_MIN_ROWS = 1 if force_device else 10**9
+        fr = sql(q, csv, schema=sch)
+    finally:
+        W.DEVICE_WINDOW_MIN_ROWS = old
+
+    n = len(rows)
+    want = [None] * n
+    parts = {}
+    for i, (g, _v) in enumerate(rows):
+        parts.setdefault(g, []).append(i)
+    for idxs in parts.values():
+        L = len(idxs)
+        if fn == "ntile":
+            small, rem = L // arg, L % arg
+            cut = rem * (small + 1)
+            for p, i in enumerate(idxs):
+                want[i] = (p // (small + 1) + 1 if p < cut
+                           else rem + (p - cut) // max(small, 1) + 1)
+            continue
+        # default frame: partition start .. current PEER end; o is the
+        # row index so every peer group is a single row -> end = p
+        for p, i in enumerate(idxs):
+            if fn == "first_value":
+                pos = 0
+            elif fn == "last_value":
+                pos = p
+            else:
+                pos = arg - 1
+                if pos > p:
+                    want[i] = None
+                    continue
+            want[i] = rows[idxs[pos]][1]  # may be None (no NULL skip)
+    got = []
+    okm = fr._ok.get("w")
+    for i, v in enumerate(fr["w"]):
+        if (okm is not None and not okm[i]) or v is None or (
+                isinstance(v, float) and v != v):
+            got.append(None)
+        else:
+            got.append(int(v))
+    assert got == want, (got, want, q)

@@ -172,3 +172,19 @@ def test_multikey_exists_in_case_condition():
     want = [int(r[2]) if _t_ok(r) and (r[0], r[1]) in UPAIRS else 0
             for r in TROWS]
     assert [int(v) for v in fr["x"]] == want
+
+
+def test_multikey_exists_over_corpus(tmp_path):
+    """The in_rows leaf compiles per file over a CsvCorpus outer
+    (corpus spec-locking handles the composite key tuple)."""
+    from csv_simd_tpu.corpus_api import CsvCorpus
+
+    p1, p2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    p1.write_bytes(b"a,b,v\n1,x,10\n2,y,20\n")
+    p2.write_bytes(b"a,b,v\n1,y,30\n3,z,40\n")
+    c = CsvCorpus([str(p1), str(p2)])
+    r = sql("SELECT v FROM t WHERE EXISTS (SELECT a FROM u WHERE "
+            "u.a = t.a AND u.b = t.b)",
+            tables={"t": c, "u": b"a,b\n1,x\n3,z\n"},
+            schema={"a": "int32", "v": "int32"})
+    assert r["v"].tolist() == [10, 40]
