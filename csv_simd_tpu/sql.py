@@ -1550,6 +1550,14 @@ def _explain_ast(ast: _Ast) -> str:
             )
             on = ", ".join(f"{a} = {b}" for a, b in ast.join_on)
             lines.append(f"  on: {on}")
+        for side, tbl in (("left", ast.table), ("right",
+                                                ast.join_table)):
+            if tbl is not None and tbl[0] == "subquery":
+                lines.append(
+                    f"  {side} side: derived table/CTE "
+                    f"{tbl[1][1] or ''} materializes via the "
+                    "round-trip CSV writer, then joins like a base "
+                    "table (sql._frame_join_source)")
     if ast.where is not None:
         tgt = ("host mask over the joined frame"
                if ast.join_table is not None
