@@ -725,6 +725,7 @@ class _Parser:
                 desc = bool(self.accept("kw", "desc"))
                 if not desc:
                     self.accept("kw", "asc")
+                self._nulls_modifier()
                 worder.append((c, desc))
                 if not self.accept("punc", ","):
                     break
@@ -1088,6 +1089,27 @@ class _Parser:
             out.append(self._colref())
         return out
 
+    def _nulls_modifier(self):
+        """[NULLS FIRST|LAST]: the layer's sort convention is NULLs
+        LAST in BOTH directions (parse-failures sort last; every sort
+        path — device, host, windows — shares it). The default
+        spelling is accepted explicitly; NULLS FIRST raises rather
+        than silently reordering."""
+        if not (self.peek()[0] == "name"
+                and self.peek()[1].lower() == "nulls"):
+            return
+        self.next()
+        word = self.next()[1].lower()
+        if word == "first":
+            raise SqlError(
+                "NULLS FIRST is not supported: NULLs (typed parse "
+                "failures) sort LAST in both directions across every "
+                "sort path; filter them first (WHERE col IS NOT NULL) "
+                "or sort on COALESCE(col, sentinel)"
+            )
+        if word != "last":
+            raise SqlError("expected NULLS FIRST or NULLS LAST")
+
     def _order_items(self):
         out = []
         while True:
@@ -1097,6 +1119,7 @@ class _Parser:
                 desc = True
             else:
                 self.accept("kw", "asc")
+            self._nulls_modifier()
             out.append((it, desc))
             if not self.accept("punc", ","):
                 return out

@@ -205,3 +205,18 @@ def test_new_winfns_device_matches_host(q, monkeypatch):
     monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
     host = sql(q, CSV, schema=S)
     assert _vals(dev, "x") == _vals(host, "x"), q
+
+
+def test_nulls_modifier():
+    # the default spelling parses; the non-default raises clearly
+    r = sql("SELECT v FROM t ORDER BY v DESC NULLS LAST LIMIT 3",
+            CSV, schema=S)
+    assert len(r) == 3
+    r2 = sql("SELECT SUM(v) OVER (PARTITION BY g ORDER BY i ASC "
+             "NULLS LAST) AS s FROM t LIMIT 1", CSV, schema=S)
+    assert len(r2) == 1
+    with pytest.raises(SqlError, match="NULLS FIRST is not supported"):
+        sql("SELECT v FROM t ORDER BY v NULLS FIRST", CSV, schema=S)
+    with pytest.raises(SqlError, match="NULLS FIRST is not supported"):
+        sql("SELECT SUM(v) OVER (ORDER BY i NULLS FIRST) FROM t",
+            CSV, schema=S)
