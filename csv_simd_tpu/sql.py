@@ -20,7 +20,8 @@ Supported grammar (case-insensitive keywords):
                  | USING (col [, col ...])
           | CROSS JOIN table [[AS] alias] ]
     [WHERE expr] [GROUP BY col|alias [, ...]] [HAVING agg_expr]
-    [ORDER BY ocol [ASC|DESC] [, ...]] [LIMIT n [OFFSET m]]
+    [ORDER BY ocol [ASC|DESC] [NULLS LAST] [, ...]]
+    [LIMIT n [OFFSET m]]
 
 - item: column | arithmetic expression (`qty * price`, `(a + b) / 2`,
   unary minus; int math runs in int32 with two's-complement wrap, any
