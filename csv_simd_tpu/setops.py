@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .window import _radix_combine, factorize_key
+from .window import _changes, _lex_sort, _radix_combine, factorize_key
 
 # below this total row count the host path's constant factors win
 DEVICE_SETOP_MIN_ROWS = 8192
@@ -64,12 +64,8 @@ def _dedupe_device(chunks: jnp.ndarray):
     """(K, n) int32 -> (n,) bool keep-mask in ORIGINAL row order:
     True at the first occurrence of each distinct row."""
     n = chunks.shape[1]
-    perm = jnp.arange(n, dtype=jnp.int32)
-    for i in range(chunks.shape[0] - 1, -1, -1):
-        perm = perm[jnp.argsort(chunks[i][perm], stable=True)]
-    s = chunks[:, perm]
-    change = jnp.concatenate(
-        [jnp.ones(1, bool), (s[:, 1:] != s[:, :-1]).any(axis=0)])
+    perm = _lex_sort(chunks)
+    change = _changes(chunks[:, perm])
     return jnp.zeros(n, bool).at[perm].set(change)
 
 
@@ -81,13 +77,9 @@ def _setop_device(chunks: jnp.ndarray, is_b: jnp.ndarray):
     row; run_has_b True where the row's equal-row run contains any
     `other` row."""
     n = chunks.shape[1]
-    perm = jnp.arange(n, dtype=jnp.int32)
-    for i in range(chunks.shape[0] - 1, -1, -1):
-        perm = perm[jnp.argsort(chunks[i][perm], stable=True)]
-    s = chunks[:, perm]
+    perm = _lex_sort(chunks)
     sb = is_b[perm]
-    change = jnp.concatenate(
-        [jnp.ones(1, bool), (s[:, 1:] != s[:, :-1]).any(axis=0)])
+    change = _changes(chunks[:, perm])
     seg = jnp.cumsum(change.astype(jnp.int32)) - 1
     has_b = jax.ops.segment_max(sb.astype(jnp.int32), seg,
                                 num_segments=n)[seg] > 0
@@ -112,6 +104,15 @@ def dedupe_keep(fr) -> Optional[np.ndarray]:
     return np.flatnonzero(keep)
 
 
+def _setop_from_codes(codes, n: int, na: int, op: str) -> np.ndarray:
+    chunks = jnp.asarray(_radix_combine(codes, n))
+    is_b = jnp.arange(n) >= na
+    first_acc, has_b = (np.asarray(x)
+                        for x in _setop_device(chunks, is_b))
+    want_in = op == "intersect"
+    return np.flatnonzero(first_acc[:na] & (has_b[:na] == want_in))
+
+
 def setop_keep_concat(both, na: int, op: str) -> Optional[np.ndarray]:
     """Device plan for EXCEPT/INTERSECT over the already-concatenated
     frame (acc rows first): ascending acc row ids of distinct acc rows
@@ -124,28 +125,16 @@ def setop_keep_concat(both, na: int, op: str) -> Optional[np.ndarray]:
     codes = _columns_codes([both])
     if codes is None:
         return None
-    chunks = jnp.asarray(_radix_combine(codes, n))
-    is_b = jnp.arange(n) >= na
-    first_acc, has_b = (np.asarray(x)
-                        for x in _setop_device(chunks, is_b))
-    want_in = op == "intersect"
-    keep = first_acc[:na] & (has_b[:na] == want_in)
-    return np.flatnonzero(keep)
+    return _setop_from_codes(codes, n, na, op)
 
 
 def setop_keep(acc, other, op: str) -> Optional[np.ndarray]:
-    """Two-frame convenience wrapper over setop_keep_concat (columns
+    """Two-frame convenience form of setop_keep_concat (columns
     factorize over both frames at once for the shared code space)."""
-    na, nb = len(acc), len(other)
-    if na + nb < DEVICE_SETOP_MIN_ROWS:
+    n = len(acc) + len(other)
+    if n < DEVICE_SETOP_MIN_ROWS:
         return None
     codes = _columns_codes([acc, other])
     if codes is None:
         return None
-    chunks = jnp.asarray(_radix_combine(codes, na + nb))
-    is_b = jnp.arange(na + nb) >= na
-    first_acc, has_b = (np.asarray(x)
-                        for x in _setop_device(chunks, is_b))
-    want_in = op == "intersect"
-    keep = first_acc[:na] & (has_b[:na] == want_in)
-    return np.flatnonzero(keep)
+    return _setop_from_codes(codes, n, len(acc), op)

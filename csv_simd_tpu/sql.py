@@ -1949,10 +1949,40 @@ def _in_subquery_rows(sub: _InSubquery, resolve_table, kw) -> list:
 
     cols = [np.asarray(fr._columns[nm]) for nm in fr.names]
     oks = [fr._ok[nm] for nm in fr.names]
+    n = len(fr)
+    ok_all = np.ones(n, bool)
+    for ok in oks:
+        if ok is not None:
+            ok_all &= np.asarray(ok, bool)
+    rows = np.flatnonzero(ok_all)
+    # dedupe via per-column codes BEFORE building Python tuples, so
+    # the per-row loop only runs over the DISTINCT rows (typed columns;
+    # non-factorizable ones fall back to the tuple-set scan)
+    if rows.size:
+        from .window import factorize_key
+
+        combined = None
+        space = 1
+        codable = True
+        for c in cols:
+            code = factorize_key(c[rows], None)
+            if code is None:
+                codable = False
+                break
+            g = int(code.max(initial=0)) + 1
+            if space * g >= 2**62:
+                codable = False
+                break
+            combined = (code.astype(np.int64) if combined is None
+                        else combined * g + code)
+            space *= g
+        if codable and combined is not None:
+            _u, first = np.unique(combined, return_index=True)
+            rows = rows[np.sort(first)]
+            return [tuple(_norm_row_key(c[i]) for c in cols)
+                    for i in rows]
     out, seen = [], set()
-    for i in range(len(fr)):
-        if any(ok is not None and not ok[i] for ok in oks):
-            continue
+    for i in rows:
         t = tuple(_norm_row_key(c[i]) for c in cols)
         if t not in seen:
             seen.add(t)
