@@ -1383,7 +1383,12 @@ class SqlResult:
 
 def _strip_explain(query: str) -> str:
     q = query.lstrip()
-    return q[8:] if q[:8].lower() == "explain " else query
+    if q[:8].lower() != "explain ":
+        return query
+    q = q[8:].lstrip()
+    if q[:8].lower() == "analyze ":  # EXPLAIN ANALYZE prefix
+        q = q[8:]
+    return q
 
 
 def table_refs(query: str) -> List[str]:

@@ -140,3 +140,12 @@ def test_cte_and_alias_groupby_over_corpus(tmp_path):
     r2 = sql("WITH pos AS (SELECT sym, qty FROM t WHERE qty > 1) "
              "SELECT COUNT(*) AS n FROM pos", c, schema={"qty": "int32"})
     assert int(r2["n"][0]) == 3
+
+
+def test_explain_analyze_table_refs():
+    """Regression: table_refs must tolerate the EXPLAIN ANALYZE prefix
+    (the CLI calls it before binding file arguments)."""
+    from csv_simd_tpu.sql import table_refs
+
+    assert table_refs(
+        "EXPLAIN ANALYZE SELECT sym FROM t WHERE qty > 0") == ["t"]
