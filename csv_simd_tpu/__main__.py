@@ -395,10 +395,14 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
-    if args.platform != "auto":
-        import jax
+    # Pin the platform BEFORE anything can touch jax.devices(): an
+    # explicit --platform wins; JAX_PLATFORMS=cpu from the environment
+    # is honored (the sitecustomize may override it); otherwise the
+    # default backend is probed in a bounded subprocess and a dead
+    # tunnel degrades to CPU with a warning instead of hanging.
+    from .utils.backend import resolve_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    resolve_platform(args.platform)
 
     from . import create
     from .errors import StructureError
