@@ -760,7 +760,7 @@ def read_typed(source, schema: Optional[Mapping] = None, *,
                     else [order_by])
             descs = (list(descending)
                      if isinstance(descending, (list, tuple))
-                     else [bool(descending)] * len(keys))
+                     else [descending] * len(keys))  # keep SortDir intact
             if len(descs) != len(keys):
                 raise ValueError(
                     f"descending has {len(descs)} entries for "

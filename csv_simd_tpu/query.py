@@ -1734,15 +1734,51 @@ def select_records(tape, where, *, names=None, schema=None, dialect=None,
 
 # -------------------------------------------------------------- ordering
 
-@functools.partial(jax.jit, static_argnames=("descending",))
-def _order_device(vals, ok, descending: bool):
+class SortDir(int):
+    """An ORDER BY direction that still reads as a plain bool
+    (`descending` truthiness) everywhere, but can carry the NULLS
+    FIRST modifier. NULLS LAST is the layer's default in BOTH
+    directions (CLAUDE.md convention); an explicit NULLS FIRST flips
+    only the placement of parse-failure rows, never the key order.
+    Equality/hash include the modifier so sort-prep caches keyed on
+    order specs never conflate `DESC` with `DESC NULLS FIRST`."""
+
+    def __new__(cls, desc, nulls_first: bool = False):
+        self = super().__new__(cls, 1 if desc else 0)
+        self.nulls_first = bool(nulls_first)
+        return self
+
+    def __repr__(self):
+        return (f"SortDir({bool(int(self))}"
+                f"{', nulls_first=True' if self.nulls_first else ''})")
+
+    def __eq__(self, other):
+        return (int(self), self.nulls_first) == (
+            int(other) if isinstance(other, (int, bool)) else other,
+            getattr(other, "nulls_first", False))
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __hash__(self):
+        return hash((int(self), self.nulls_first))
+
+
+def _nulls_first(direction) -> bool:
+    return getattr(direction, "nulls_first", False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("descending", "nulls_first"))
+def _order_device(vals, ok, descending: bool, nulls_first: bool = False):
     """Permutation ordering rows by (valid-first, key, original id).
     Two stable argsorts: secondary key first, then the validity flag —
-    invalid rows land at the end under either direction without key
-    sentinels (so a legit INT32_MAX row never interleaves with them).
-    Descending int32 flips via bitwise NOT (monotone decreasing, no
-    INT32_MIN negation overflow); float via negation (invalid rows'
-    NaNs are ranked by the validity pass, not the key pass)."""
+    invalid rows land at the end (or the start, under NULLS FIRST)
+    under either direction without key sentinels (so a legit INT32_MAX
+    row never interleaves with them). Descending int32 flips via
+    bitwise NOT (monotone decreasing, no INT32_MIN negation overflow);
+    float via negation (invalid rows' NaNs are ranked by the validity
+    pass, not the key pass)."""
     k = vals
     if descending:
         k = ~k if k.dtype == jnp.int32 else -k
@@ -1751,15 +1787,19 @@ def _order_device(vals, ok, descending: bool):
         # but must not perturb the stable secondary order of valid rows
         k = jnp.where(ok, k, jnp.float32(jnp.inf))
     order = jnp.argsort(k, stable=True)
-    order2 = jnp.argsort((~ok).astype(jnp.int32)[order], stable=True)
+    flag = ok if nulls_first else ~ok
+    order2 = jnp.argsort(flag.astype(jnp.int32)[order], stable=True)
     return order[order2]
 
 
 def _host_order_perm(vals, ok, descending: bool) -> np.ndarray:
     """Host ORDER BY permutation shared by every non-device sort path
     (str/bytes keys, host int64 values, materialized corpus frames):
-    parse-failures last under either direction, ties stable in input
-    order. Handles object, datetime64, integer and float key arrays."""
+    parse-failures last under either direction (first when
+    `descending` is a SortDir carrying NULLS FIRST), ties stable in
+    input order. Handles object, datetime64, integer and float key
+    arrays."""
+    nf = _nulls_first(descending)
     vals = np.asarray(vals)
     ok = (np.ones(vals.shape[0], bool) if ok is None
           else np.asarray(ok, bool))
@@ -1781,7 +1821,8 @@ def _host_order_perm(vals, ok, descending: bool) -> np.ndarray:
             # INT32_MIN overflows — sort the int64 view
             k = k.astype(np.int64)
         sub = np.argsort(-k if descending else k, kind="stable")
-    return np.concatenate([ok_ids[sub], np.flatnonzero(~ok)])
+    parts = [ok_ids[sub], np.flatnonzero(~ok)]
+    return np.concatenate(parts[::-1] if nf else parts)
 
 
 def _host_multi_order_perm(n: int, col_fn, order) -> np.ndarray:
@@ -1823,7 +1864,7 @@ def order_records(tape, by, *, names=None, schema=None, where=None,
             raise ValueError("empty order-by key list")
         descs = (list(descending)
                  if isinstance(descending, (list, tuple))
-                 else [bool(descending)] * len(keys))
+                 else [descending] * len(keys))  # keep SortDir intact
         if len(descs) != len(keys):
             raise ValueError(
                 f"descending has {len(descs)} entries for {len(keys)} "
@@ -1882,7 +1923,8 @@ def order_records(tape, by, *, names=None, schema=None, where=None,
         out_ids = ids[_host_order_perm(vals, ok, descending)]
         return out_ids[:limit] if limit is not None else out_ids
     perm = np.asarray(_order_device(vals, jnp.asarray(ok, bool),
-                                    descending))
+                                    bool(descending),
+                                    nulls_first=_nulls_first(descending)))
     out_ids = ids[perm]
     return out_ids[:limit] if limit is not None else out_ids
 

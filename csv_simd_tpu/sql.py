@@ -20,7 +20,7 @@ Supported grammar (case-insensitive keywords):
                  | USING (col [, col ...])
           | CROSS JOIN table [[AS] alias] ]
     [WHERE expr] [GROUP BY col|alias [, ...]] [HAVING agg_expr]
-    [ORDER BY ocol [ASC|DESC] [NULLS LAST] [, ...]]
+    [ORDER BY ocol [ASC|DESC] [NULLS FIRST|LAST] [, ...]]
     [LIMIT n [OFFSET m]]
 
 - item: column | arithmetic expression (`qty * price`, `(a + b) / 2`,
@@ -158,7 +158,8 @@ Supported grammar (case-insensitive keywords):
   text column for case-insensitive = != IN LIKE: the fold is
   ASCII-only (A-Z/a-z, SQL C collation) and runs ON DEVICE over the
   one gather the predicate already does, the literal folds on host.
-- HAVING leaves compare agg(column) or COUNT(*) against numbers.
+- HAVING leaves compare agg(column), COUNT(*), or a SELECT alias of
+  an aggregate (HAVING c >= 2 after COUNT(*) AS c) against numbers.
 
 Semantics follow the underlying layer, not full SQL: rows whose column
 fails its typed parse never satisfy a comparison (SQL NULL-ish), and
@@ -494,7 +495,16 @@ class _Parser:
             self.expect("kw", "by")
             ast.group_by = self._name_list()
         if self.accept("kw", "having"):
-            ast.having = self._expr(having=True)
+            # HAVING may reference SELECT aliases (HAVING c >= 2 after
+            # COUNT(*) AS c — SQLite/DuckDB both accept it); expose the
+            # parsed items to _having_leaf, save/restored because
+            # derived tables recurse through this same parser
+            prev_items = getattr(self, "_cur_items", None)
+            self._cur_items = ast.items
+            try:
+                ast.having = self._expr(having=True)
+            finally:
+                self._cur_items = prev_items
         if self.accept("kw", "order"):
             self.expect("kw", "by")
             ast.order_by = self._order_items()
@@ -723,11 +733,7 @@ class _Parser:
             self.expect("kw", "by")
             while True:
                 c = self._colref()
-                desc = bool(self.accept("kw", "desc"))
-                if not desc:
-                    self.accept("kw", "asc")
-                self._nulls_modifier()
-                worder.append((c, desc))
+                worder.append((c, self._direction()))
                 if not self.accept("punc", ","):
                     break
         kind = None
@@ -1090,38 +1096,39 @@ class _Parser:
             out.append(self._colref())
         return out
 
-    def _nulls_modifier(self):
-        """[NULLS FIRST|LAST]: the layer's sort convention is NULLs
-        LAST in BOTH directions (parse-failures sort last; every sort
-        path — device, host, windows — shares it). The default
-        spelling is accepted explicitly; NULLS FIRST raises rather
-        than silently reordering."""
+    def _nulls_modifier(self) -> bool:
+        """[NULLS FIRST|LAST] -> True for an explicit NULLS FIRST.
+        The layer's default is NULLs LAST in BOTH directions
+        (parse-failures sort last; every sort path — device, host,
+        windows — shares it); NULLS FIRST flips only the placement of
+        the NULL block, never the key order."""
         if not (self.peek()[0] == "name"
                 and self.peek()[1].lower() == "nulls"):
-            return
+            return False
         self.next()
         word = self.next()[1].lower()
         if word == "first":
-            raise SqlError(
-                "NULLS FIRST is not supported: NULLs (typed parse "
-                "failures) sort LAST in both directions across every "
-                "sort path; filter them first (WHERE col IS NOT NULL) "
-                "or sort on COALESCE(col, sentinel)"
-            )
+            return True
         if word != "last":
             raise SqlError("expected NULLS FIRST or NULLS LAST")
+        return False
+
+    def _direction(self):
+        """[ASC|DESC] [NULLS FIRST|LAST] -> bool-like direction (a
+        query.SortDir when NULLS FIRST rides along)."""
+        from .query import SortDir
+
+        desc = bool(self.accept("kw", "desc"))
+        if not desc:
+            self.accept("kw", "asc")
+        return SortDir(desc, nulls_first=True) if self._nulls_modifier() \
+            else desc
 
     def _order_items(self):
         out = []
         while True:
             it = self._item_core()
-            desc = False
-            if self.accept("kw", "desc"):
-                desc = True
-            else:
-                self.accept("kw", "asc")
-            self._nulls_modifier()
-            out.append((it, desc))
+            out.append((it, self._direction()))
             if not self.accept("punc", ","):
                 return out
 
@@ -1296,10 +1303,20 @@ class _Parser:
 
     def _having_leaf(self):
         it = self._item_core()
+        if it.kind == "col":
+            # a bare name may be a SELECT alias of an aggregate:
+            # HAVING resolves it to the aliased aggregate itself, the
+            # way ORDER BY already resolves aliases
+            aliased = next(
+                (s for s in getattr(self, "_cur_items", None) or []
+                 if s.kind == "agg" and s.alias == it.col), None)
+            if aliased is not None:
+                it = aliased
         if it.kind != "agg":
             raise SqlError(
-                "HAVING conditions compare aggregates, e.g. "
-                "COUNT(*) >= 10 or SUM(qty) > 0"
+                "HAVING conditions compare aggregates (or SELECT "
+                "aliases of aggregates), e.g. COUNT(*) >= 10, "
+                "SUM(qty) > 0, or c >= 2 after COUNT(*) AS c"
             )
         op = self.expect("op")[1]
         if self.peek()[0] != "num" and self.peek() != ("punc", "-"):
@@ -3572,13 +3589,15 @@ def _order_group_rows(columns, order, n: int):
     idx = list(range(n))
     for key_name, desc in reversed(order):
         col = columns[key_name]
+        nf = getattr(desc, "nulls_first", False)
 
         def _isnull(v):
             return v is None or (isinstance(v, float) and v != v)
 
         idx.sort(key=lambda i: 0 if _isnull(col[i]) else col[i],
-                 reverse=desc)
-        idx.sort(key=lambda i: _isnull(col[i]))  # stable: nulls last
+                 reverse=bool(desc))
+        # stable: nulls last (first under an explicit NULLS FIRST)
+        idx.sort(key=lambda i: _isnull(col[i]) ^ nf)
     return np.asarray(idx, np.int64)
 
 

@@ -53,15 +53,19 @@ _MAX_EXACT_PARTITION = 2**20
 _SPLIT = (20, 10)  # (high shift, digit width) — mirrors query._GROUP_SPLIT
 
 
-def factorize_key(vals, ok, desc: bool = False) -> Optional[np.ndarray]:
+def factorize_key(vals, ok, desc: bool = False,
+                  nulls_first: bool = False) -> Optional[np.ndarray]:
     """Any host column -> dense int32 sort codes. Ascending codes follow
     np.unique order (== Python < for uniform str/bytes/numeric);
-    `desc` reverses real values; NULL rows always get the LARGEST code
-    (sort last both directions, never equal to a real value). Returns
-    None when values don't factorize (mixed incomparable objects)."""
+    `desc` reverses real values; NULL rows get the LARGEST code (sort
+    last both directions, never equal to a real value) — or code 0 with
+    real codes shifted +1 under `nulls_first` (an explicit NULLS FIRST
+    modifier, query.SortDir). Returns None when values don't factorize
+    (mixed incomparable objects)."""
     vals = np.asarray(vals)
     n = vals.shape[0]
     okm = np.ones(n, bool) if ok is None else np.asarray(ok, bool)
+    shift = 1 if nulls_first else 0
     codes = np.zeros(n, np.int64)
     g = 0
     if okm.any():
@@ -73,18 +77,18 @@ def factorize_key(vals, ok, desc: bool = False) -> Optional[np.ndarray]:
             s64 = sel.astype(np.int64)
             lo, hi = int(s64.min()), int(s64.max())
             span = hi - lo + 1
-            if span < 2**31 - 1:
-                codes[okm] = (hi - s64) if desc else (s64 - lo)
-                codes[~okm] = span
+            if span + shift < 2**31 - 1:
+                codes[okm] = ((hi - s64) if desc else (s64 - lo)) + shift
+                codes[~okm] = 0 if nulls_first else span
                 return codes.astype(np.int32)
         try:
             uniq, inv = np.unique(sel, return_inverse=True)
         except TypeError:
             return None
         g = len(uniq)
-        codes[okm] = (g - 1 - inv) if desc else inv
-    codes[~okm] = g
-    if g >= 2**31 - 1:
+        codes[okm] = ((g - 1 - inv) if desc else inv) + shift
+    codes[~okm] = 0 if nulls_first else g
+    if g + shift >= 2**31 - 1:
         return None
     return codes.astype(np.int32)
 
@@ -345,7 +349,9 @@ def window_column(
             pcodes.append(c)
         ocodes = []
         for v, ok, desc in order_keys:
-            c = factorize_key(v, ok, desc=desc)
+            c = factorize_key(v, ok, desc=bool(desc),
+                              nulls_first=getattr(desc, "nulls_first",
+                                                  False))
             if c is None:
                 return _bail()
             ocodes.append(c)

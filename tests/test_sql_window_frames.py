@@ -208,15 +208,19 @@ def test_new_winfns_device_matches_host(q, monkeypatch):
 
 
 def test_nulls_modifier():
-    # the default spelling parses; the non-default raises clearly
+    # both spellings parse everywhere (NULLS FIRST semantics are
+    # pinned by tests/test_sql_nulls_having.py); a typo raises
     r = sql("SELECT v FROM t ORDER BY v DESC NULLS LAST LIMIT 3",
             CSV, schema=S)
     assert len(r) == 3
     r2 = sql("SELECT SUM(v) OVER (PARTITION BY g ORDER BY i ASC "
              "NULLS LAST) AS s FROM t LIMIT 1", CSV, schema=S)
     assert len(r2) == 1
-    with pytest.raises(SqlError, match="NULLS FIRST is not supported"):
-        sql("SELECT v FROM t ORDER BY v NULLS FIRST", CSV, schema=S)
-    with pytest.raises(SqlError, match="NULLS FIRST is not supported"):
-        sql("SELECT SUM(v) OVER (ORDER BY i NULLS FIRST) FROM t",
-            CSV, schema=S)
+    r3 = sql("SELECT v FROM t ORDER BY v NULLS FIRST LIMIT 3",
+             CSV, schema=S)
+    assert len(r3) == 3
+    r4 = sql("SELECT SUM(v) OVER (ORDER BY i NULLS FIRST) AS s FROM t"
+             " LIMIT 1", CSV, schema=S)
+    assert len(r4) == 1
+    with pytest.raises(SqlError, match="NULLS FIRST or NULLS LAST"):
+        sql("SELECT v FROM t ORDER BY v NULLS MAYBE", CSV, schema=S)

@@ -115,7 +115,10 @@ def run(gb_list=(64, 1024)):
         arr = jnp.asarray(np.random.randint(
             -2**31, 2**31, (rows, 128), dtype=np.int64).astype(np.int32))
         ks = (2, 6) if gb >= 512 else (16, 48)
-        modes = ("narrow", "tall2", "tall8", "tall32", "wide")
+        # tall32's (16384,16) out block is lane-PADDED to 128 in VMEM
+        # (T(8,128) tiling): 8 MB x2 double-buffered blows the 16 MB
+        # scoped-vmem limit. tall8 (2 MB padded) is the usable ceiling.
+        modes = ("narrow", "tall2", "tall8", "wide")
         chains = {m: mk_write(rows, m) for m in modes}
         best = {m: {k: 1e9 for k in ks} for m in modes}
         for m, c in chains.items():
