@@ -128,8 +128,21 @@ def _stage1_v4_kernel(
     ones8_ref, packed_ref, parity_ref, nonascii_ref, *rest,
     dialect: Dialect, tile: int, emit_counts: bool, count_nonascii: bool,
     pack_mode: str, base_mode: str, compress_mode: str,
-    emit_prefix: bool, scan_mm: str,
+    emit_prefix: bool, scan_mm: str, out_mode: str,
 ):
+    def _store_packed(pk):
+        """Store the (tile, 16) packed words. out_mode='wide' melts
+        them to (tile/8, 128) first — SAME word order under row-major
+        flatten, so the caller's reshape back to (rows, 16) is an XLA
+        bitcast — because the narrow (tile,16) out-block DMA is
+        descriptor-rate-bound at the 1 GiB scale (tools/dma_probe2.py:
+        narrow 298.8 / tall8 297.0 / wide 521.7 GB/s; block height
+        does NOT fix it, layout does)."""
+        if out_mode == "wide":
+            packed_ref[:] = pk.reshape(tile // 8, LANES)
+        else:
+            packed_ref[:] = pk
+
     extra = list(rest[:-1])
     counts_ref = extra.pop(0) if emit_counts else None
     prefix_ref = extra.pop(0) if emit_prefix else None
@@ -253,7 +266,7 @@ def _stage1_v4_kernel(
         # the pack amputated — output is a meaningless (T,16) slice of
         # the masked flags, NOT the packed layout. v4(mode) - v4(none)
         # = the in-context cost of pack `mode` (VERDICT r3 item 1b).
-        packed_ref[:] = (~(s_no | inq) & _HI1)[:, :WORDS]
+        _store_packed((~(s_no | inq) & _HI1)[:, :WORDS])
     elif pack_mode in ("roll", "rollslice"):
         # non-MXU pack (VERDICT r3 item 1a): a 3-step lane roll ladder
         # ORs each lane's 4-bit nibble with its neighbors' at shifts
@@ -270,15 +283,15 @@ def _stage1_v4_kernel(
         if pack_mode == "rollslice":
             # strided lane slice (1,8): the direct extraction if the
             # toolchain lowers it
-            packed_ref[:] = jax.lax.slice(
-                s, (0, 0), (tile, LANES), (1, 8))
+            _store_packed(jax.lax.slice(
+                s, (0, 0), (tile, LANES), (1, 8)))
         else:
             # int32 lane gather of lanes 0,8,..,120 (int32 gathers DO
             # lower on this toolchain; int8 don't — CLAUDE.md)
             idx = (jax.lax.broadcasted_iota(
                 jnp.int32, (tile, LANES), 1) & 0x0F) << 3
             g = jnp.take_along_axis(s, idx, axis=1)
-            packed_ref[:] = g[:, :WORDS]
+            _store_packed(g[:, :WORDS])
     elif pack_mode == "mm4i8":
         # four int8 byte-plane matmuls: no bf16 convert of v, no
         # f32->int32 output converts (int8 matmuls emit int32
@@ -293,8 +306,8 @@ def _stage1_v4_kernel(
                 preferred_element_type=jnp.int32)
             for k2 in range(4)
         ]
-        packed_ref[:] = (planes[0] | (planes[1] << 8)
-                         | (planes[2] << 16) | (planes[3] << 24))
+        _store_packed(planes[0] | (planes[1] << 8)
+                      | (planes[2] << 16) | (planes[3] << 24))
     elif pack_mode == "mm1w":
         # one (128,128)-weight matmul, full-width (T,128) output: lanes
         # 0..15 carry the lo halves, 16..31 the hi halves, 32..127 are
@@ -304,18 +317,18 @@ def _stage1_v4_kernel(
         out = jax.lax.dot_general(
             vb, wlo_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        packed_ref[:] = out[:, :WORDS] | (out[:, WORDS : 2 * WORDS] << 16)
+        _store_packed(out[:, :WORDS] | (out[:, WORDS : 2 * WORDS] << 16))
     elif pack_mode == "mm1":
         out = jax.lax.dot_general(
             vb, wlo_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        packed_ref[:] = out[:, :WORDS] | (out[:, WORDS:] << 16)
+        _store_packed(out[:, :WORDS] | (out[:, WORDS:] << 16))
     elif pack_mode == "mm1r":
         out = jax.lax.dot_general(
             vb, wlo_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
         comb = out | (pltpu.roll(out, WORDS, 1) << 16)
-        packed_ref[:] = comb[:, :WORDS]
+        _store_packed(comb[:, :WORDS])
     else:
         lo = jax.lax.dot_general(
             vb, wlo_ref[:], (((1,), (0,)), ((), ())),
@@ -323,7 +336,7 @@ def _stage1_v4_kernel(
         hi = jax.lax.dot_general(
             vb, whi_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        packed_ref[:] = lo | (hi << 16)
+        _store_packed(lo | (hi << 16))
     if emit_counts:
         # per-row structural popcounts, fused: the offsets-free index
         # needs cumsum(row_counts); emitting them here saves the prefix
@@ -379,7 +392,7 @@ def _stage1_v4_kernel(
     static_argnames=(
         "dialect", "row_tile", "interpret", "vma", "emit_counts",
         "count_nonascii", "pack_mode", "base_mode", "compress_mode",
-        "emit_prefix", "scan_mm",
+        "emit_prefix", "scan_mm", "out_mode",
     ),
 )
 def stage1_fused_v4(
@@ -396,6 +409,7 @@ def stage1_fused_v4(
     compress_mode: str = "m80",
     emit_prefix: bool = False,
     scan_mm: str = "i8",
+    out_mode: str = "narrow",
 ):
     """(rows, 128) int32 byte-quad words + carry parity ->
     (packed_seq (rows, 16) int32, parity_out, nonascii_count[,
@@ -439,13 +453,18 @@ def stage1_fused_v4(
         wlo = jnp.asarray(wboth[0], jnp.bfloat16)
         whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
+    if out_mode == "wide":
+        # wide-layout stores need tile/8 whole output rows per step
+        assert tile % 8 == 0, tile
+    else:
+        assert out_mode == "narrow", out_mode
     ones8 = jnp.ones((LANES, 8), jnp.int8)
     kernel = functools.partial(
         _stage1_v4_kernel, dialect=dialect, tile=tile,
         emit_counts=emit_counts, count_nonascii=count_nonascii,
         pack_mode=pack_mode, base_mode=base_mode,
         compress_mode=compress_mode, emit_prefix=emit_prefix,
-        scan_mm=scan_mm,
+        scan_mm=scan_mm, out_mode=out_mode,
     )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
@@ -460,6 +479,13 @@ def stage1_fused_v4(
             _align(ones8), _align(carry_arr),
         )
 
+    pk_spec = (pl.BlockSpec((tile // 8, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+               if out_mode == "wide" else
+               pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM))
+    pk_shape = ((rows // 8, LANES) if out_mode == "wide"
+                else (rows, WORDS))
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -473,7 +499,7 @@ def stage1_fused_v4(
             pl.BlockSpec((LANES, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile, WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pk_spec,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + ([pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -481,7 +507,7 @@ def stage1_fused_v4(
           + ([pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
              if emit_prefix else []),
         out_shape=[
-            jax.ShapeDtypeStruct((rows, WORDS), jnp.int32, vma=frozenset(vma)),
+            jax.ShapeDtypeStruct(pk_shape, jnp.int32, vma=frozenset(vma)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=frozenset(vma)),
         ] + ([jax.ShapeDtypeStruct((rows, 1), jnp.int32, vma=frozenset(vma))]
@@ -493,6 +519,10 @@ def stage1_fused_v4(
     )(carry_arr, w2d, triu, tril, wlo, whi, ones8)
     outs = list(outs)
     packed, parity, nonascii = outs[0], outs[1], outs[2]
+    if out_mode == "wide":
+        # same bytes, word order preserved: an XLA bitcast back to the
+        # contract shape (reshape reads measure free — dma_probe2)
+        packed = packed.reshape(rows, WORDS)
     tail = outs[3:]
     res = [packed, parity[0, 0], nonascii[0, 0]]
     if emit_counts:

@@ -99,13 +99,15 @@ def dedupe_keep(fr) -> Optional[np.ndarray]:
     codes = _columns_codes([fr])
     if codes is None:
         return None
-    chunks = jnp.asarray(_radix_combine(codes, n))
+    chunks = _radix_combine(codes, [int(c.max(initial=0)) + 1
+                                    for c in codes], n)
     keep = np.asarray(_dedupe_device(chunks))
     return np.flatnonzero(keep)
 
 
 def _setop_from_codes(codes, n: int, na: int, op: str) -> np.ndarray:
-    chunks = jnp.asarray(_radix_combine(codes, n))
+    chunks = _radix_combine(codes, [int(c.max(initial=0)) + 1
+                                    for c in codes], n)
     is_b = jnp.arange(n) >= na
     first_acc, has_b = (np.asarray(x)
                         for x in _setop_device(chunks, is_b))

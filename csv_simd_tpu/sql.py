@@ -3208,8 +3208,15 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
     from .query import VExpr
     from .window import window_column
 
-    part_arrays = [(fr._columns[c], fr._ok[c]) for c in part_cols]
-    order_arrays = [(fr._columns[c], fr._ok[c], d) for c, d in order_refs]
+    # key entries carry the device-resident parse handle when
+    # read_typed kept one (Frame._dev): window.factorize_key_device
+    # then builds the sort codes ON DEVICE, moving O(1) scalars instead
+    # of round-tripping the column through host np (VERDICT r4 item 3)
+    devs = getattr(fr, "_dev", {})
+    part_arrays = [(fr._columns[c], fr._ok[c], devs.get(c))
+                   for c in part_cols]
+    order_arrays = [(fr._columns[c], fr._ok[c], d, devs.get(c))
+                    for c, d in order_refs]
     # one cache dict per OVER clause per frame: every window item over
     # the same (PARTITION BY, ORDER BY) shares the key factorization
     # and the single device sort
