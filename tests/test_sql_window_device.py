@@ -56,6 +56,23 @@ QUERIES = [
     # window over a computed value / text order key
     "SELECT tag, AVG(qty) OVER (PARTITION BY grp ORDER BY tag) AS m"
     " FROM t",
+    # round-5: float SUM/AVG ride the compensated double-f32 scan
+    "SELECT tag, SUM(fv) OVER (PARTITION BY grp) AS s,"
+    " AVG(fv) OVER (PARTITION BY grp ORDER BY qty) AS m FROM t",
+    "SELECT tag, SUM(fv) OVER (PARTITION BY grp ORDER BY qty"
+    " ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS s FROM t",
+    # round-5: bounded ROWS MIN/MAX (sparse-table range extrema) and
+    # the suffix-scan shape (bounded below, unbounded above)
+    "SELECT tag, MIN(qty) OVER (PARTITION BY grp ORDER BY sub"
+    " ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING) AS lo,"
+    " MAX(qty) OVER (PARTITION BY grp ORDER BY sub"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS hi FROM t",
+    "SELECT tag, MAX(fv) OVER (PARTITION BY grp ORDER BY qty"
+    " ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) AS hi,"
+    " MIN(fv) OVER (PARTITION BY grp ORDER BY qty"
+    " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lo FROM t",
+    "SELECT tag, MIN(qty) OVER (PARTITION BY grp ORDER BY qty DESC"
+    " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx FROM t",
 ]
 
 
@@ -106,14 +123,39 @@ def test_device_matches_host(q, monkeypatch):
         assert _vals(dev, name) == _vals(host, name), (q, name)
 
 
-def test_float_sum_falls_back_to_host(monkeypatch):
+def test_float_sum_runs_on_device(monkeypatch):
+    """Round 4's float-sum fallback is gone: SUM(float) OVER rides the
+    compensated double-f32 scan on the device plan (VERDICT r4 #4)."""
+    calls = {"n": 0}
+    real = W.window_column
+
+    def spy(*a, **k):
+        r = real(*a, **k)
+        if r is not None:
+            calls["n"] += 1
+        return r
+
     monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    monkeypatch.setattr(W, "window_column", spy)
     fr = sql("SELECT SUM(fv) OVER (PARTITION BY grp) AS s FROM t",
              CSV, schema=S)
+    assert calls["n"] >= 1, "float SUM did not take the device plan"
     monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
     want = sql("SELECT SUM(fv) OVER (PARTITION BY grp) AS s FROM t",
                CSV, schema=S)
     assert _vals(fr, "s") == _vals(want, "s")
+
+
+def test_float_sum_non_f32_exact_falls_back(monkeypatch):
+    """Values that are not exactly float32-representable keep the host
+    float64 path (the pair scan would quantize them)."""
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    n = 40
+    part = np.zeros(n, np.int32)
+    vals = np.full(n, 0.1, np.float64)  # 0.1 is not f32-exact
+    r = W.window_column("sum", n, [(part, None)], [], vals, None,
+                        is_int=False)
+    assert r is None
 
 
 def test_huge_partition_guard(monkeypatch):
