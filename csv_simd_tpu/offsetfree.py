@@ -57,9 +57,14 @@ def fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def prefix_for_packed(packed: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive ROW-granularity popcount prefix over (rows, 16) packed
-    words: cumsum of per-row bit counts. 1/16 the scan length of a
-    per-word prefix; queries resolve within-row at lookup time.
+    """Inclusive ROW-granularity popcount prefix over the packed
+    words — (rows, 16) narrow or (rows/8, 128) WIDE layout (the
+    round-5 v4 out_mode='wide_native' artifact; same word order under
+    row-major flatten, handed over without a reshape because an
+    in-chain narrow<->wide reshape materializes a relayout copy at
+    the 1 GiB scale). Returns (rows,) cumsum of per-512-byte-row bit
+    counts: 1/16 the scan length of a per-word prefix; queries
+    resolve within-row at lookup time.
 
     On TPU this is ONE Pallas kernel (round-4: the XLA composition —
     popcount + reshape reduce + the ~20-op hierarchical cumsum —
@@ -67,7 +72,8 @@ def prefix_for_packed(packed: jnp.ndarray) -> jnp.ndarray:
     cost; the fused kernel reads the packed words once and carries the
     running total in SMEM like the stage-1 carry). The XLA path stays
     for CPU/other platforms and as the differential twin."""
-    rows = packed.shape[0]
+    rows = (packed.shape[0] * 8 if packed.shape[1] == 128
+            else packed.shape[0])
     if (rows % 64 == 0 and rows >= 64
             and jax.devices()[0].platform in ("tpu", "axon")):
         return _prefix_for_packed_pallas(packed)
@@ -81,6 +87,12 @@ def _prefix_for_packed_xla(packed: jnp.ndarray) -> jnp.ndarray:
     (narrow (T,16) ops lower worse on this TPU — PERF_NOTES), then
     shrinks back to per-row sums (MXU-matmul segment reduces measured
     4-5x WORSE and were rejected, tools/prefix_ablate.py)."""
+    if packed.shape[1] == 128:  # native wide layout
+        wide_rows = packed.shape[0]
+        pc = jax.lax.population_count(packed)
+        row_counts = pc.reshape(wide_rows, 8, 16).sum(
+            axis=-1, dtype=jnp.int32).reshape(wide_rows * 8)
+        return fast_cumsum_i32(row_counts)
     rows = packed.shape[0]
     if rows % 8 == 0 and rows >= 8:
         wide = packed.reshape(rows // 8, 128)
@@ -134,14 +146,21 @@ def _prefix_kernel(w_ref, bdincl_ref, tril_ref, out_ref, carry_sm, *,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _prefix_for_packed_pallas(packed: jnp.ndarray,
                               interpret: bool = False) -> jnp.ndarray:
-    """(rows, 16) packed -> (rows,) inclusive row popcount prefix in
-    one kernel pass (rows % 64 == 0; callers pad to 512-row tiles)."""
+    """(rows, 16) narrow OR (rows/8, 128) wide packed -> (rows,)
+    inclusive row popcount prefix in one kernel pass (rows % 64 == 0;
+    callers pad to 512-row tiles). The wide layout is consumed AS-IS —
+    no reshape between the build kernel and this one."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rows = packed.shape[0]
-    wide_rows = rows // 8
-    wide = packed.reshape(wide_rows, 128)
+    if packed.shape[1] == 128:
+        wide = packed
+        wide_rows = packed.shape[0]
+        rows = wide_rows * 8
+    else:
+        rows = packed.shape[0]
+        wide_rows = rows // 8
+        wide = packed.reshape(wide_rows, 128)
     tile = min(512, wide_rows)
     # grid must divide evenly; fall back when it can't
     if wide_rows % tile != 0:

@@ -114,19 +114,20 @@ def _seq_pack_weights_i8() -> np.ndarray:
 
 
 def _seq_pack_weights_i8_wide() -> np.ndarray:
-    """(8*4*128, 128) int8 lane-PLACED byte-plane weights for the wide
-    out layout: block k's plane p (rows [(4k+p)*128, (4k+p+1)*128))
-    accumulates byte p of packed word g into OUT lane 16k+g from block
-    lanes 8g+2p (weight 1) and 8g+2p+1 (weight 16). Outputs are
-    full-width (T/8,128) matmul results consumed whole by OR — the
-    offset-slice-of-matmul-output class this toolchain miscompiles is
-    never touched (tools/widestore_probe3.py mmLb: BIT-EXACT)."""
-    w = np.zeros((8, 4, LANES, LANES), np.int8)
+    """(4*1024, 128) int8 lane-PLACED byte-plane weights for the wide
+    out layout: plane p (rows [p*1024, (p+1)*1024)) accumulates byte p
+    of packed word g of BLOCK k into OUT lane 16k+g from concat lane
+    128k + 8g+2p (weight 1) and 128k + 8g+2p+1 (weight 16) — one
+    (64,1024)@(1024,128) int8 matmul packs all eight blocks of a rail
+    per byte plane, output consumed whole (never the miscompiling
+    offset-slice-of-matmul-output class; tools/widestore_probe{3,4}:
+    BIT-EXACT)."""
+    w = np.zeros((4, 8, LANES, LANES), np.int8)
     for k in range(8):
         for lane in range(LANES):
             g, l = divmod(lane, 8)
-            w[k, l // 2, lane, 16 * k + g] = 1 if l % 2 == 0 else 16
-    return w.reshape(32 * LANES, LANES)
+            w[l // 2, k, lane, 16 * k + g] = 1 if l % 2 == 0 else 16
+    return w.reshape(4 * 8 * LANES, LANES)
 
 
 def _stage1_v4_kernel_wide(
@@ -162,9 +163,16 @@ def _stage1_v4_kernel_wide(
     chars = dialect.newlines + (dialect.delimiter,)
     swar_ok = dialect.quote < 0x80 and all(c < 0x80 for c in chars)
 
-    # pass 1: per-block classify + in-word parity + lane-prefix scans;
-    # stash what pass 2 needs and accumulate per-row block carries
-    p_ins, lane_excls, s_nos, block_carry = [], [], [], []
+    # ONE pass per block, DUAL-RAIL: the cross-row quote carry only
+    # FLIPS the in-quote mask (parities add mod 2), and since
+    # m0 ⊆ ms bitwise (m0 = structural & not-in-quote under carry 0,
+    # ms = all structural), the carry-1 mask is exactly ms ^ m0 — so
+    # both rails nibble-compress in the loop and the per-row carry
+    # picks a rail AFTER the row scan. No int32 stash arrays (the
+    # two-pass variant's 3x8x32 KB VMEM spill traffic was the wide
+    # kernel's measured deficit), and the pack rides TWO
+    # (64,1024)@(1024,128) int8 matmuls per byte plane.
+    v0s, vds = [], []
     rc = None  # running (negated) quote-word count of blocks < k
     na = carry_sm[1] if count_nonascii else None
     for k in range(8):
@@ -186,10 +194,23 @@ def _stage1_v4_kernel_wide(
             wp.astype(jnp.int8), triu_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         bt = lane_excl[:, LANES - 1 :] + wp[:, LANES - 1 :]
-        p_ins.append(p_in)
-        lane_excls.append(lane_excl)
-        s_nos.append(s_no)
-        block_carry.append(rc)
+        base_cnt = lane_excl if rc is None else lane_excl + rc
+        if base_mode == "shift":
+            inq0 = p_in ^ ((base_cnt << 31) >> 31)
+        else:
+            inq0 = p_in ^ ((base_cnt & 1) * _HI1)
+        m0 = ~(s_no | inq0) & _HI1
+        md = (~s_no & _HI1) ^ m0  # the carry-1 rail: ms ^ m0
+        if compress_mode == "m80":
+            v0 = jax.lax.shift_right_logical(m0 * 0x204081, 28)
+            vd = jax.lax.shift_right_logical(md * 0x204081, 28)
+        else:
+            v0 = ((jax.lax.shift_right_logical(m0, 7) * 0x01020408)
+                  >> 24)
+            vd = ((jax.lax.shift_right_logical(md, 7) * 0x01020408)
+                  >> 24)
+        v0s.append(v0.astype(jnp.int8))
+        vds.append(vd.astype(jnp.int8))
         rc = bt if rc is None else rc + bt
     if count_nonascii:
         carry_sm[1] = na
@@ -203,35 +224,26 @@ def _stage1_v4_kernel_wide(
     row_excl = jax.lax.dot_general(
         tril_ref[:], rowpar8, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    rowcol = row_excl[:, :1] + carry_sm[0]
+    # 0/-1 per-row rail selector: this row's inherited quote parity
+    rowodd = (((row_excl[:, :1] + carry_sm[0]) & 1) << 31) >> 31
 
-    # pass 2: in-quote mask + nibble compress + lane-placed pack
-    acc = None
-    for k in range(8):
-        base_cnt = lane_excls[k] + rowcol
-        if block_carry[k] is not None:
-            base_cnt = base_cnt + block_carry[k]
-        if base_mode == "shift":
-            binq = (base_cnt << 31) >> 31
-            inq = p_ins[k] ^ binq
-        else:
-            inq = p_ins[k] ^ ((base_cnt & 1) * _HI1)
-        m80 = ~(s_nos[k] | inq) & _HI1
-        if compress_mode == "m80":
-            v = jax.lax.shift_right_logical(m80 * 0x204081, 28)
-        else:
-            v = ((jax.lax.shift_right_logical(m80, 7) * 0x01020408)
-                 >> 24)
-        v8 = v.astype(jnp.int8)
-        for p in range(4):
-            r0 = (4 * k + p) * LANES
-            pk = jax.lax.dot_general(
-                v8, wlo_ref[r0 : r0 + LANES, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            pk = pk << (8 * p) if p else pk
-            acc = pk if acc is None else (acc | pk)
-    packed_ref[:] = acc
+    big0 = jnp.concatenate(v0s, axis=1)  # (tile8, 1024) int8
+    bigd = jnp.concatenate(vds, axis=1)
+    p0 = acc_d = None
+    for p in range(4):
+        wp_ref = wlo_ref[1024 * p : 1024 * (p + 1), :]
+        t0 = jax.lax.dot_general(
+            big0, wp_ref, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        td = jax.lax.dot_general(
+            bigd, wp_ref, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        if p:
+            t0 = t0 << (8 * p)
+            td = td << (8 * p)
+        p0 = t0 if p0 is None else (p0 | t0)
+        acc_d = td if acc_d is None else (acc_d | td)
+    packed_ref[:] = p0 ^ ((p0 ^ acc_d) & rowodd)
 
     tile_par = (row_excl[tile8 - 1, 0] + rowpar[tile8 - 1, 0]) & 1
     new_carry = (carry_sm[0] + tile_par) & 1
@@ -541,7 +553,16 @@ def stage1_fused_v4(
     count_nonascii=False the fused high-bit reduce is skipped entirely
     and nonascii_count comes back as -1 (meaning "not counted")."""
     rows, lanes = w2d.shape
-    assert lanes == LANES and rows % 8 == 0, (rows, lanes)
+    if lanes == 8 * LANES:
+        # wide-geometry input (rows/8, 1024): the SAME byte stream,
+        # pre-shaped by the caller (host-side np.reshape is free;
+        # an in-jit device reshape materializes a full copy at the
+        # 1 GiB scale — measured 1.25 ms/pass, tools/widestore_probe)
+        assert out_mode in ("wide", "wide_native"), out_mode
+        rows = rows * 8
+    else:
+        assert lanes == LANES, (rows, lanes)
+    assert rows % 8 == 0, (rows, lanes)
     tile = min(row_tile, rows)
     assert rows % tile == 0, (rows, tile)
     grid = rows // tile
@@ -572,7 +593,7 @@ def stage1_fused_v4(
         wlo = jnp.asarray(wboth[0], jnp.bfloat16)
         whi = jnp.asarray(wboth[1], jnp.bfloat16)
 
-    if out_mode == "wide":
+    if out_mode in ("wide", "wide_native"):
         # wide-layout stores run the block-geometry kernel: whole
         # (tile/8, 128) out rows, mm4i8-style int8 pack only
         assert tile % 8 == 0, tile
@@ -601,7 +622,7 @@ def stage1_fused_v4(
             _align(ones8), _align(carry_arr),
         )
 
-    if out_mode == "wide":
+    if out_mode in ("wide", "wide_native"):
         tile8 = tile // 8
         wlo_w = jnp.asarray(_seq_pack_weights_i8_wide())
         triu_w = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
@@ -609,7 +630,8 @@ def stage1_fused_v4(
         if vma:
             triu_w, tril_w, wlo_w = (
                 _align(triu_w), _align(tril_w), _align(wlo_w))
-        w_wide = w2d.reshape(rows // 8, 8 * LANES)  # free bitcast
+        w_wide = (w2d if w2d.shape[1] == 8 * LANES
+                  else w2d.reshape(rows // 8, 8 * LANES))
         kernel_w = functools.partial(
             _stage1_v4_kernel_wide, dialect=dialect, tile8=tile8,
             count_nonascii=count_nonascii, base_mode=base_mode,
@@ -650,9 +672,14 @@ def stage1_fused_v4(
             scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
             interpret=interpret,
         )(carry_arr, w_wide, triu_w, tril_w, wlo_w, ones8)
-        # same bytes, word order preserved: an XLA bitcast back to the
-        # (rows, 16) contract shape (reshape reads measure free —
-        # tools/dma_probe2.py)
+        # same bytes, word order preserved under row-major flatten.
+        # 'wide_native' hands back the (rows/8, 128) array as-is —
+        # the production consumers (the prefix kernel, host
+        # unpackers) want exactly that shape, and reshaping here
+        # costs a materialized relayout copy inside jitted chains at
+        # the 1 GiB scale; 'wide' keeps the (rows,16) contract view.
+        if out_mode == "wide_native":
+            return packed, parity[0, 0], nonascii[0, 0]
         return (packed.reshape(rows, WORDS), parity[0, 0],
                 nonascii[0, 0])
 

@@ -143,8 +143,11 @@ Supported grammar (case-insensitive keywords):
   inner_col ...)`, multiple keys compile to a composite-key
   membership leaf evaluated by shared-code factorization
   (query._in_rows_mask / sql._frame_leaf) — (inner aliases shadow
-  outer names, SQL scoping; inequality or OR-nested correlation
-  raises) —
+  outer names, SQL scoping); inequality and OR-nested correlation
+  (`inner.b < outer.y`, `inner.a = outer.x OR ...`) evaluate a
+  blocked pairwise theta semi-join per distinct outer key tuple
+  (size-guarded; _exists_correlated_general) and ride the same
+  membership leaves —
   LIKE 'pat' [ESCAPE 'c']
   (full SQL wildcards, matched byte-wise on device: '%' = any run
   anywhere incl. mid-pattern — greedy in-order segment matching;
@@ -2155,23 +2158,24 @@ def _resolve_exists(sub: _InSubquery, ast: _Ast, resolve_table, kw):
             return cb, ca
         return None
 
-    hits = [(i, _split_eq(c)) for i, c in enumerate(conjuncts)]
-    hits = [(i, h) for i, h in hits if h is not None]
-    rest = [c for i, c in enumerate(conjuncts)
-            if not any(i == j for j, _ in hits)]
-    if not hits or any(_tree_corr_refs(c) for c in rest):
-        raise SqlError(
-            "correlated EXISTS is supported when the correlation is "
-            "top-level equality conjuncts (inner.col = outer.col, one "
-            "or more); rewrite other shapes (inequality or OR-nested "
-            "correlation) as a JOIN"
-        )
     if inner.group_by or inner.having is not None or inner.limit \
             is not None or inner.offset:
         raise SqlError(
             "correlated EXISTS cannot combine with GROUP BY/HAVING/"
             "LIMIT in the subquery"
         )
+    hits = [(i, _split_eq(c)) for i, c in enumerate(conjuncts)]
+    hits = [(i, h) for i, h in hits if h is not None]
+    rest = [c for i, c in enumerate(conjuncts)
+            if not any(i == j for j, _ in hits)]
+    if not hits or any(_tree_corr_refs(c) for c in rest):
+        # inequality / OR-nested correlation: the general theta path —
+        # evaluate EXISTS once per DISTINCT outer key tuple (blocked
+        # vectorized pairwise predicate) and ride the in/in_rows leaf
+        # machinery with the precomputed tuple set (VERDICT r4 item 8)
+        return _exists_correlated_general(
+            ast, inner, conjuncts, resolve_table, kw,
+            _corr_col, _tree_corr_refs)
     inner.order_by = []
     inner.distinct = False  # IN dedupes
     inner.where = (None if not rest
@@ -2187,6 +2191,264 @@ def _resolve_exists(sub: _InSubquery, ast: _Ast, resolve_table, kw):
     outer_cols = tuple(h[0] for _i, h in hits)
     inner.items = [_Item("col", col=h[1]) for _i, h in hits]
     return (outer_cols, "in_rows", _InSubquery(inner))
+
+
+#: pairwise-evaluation guard: distinct outer key tuples x inner rows
+#: (the blocked broadcast is O(m*n) — beyond this, the honest answer
+#: is a JOIN, not an hour of broadcasting)
+_EXISTS_PAIR_LIMIT = 2**32
+_EXISTS_BLOCK_CELLS = 2**24
+
+
+def _exists_correlated_general(ast, inner, conjuncts, resolve_table,
+                               kw, _corr_col, _tree_corr_refs):
+    """Correlated EXISTS beyond pure top-level equality (VERDICT r4
+    item 8): inequality conjuncts (inner.b < outer.y) and OR-nested
+    correlation ((inner.a = outer.x OR inner.b > outer.y) AND ...).
+
+    The verdict depends only on the outer row's correlated column
+    VALUES, so EXISTS evaluates once per DISTINCT outer key tuple — a
+    blocked vectorized pairwise predicate (theta semi-join by
+    enumeration, size-guarded) — and the result rides the existing
+    in/in_rows leaf machinery as a precomputed value set.
+    Non-correlated conjuncts push into the inner WHERE first. NULL
+    semantics match the layer: a comparison against a parse-failure
+    row never holds; NOT is a pure complement (query.py's `not`)."""
+    from .query import TextFold, VExpr, _where_leaves
+
+    if getattr(ast, "join_table", None) is not None:
+        raise SqlError(
+            "correlated EXISTS with inequality/OR correlation is not "
+            "supported when the outer SELECT is a JOIN — rewrite the "
+            "EXISTS as a JOIN"
+        )
+    push = [c for c in conjuncts if not _tree_corr_refs(c)]
+    corr = [c for c in conjuncts if _tree_corr_refs(c)]
+    tree = corr[0] if len(corr) == 1 else ("and", corr)
+
+    outer_refs: List[str] = []
+    inner_refs: List[str] = []
+    _CMP = {"==", "!=", "<", "<=", ">", ">="}
+
+    def _side(x):
+        if isinstance(x, VExpr):
+            t = x.tree
+            if t[0] == "col":
+                x = t[1]
+            elif t[0] == "lit":
+                return ("lit", t[1])
+            else:
+                raise SqlError(
+                    "correlated EXISTS predicates compare plain "
+                    "columns (arithmetic inside the correlated "
+                    "predicate is not supported — rewrite as a JOIN)"
+                )
+        if isinstance(x, TextFold):
+            raise SqlError(
+                "UPPER()/LOWER() inside a correlated EXISTS "
+                "predicate is not supported — rewrite as a JOIN"
+            )
+        if isinstance(x, str):
+            if _corr_col(x):
+                if x not in outer_refs:
+                    outer_refs.append(x)
+                return ("outer", x)
+            if x not in inner_refs:
+                inner_refs.append(x)
+            return ("inner", x)
+        return ("lit", x)
+
+    def _validate(e):
+        if isinstance(e, tuple) and len(e) == 2 and e[0] in ("and",
+                                                             "or"):
+            return (e[0], [_validate(x) for x in e[1]])
+        if isinstance(e, tuple) and len(e) == 2 and e[0] == "not":
+            return ("not", _validate(e[1]))
+        if isinstance(e, tuple) and len(e) == 3 and e[1] in _CMP:
+            return ("leaf", _side(e[0]), e[1], _side(e[2]))
+        raise SqlError(
+            "correlated EXISTS predicates support column comparisons "
+            f"(= != < <= > >=) combined with AND/OR/NOT; got {e!r} — "
+            "rewrite as a JOIN"
+        )
+
+    vtree = _validate(tree)
+
+    def _pruned_kw(refs):
+        if not kw.get("schema"):
+            return kw
+        pruned = {k: v for k, v in kw["schema"].items() if k in refs}
+        return dict(kw, schema=(pruned or None))
+
+    # inner rows (non-correlated conjuncts pushed down)
+    inner2 = _Ast()
+    inner2.table = inner.table
+    inner2.table_alias = inner.table_alias
+    inner2.items = [_Item("col", col=c) for c in inner_refs] \
+        or [_Item("star")]
+    inner2.where = (None if not push
+                    else push[0] if len(push) == 1
+                    else ("and", push))
+    irefs = _referenced_cols(inner2)
+    ifr = _as_frame(_dispatch(inner2, resolve_table,
+                              _pruned_kw(irefs if irefs is not None
+                                         else set())))
+    ni = len(ifr)
+
+    # outer key columns as a PLAIN selection (a Frame keeps the
+    # parse-validity masks DISTINCT would drop — NULL-keyed outer
+    # rows can still satisfy EXISTS through another OR arm); the
+    # verdict is per key tuple, duplicates just re-evaluate
+    outer_cols = [c.split(".", 1)[1] for c in outer_refs]
+    outer2 = _Ast()
+    outer2.table = ast.table
+    outer2.table_alias = ast.table_alias
+    outer2.items = [_Item("col", col=c) for c in outer_cols]
+    ofr = _as_frame(_dispatch(outer2, resolve_table,
+                              _pruned_kw(set(outer_cols))))
+    m = len(ofr)
+
+    leaf_target = (outer_refs[0] if len(outer_refs) == 1
+                   else tuple(outer_refs))
+    empty = ((leaf_target, "in", [])
+             if len(outer_refs) == 1
+             else (leaf_target, "in_rows", []))
+    if ni == 0 or m == 0:
+        return empty
+    if m * ni > _EXISTS_PAIR_LIMIT:
+        raise SqlError(
+            "correlated EXISTS with inequality/OR correlation "
+            f"evaluates {m} distinct outer keys x {ni} inner rows "
+            f"pairwise (> {_EXISTS_PAIR_LIMIT}); rewrite as a JOIN"
+        )
+
+    def _arr(src, fr, name):
+        vals = np.asarray(fr._columns[name])
+        ok = fr._ok.get(name)
+        ok = (np.ones(len(fr), bool) if ok is None
+              else np.asarray(ok, bool))
+        return vals, ok
+
+    ocols = {c: _arr("o", ofr, n)
+             for c, n in zip(outer_refs, ofr.names)}
+    icols = {c: _arr("i", ifr, n)
+             for c, n in zip(inner_refs, ifr.names)}
+
+    def _block_eval(e, sl):
+        """(b, ni) bool for outer rows `sl` (broadcast shapes)."""
+        if e[0] in ("and", "or"):
+            masks = [_block_eval(x, sl) for x in e[1]]
+            out = masks[0]
+            for x in masks[1:]:
+                out = (out & x) if e[0] == "and" else (out | x)
+            return out
+        if e[0] == "not":
+            return ~_block_eval(e[1], sl)
+        _tag, lhs, op, rhs = e
+
+        def _vals_ok(side):
+            kind, v = side
+            if kind == "lit":
+                return v, None
+            if kind == "outer":
+                vv, ok = ocols[v]
+                return vv[sl][:, None], ok[sl][:, None]
+            vv, ok = icols[v]
+            return vv[None, :], ok[None, :]
+
+        a, aok = _vals_ok(lhs)
+        b, bok = _vals_ok(rhs)
+        try:
+            with np.errstate(invalid="ignore"):
+                if op == "==":
+                    r = a == b
+                elif op == "!=":
+                    r = a != b
+                elif op == "<":
+                    r = a < b
+                elif op == "<=":
+                    r = a <= b
+                elif op == ">":
+                    r = a > b
+                else:
+                    r = a >= b
+        except TypeError:
+            raise SqlError(
+                "correlated EXISTS comparison between incomparable "
+                f"column types ({op}); give both columns a schema "
+                "type"
+            ) from None
+        r = np.asarray(r, bool)
+        if aok is not None:
+            r = r & aok
+        if bok is not None:
+            r = r & bok
+        return r
+
+    block = max(1, _EXISTS_BLOCK_CELLS // max(ni, 1))
+    hit = np.zeros(m, bool)
+    for s in range(0, m, block):
+        sl = slice(s, min(s + block, m))
+        hit[sl] = _block_eval(vtree, sl).any(axis=1)
+
+    from .query import _norm_row_key
+
+    rows = np.flatnonzero(hit)
+    cols = [np.asarray(ofr._columns[nm]) for nm in ofr.names]
+    oks = []
+    for nm in ofr.names:
+        ok = ofr._ok.get(nm)
+        oks.append(np.ones(m, bool) if ok is None
+                   else np.asarray(ok, bool))
+    # the in/in_rows machinery is equality-based: a NULL key never
+    # matches. Under inequality/OR correlation a NULL-keyed outer row
+    # CAN satisfy EXISTS through another arm — those tuples become
+    # explicit (col = v AND col2 IS NULL ...) disjuncts instead.
+    plain_rows = [int(i) for i in rows if all(o[i] for o in oks)]
+    null_rows = [int(i) for i in rows if not all(o[i] for o in oks)]
+    if len(outer_refs) == 1:
+        vals = []
+        seen = set()
+        for i in plain_rows:
+            v = _norm_row_key(cols[0][i])
+            if v not in seen:
+                seen.add(v)
+                vals.append(v)
+        base = (leaf_target, "in", vals)
+        if null_rows:
+            # single key, some NULL tuple hit: every NULL-keyed outer
+            # row matches (they are all the same equality class)
+            return ("or", [base, (leaf_target, "isnull", None)])
+        return base
+    tuples, seen = [], set()
+    for i in plain_rows:
+        t = tuple(_norm_row_key(c[i]) for c in cols)
+        if t not in seen:
+            seen.add(t)
+            tuples.append(t)
+    base = (leaf_target, "in_rows", tuples)
+    if not null_rows:
+        return base
+    # distinct NULL-pattern tuples (NULL marked by a sentinel)
+    npat, seen = [], set()
+    for i in null_rows:
+        t = tuple(_norm_row_key(c[i]) if o[i] else None
+                  for c, o in zip(cols, oks))
+        if t not in seen:
+            seen.add(t)
+            npat.append(t)
+    if len(npat) > 256:
+        raise SqlError(
+            "correlated EXISTS produced too many NULL-keyed outer "
+            f"tuples ({len(npat)}) to expand; rewrite as a JOIN"
+        )
+    disj = [base]
+    for t in npat:
+        conj = [(ref, "==", v) if v is not None
+                else (ref, "isnull", None)
+                for ref, v in zip(outer_refs, t)]
+        disj.append(conj[0] if len(conj) == 1 else ("and", conj))
+    return ("or", disj)
 
 
 def _exists_uncorrelated(inner, resolve_table, kw) -> bool:

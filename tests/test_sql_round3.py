@@ -121,12 +121,20 @@ def test_exists_inner_alias_shadows_outer():
     assert len(fr) == len(TROWS)
 
 
+def test_exists_or_nested_now_supported():
+    """Round 5: OR-nested correlation runs via the theta semi-join
+    (tests/test_sql_exists_theta.py holds the differentials; this
+    pins that the shape EXECUTES here too)."""
+    fr = sql("SELECT k FROM t WHERE EXISTS (SELECT k FROM u WHERE "
+             "u.k = t.k OR u.y > 5)", tables=TBL,
+             schema={"k": "int32", "x": "int32"})
+    want = [r[0] for r in TROWS
+            if r[0] in UKEYS or any(u[1].isdigit() and int(u[1]) > 5
+                                    for u in UROWS)]
+    assert [str(v) for v in fr["k"]] == want
+
+
 @pytest.mark.parametrize("q", [
-    # correlation nested under OR
-    "SELECT k FROM t WHERE EXISTS (SELECT * FROM u WHERE u.k = t.k "
-    "OR y > 5)",
-    # inequality correlation
-    "SELECT k FROM t WHERE EXISTS (SELECT * FROM u WHERE u.y > t.x)",
     # correlated + GROUP BY
     "SELECT k FROM t WHERE EXISTS (SELECT k FROM u WHERE u.k = t.k "
     "GROUP BY k)",

@@ -99,10 +99,23 @@ def test_exists_multikey_combined_with_outer_where():
     assert fr["v"].tolist() == want
 
 
-def test_inequality_correlation_still_raises():
-    with pytest.raises(SqlError, match="equality conjunct"):
-        sql("SELECT v FROM t WHERE EXISTS (SELECT a FROM u WHERE "
-            "u.a = t.a AND u.w > t.v)", tables=TBL, schema=S)
+def test_inequality_correlation_now_executes():
+    """Round 5: equality + inequality correlation runs via the theta
+    semi-join (brute-force oracle; deeper differentials live in
+    tests/test_sql_exists_theta.py)."""
+    fr = sql("SELECT v FROM t WHERE EXISTS (SELECT a FROM u WHERE "
+             "u.a = t.a AND u.w > t.v)", tables=TBL, schema=S)
+    want = []
+    urows = [r for r in pycsv.reader(io.StringIO(U_CSV.decode()))][1:]
+    for r in TROWS:
+        if not _t_ok(r):
+            continue
+        if any(u[0].lstrip("-").isdigit()
+               and int(u[0]) == int(r[0])
+               and u[2].lstrip("-").isdigit()
+               and int(u[2]) > int(r[2]) for u in urows):
+            want.append(int(r[2]))
+    assert [int(v) for v in fr["v"]] == want
 
 
 def test_multikey_over_derived_frame():
