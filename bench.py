@@ -172,8 +172,22 @@ def _correctness_gate():
     if not (m4 == ref).all():
         print("FATAL: compiled v4 kernel output != golden", file=sys.stderr)
         _fail_json("correctness gate: compiled v4 kernel != golden")
-    print("# on-chip correctness gate: v3+v4 bit-identical to golden",
-          file=sys.stderr)
+    # the PRODUCTION build config (round 5): wide-native dual-rail
+    # kernel, (rows/8, 1024) input view, (rows/8, 128) output
+    w2d_wide = jnp.asarray(pad_to_words(data).reshape(-1, 1024))
+    p4w, _, _naw = stage1_fused_v4(
+        w2d_wide, 0, row_tile=512, count_nonascii=False,
+        out_mode="wide_native")
+    m4w = np.unpackbits(
+        np.ascontiguousarray(np.asarray(p4w)).view("<u4").view(np.uint8),
+        bitorder="little",
+    )[: data.size]
+    if not (m4w == ref).all():
+        print("FATAL: compiled v4-wide kernel output != golden",
+              file=sys.stderr)
+        _fail_json("correctness gate: compiled v4-wide kernel != golden")
+    print("# on-chip correctness gate: v3+v4+v4wide bit-identical to "
+          "golden", file=sys.stderr)
 
 
 def _enable_compile_cache():
@@ -227,13 +241,18 @@ def main():
     from csv_simd_tpu.offsetfree import prefix_for_packed
     from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
 
+    w2d_wide = jnp.asarray(np.asarray(w2d).reshape(-1, 1024))
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def build_chain(a, k):
         def body(i, acc):
-            # the production PackedDeviceTape config: tile 512, no fused
-            # non-ASCII reduce (validate_utf8 defaults to off)
+            # the production PackedDeviceTape config (round 5): the
+            # wide-native dual-rail kernel + the prefix kernel
+            # consuming its (rows/8, 128) output directly — no
+            # narrow<->wide reshape anywhere in the chain
             packed, parity, _na = stage1_fused_v4(
-                a, acc & 1, row_tile=512, count_nonascii=False
+                a, acc & 1, row_tile=512, count_nonascii=False,
+                out_mode="wide_native",
             )
             cum = prefix_for_packed(packed)
             return acc + parity + cum[-1] + packed[0, 0]
@@ -253,7 +272,7 @@ def main():
 
     pers = _marginal_multi({
         "s1": (stage1_chain, w2d, 32, 96),
-        "build": (build_chain, w2d, 16, 48),
+        "build": (build_chain, w2d_wide, 16, 48),
         "sol": (sol_chain, w2d, 128, 384),
     })
     per_s1, per_build, per_sol = pers["s1"], pers["build"], pers["sol"]
@@ -273,10 +292,12 @@ def main():
     probe = jnp.zeros((512, 128), jnp.int32)
     ceil_v3 = blended_ceiling_gbps(kernel_op_counts(
         lambda a: stage1_fused(a, 0, row_tile=512), probe, tile=512))
+    probe_wide = jnp.zeros((64, 1024), jnp.int32)
     ceil_v4 = blended_ceiling_gbps(kernel_op_counts(
         lambda a: stage1_fused_v4(a, 0, row_tile=512,
-                                  count_nonascii=False),
-        probe, tile=512))
+                                  count_nonascii=False,
+                                  out_mode="wide_native"),
+        probe_wide, tile=512))
 
     print(
         f"# stage1 {stage1_gbps:.1f} GB/s; full index build {build_gbps:.1f} "

@@ -218,11 +218,20 @@ def _kth_positions(words2d, row_cum_incl, ks):
     Two-level: searchsorted on the ROW-granularity popcount prefix (the
     only thing the build materialises — 1/16 the prefix work of a
     per-word prefix), then the 16 words of the hit row are gathered and
-    scanned per query (dense (Q,16) ops)."""
+    scanned per query (dense (Q,16) ops). `words2d` may be the narrow
+    (rows,16) layout or the wide (rows/8,128) build artifact (same
+    word order; row r's words live at wide[r>>3, 16*(r&7)..] — indexed
+    directly, no reshape: an in-graph narrow<->wide reshape
+    materializes a relayout copy at the 1 GiB scale)."""
     row = jnp.searchsorted(row_cum_incl, ks, side="right").astype(jnp.int32)
     excl_row = jnp.where(row > 0, row_cum_incl[jnp.maximum(row - 1, 0)], 0)
     j = (ks - excl_row).astype(jnp.int32)  # rank within the row
-    wrow = words2d[row]  # (Q, 16)
+    if words2d.shape[1] == 128:
+        wr = words2d[row >> 3]  # (Q, 128)
+        idx = ((row & 7) * 16)[:, None] + jnp.arange(16, dtype=jnp.int32)
+        wrow = jnp.take_along_axis(wr, idx, axis=1)  # (Q, 16)
+    else:
+        wrow = words2d[row]  # (Q, 16)
     pc = jax.lax.population_count(wrow)
     cum = jnp.cumsum(pc, axis=1)  # (Q, 16), tiny
     g = jnp.sum((cum <= j[:, None]).astype(jnp.int32), axis=1)
@@ -306,20 +315,28 @@ class PackedDeviceTape(TypedColumnsMixin):
                               quote_aware=dialect.header_quotes,
                               quote=dialect.quote)
         self.header = header
-        w2d = jnp.asarray(pad_to_words(arr))
+        host_words = pad_to_words(arr)
         use_pallas = jax.devices()[0].platform in ("tpu", "axon")
         if use_pallas:
             from .ops.stage1_v4 import stage1_fused_v4
 
+            # WIDE pipeline end to end (round 5): the build kernel
+            # stores dense (rows/8, 128) blocks, the prefix kernel and
+            # rank-select lookups consume that layout natively, and no
+            # narrow<->wide reshape ever materializes on device —
+            # 1 GiB build 229 vs 154 GB/s narrow (widestore_probe)
+            w2d = jnp.asarray(host_words.reshape(-1, 8 * 128))
             packed, _par, na = stage1_fused_v4(
-                w2d, 0, dialect, count_nonascii=validate_utf8
+                w2d, 0, dialect, count_nonascii=validate_utf8,
+                out_mode="wide_native",
             )
             self.nonascii_count = na if validate_utf8 else None
         else:
+            w2d = jnp.asarray(host_words)
             packed, _par = stage1_seq_xla(w2d, 0, dialect)
             self.nonascii_count = None
         self.cum_incl = _prefix_jit(packed)
-        self.words = packed  # (rows, 16)
+        self.words = packed  # (rows/8, 128) wide, or (rows, 16) CPU
         self.data = jnp.asarray(arr)
         if validate_utf8:
             # fused fast path: the scan already counted high-bit bytes
@@ -369,7 +386,9 @@ class PackedDeviceTape(TypedColumnsMixin):
         np.savez_compressed(
             path,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-            packed=np.asarray(self.words, dtype=np.int32),
+            # the artifact format stays the narrow (rows, 16) layout
+            # (same bytes; the host reshape is free)
+            packed=np.asarray(self.words, dtype=np.int32).reshape(-1, 16),
         )
 
     @classmethod
@@ -415,7 +434,11 @@ class PackedDeviceTape(TypedColumnsMixin):
             field_cnt=meta["field_cnt"], delimiter=meta["delimiter"],
             record_offset=meta["record_offset"],
         )
-        packed = jnp.asarray(z["packed"])
+        packed_np = np.asarray(z["packed"])
+        if (jax.devices()[0].platform in ("tpu", "axon")
+                and packed_np.shape[0] % 8 == 0):
+            packed_np = packed_np.reshape(-1, 128)  # serve wide
+        packed = jnp.asarray(packed_np)
         self.words = packed
         self.cum_incl = _prefix_jit(packed)
         self.data = jnp.asarray(arr)

@@ -158,3 +158,50 @@ def test_v4_emit_prefix_matches_separate_pass():
         emit_prefix=True)
     want = _prefix_for_packed_xla(p)
     assert bool(jnp.array_equal(prefix, want))
+
+
+def test_kth_positions_wide_layout_identical():
+    """The wide (rows/8, 128) build artifact (round-5 production
+    layout; same word order under row-major flatten) must serve
+    bit-identically through _kth_positions' direct wide indexing —
+    CPU builds stay narrow, so this pins the on-chip serving path."""
+    from csv_simd_tpu.offsetfree import prefix_for_packed
+
+    data = synthetic_wide_table(50_000)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    w2d = jnp.asarray(pad_to_words(arr, row_align=8))
+    packed, _ = stage1_seq_xla(w2d, 0)
+    wide = jnp.asarray(np.asarray(packed).reshape(-1, 128))
+    cum_n = prefix_for_packed(packed)
+    cum_w = prefix_for_packed(wide)
+    np.testing.assert_array_equal(np.asarray(cum_n), np.asarray(cum_w))
+    offs = golden.structural_index(data)[1:]
+    ks = jnp.asarray(
+        np.r_[0, 1, 17, len(offs) - 1, np.arange(0, len(offs), 53)],
+        jnp.int32)
+    got_n = np.asarray(_kth_positions(packed, cum_n, ks))
+    got_w = np.asarray(_kth_positions(wide, cum_w, ks))
+    np.testing.assert_array_equal(got_n, got_w)
+    np.testing.assert_array_equal(got_w, offs[np.asarray(ks)])
+
+
+def test_packed_tape_wide_words_serve_identically():
+    """A PackedDeviceTape whose .words carry the wide layout serves
+    byte-identically to the narrow one (gather_fields end to end)."""
+    from csv_simd_tpu.offsetfree import _prefix_jit
+
+    data = synthetic_wide_table(20_000)
+    pt = PackedDeviceTape(data)
+    import copy
+
+    wide = copy.copy(pt)
+    wide.words = jnp.asarray(np.asarray(pt.words).reshape(-1, 128))
+    wide.cum_incl = _prefix_jit(wide.words)
+    n = int(pt.num_data_records)
+    rng = np.random.default_rng(3)
+    recs = rng.integers(0, n, 64)
+    flds = rng.integers(0, int(pt.field_cnt), recs.size)
+    a = pt.gather_fields(recs, flds, max_len=96)
+    b = wide.gather_fields(recs, flds, max_len=96)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -89,19 +89,26 @@ def run(mb):
     n = mb * 1024 * 1024
     data = bench._gen_csv(n)
     arr8 = np.frombuffer(data, dtype=np.uint8)
-    w2d = jnp.asarray(pad_to_words(arr8))
-    n_padded = w2d.shape[0] * 512
+    host = pad_to_words(arr8)
+    w2d = jnp.asarray(host)
+    # pre-shaped wide input: host-side reshape is free; feeding it
+    # directly avoids the in-jit (rows,128)->(rows/8,1024) reshape
+    # (XLA materializes that copy at the 1 GiB scale)
+    w2d_w = jnp.asarray(np.asarray(host).reshape(-1, 1024))
+    n_padded = host.shape[0] * 512
     ks = (2, 6) if mb >= 512 else (16, 48)
     specs = {}
-    for mode in ("narrow", "wide"):
-        sc, bc = make_chains(mode)
-        specs[f"scan_{mode}"] = (sc, w2d, *ks)
-        specs[f"build_{mode}"] = (bc, w2d, *ks)
+    for mode, kmode, arr in (("narrow", "narrow", w2d),
+                             ("wide", "wide", w2d),
+                             ("widen", "wide_native", w2d_w)):
+        sc, bc = make_chains(kmode)
+        specs[f"scan_{mode}"] = (sc, arr, *ks)
+        specs[f"build_{mode}"] = (bc, arr, *ks)
     pers = bench._marginal_multi(specs, trials=6, reps=2)
     for name, per in pers.items():
         print(f"{mb:5d}MiB {name:13s}: {per*1e6:9.1f} us/pass "
               f"-> {n_padded/per/1e9:6.1f} GB/s", flush=True)
-    del w2d
+    del w2d, w2d_w
 
 
 if __name__ == "__main__":
