@@ -65,12 +65,31 @@ def _exclusive_scan_axis(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jnp.sum(allv * mask, dtype=allv.dtype)
 
 
+def _scan_total_psum(x: jnp.ndarray, axis_name: str, n: int):
+    """ONE psum serving both the exclusive prefix AND the total of a
+    per-shard scalar — the round-5 collective fusion. Shard j
+    contributes x to every lane i > j of an (n+1,) vector; lane n
+    satisfies i > j for every shard, so psum lane i = exclusive
+    prefix at i and lane n = the total. The production build needed 4
+    collectives (2 gathers + 2 psums); 2 psums suffice
+    (tools/shard_overhead.py: the extra collectives dominated the
+    8-wide virtual-mesh overhead after the kernel itself). psum also
+    keeps the output statically replicated, which the vma checker can
+    verify (a masked sum over an all_gather cannot be)."""
+    idx = jax.lax.axis_index(axis_name)
+    contrib = jnp.where(jnp.arange(n + 1) > idx, x, 0)
+    out = jax.lax.psum(contrib, axis_name)
+    return out[idx], out[n]
+
+
 def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int,
               interpret: bool = False, layout: str = "fold",
-              count_nonascii: bool = False):
-    # phase A: local parity + exclusive XOR-scan across shards
+              count_nonascii: bool = False, n_shards: int = 1):
+    # phase A: local parity + exclusive XOR-scan across shards (the
+    # one psum also yields the global parity)
     local_par = _local_parity(w, dialect)
-    carry = (_exclusive_scan_axis(local_par, AXIS) + carry0[0]) & 1
+    par_excl, par_total = _scan_total_psum(local_par, AXIS, n_shards)
+    carry = (par_excl + carry0[0]) & 1
     # phase B: full stage-1 with the carried parity
     tile = min(row_tile, w.shape[0])
     # -1 = not counted (derived from local_par so the value is
@@ -99,10 +118,10 @@ def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int,
     else:
         packed, _ = stage1_swar_xla(w, carry, dialect, row_tile=tile)
     count = count_packed(packed)
-    # global rebasing state
-    count_excl = _exclusive_scan_axis(count, AXIS)
-    total = jax.lax.psum(count, AXIS)
-    parity_out = (jax.lax.psum(local_par, AXIS) + carry0[0]) & 1
+    # global rebasing state: ONE psum covers both the exclusive
+    # offsets and the total (collective fusion, round 5)
+    count_excl, total = _scan_total_psum(count, AXIS, n_shards)
+    parity_out = (par_total + carry0[0]) & 1
     return (packed, count[None], count_excl[None], total[None],
             parity_out[None], jnp.asarray(na).reshape(1))
 
@@ -138,6 +157,7 @@ def sharded_stage1(
             _shard_fn, dialect=dialect, use_pallas=use_pallas,
             row_tile=row_tile, interpret=interpret, layout=layout,
             count_nonascii=count_nonascii,
+            n_shards=int(mesh.devices.size),
         ),
         mesh=mesh,
         in_specs=(P(AXIS, None), P()),
