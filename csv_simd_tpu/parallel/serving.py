@@ -123,11 +123,19 @@ def _sharded_serve_fn(data_loc, words_loc, cum, records, fields, jump,
     excl_row = jnp.where(row > 0, cum[jnp.maximum(row - 1, 0)], 0)
     j = (ks - excl_row).astype(jnp.int32)
 
-    # the 16 words of each hit row come from the owning shard
+    # the 16 words of each hit row come from the owning shard (wide
+    # layout: narrow row r's words sit at wide[r>>3, 16*(r&7)..] —
+    # indexed directly, matching offsetfree._kth_positions)
     owner = row // shard_rows
     lrow = row - owner * shard_rows
     mine = owner == my
-    wrow_local = words_loc[jnp.where(mine, lrow, 0)]  # (2N, 16)
+    lr = jnp.where(mine, lrow, 0)
+    if words_loc.shape[1] == 128:
+        wr = words_loc[lr >> 3]  # (2N, 128)
+        idx = ((lr & 7) * 16)[:, None] + jnp.arange(16, dtype=jnp.int32)
+        wrow_local = jnp.take_along_axis(wr, idx, axis=1)  # (2N, 16)
+    else:
+        wrow_local = words_loc[lr]  # (2N, 16)
     wrow = jax.lax.psum(
         jnp.where(mine[:, None], wrow_local, 0), AXIS
     )
@@ -235,17 +243,24 @@ class ShardedPackedTape(TypedColumnsMixin):
         # device_put of HOST arrays with a sharding transfers shard-wise
         # (staging via jnp.asarray would materialize the full input on
         # one device first — the very limit this class exists to pass)
-        w_dev = _jax.device_put(w2d, NamedSharding(mesh, P(AXIS, None)))
+        # the Pallas build runs the round-5 WIDE pipeline per shard:
+        # (shard_rows/8, 1024) input view (host reshape, same bytes),
+        # dense (shard_rows/8, 128) packed output consumed natively by
+        # the prefix and the serve (no narrow<->wide reshape on device)
+        wide = bool(use_pallas)
+        w_host = w2d.reshape(rows // 8, 8 * 128) if wide else w2d
+        w_dev = _jax.device_put(w_host,
+                                NamedSharding(mesh, P(AXIS, None)))
         out = sharded_stage1(
             w_dev, 0, mesh, dialect, use_pallas=use_pallas,
-            interpret=interpret, layout="seq",
+            interpret=interpret, layout="seq_wide" if wide else "seq",
             count_nonascii=validate_utf8,
         )
         if validate_utf8:
             packed, counts, _ce, _total, _par, na = out
         else:
             (packed, counts, _ce, _total, _par), na = out, None
-        self.words = packed  # (rows, 16) sharded P(AXIS, None)
+        self.words = packed  # sharded P(AXIS, None); wide or narrow
         # replicated row prefix: 1 int32 per 512 input bytes
         self.cum_incl = _jax.device_put(
             _prefix_jit(packed), NamedSharding(mesh, P())
@@ -323,6 +338,9 @@ class ShardedPackedTape(TypedColumnsMixin):
         np.savez_compressed(
             path,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-            packed=np.asarray(self.words, dtype=np.int32),
+            # one artifact format: the narrow (rows, 16) layout (the
+            # wide build's host copy reshapes for free)
+            packed=np.asarray(self.words,
+                              dtype=np.int32).reshape(-1, 16),
         )
 

@@ -91,19 +91,31 @@ def _shard_fn(w, carry0, dialect: Dialect, use_pallas: bool, row_tile: int,
     par_excl, par_total = _scan_total_psum(local_par, AXIS, n_shards)
     carry = (par_excl + carry0[0]) & 1
     # phase B: full stage-1 with the carried parity
-    tile = min(row_tile, w.shape[0])
+    # tile is in NARROW (512-byte) rows; a seq_wide shard's dim 0 is
+    # wide rows (8 narrow rows each)
+    tile = min(row_tile,
+               w.shape[0] * (8 if layout == "seq_wide" else 1))
     # -1 = not counted (derived from local_par so the value is
     # device-varying, matching its P(AXIS) out_spec under the checker)
     na = local_par * 0 - 1
-    if layout == "seq":
+    if layout in ("seq", "seq_wide"):
         if use_pallas:
             # the fused high-bit reduce costs ~3% — only pay when the
-            # caller wants it (validate_utf8)
+            # caller wants it (validate_utf8). 'seq_wide' runs the
+            # round-5 wide-native kernel: w arrives (shard_rows/8,
+            # 1024), packed leaves (shard_rows/8, 128) — the layout
+            # that erased the 1 GiB narrow-DMA penalty, per shard.
             packed, _par, na = stage1_fused_v4(
                 w, carry, dialect, row_tile=tile, interpret=interpret,
                 vma=(AXIS,), count_nonascii=count_nonascii,
+                out_mode=("wide_native" if layout == "seq_wide"
+                          else "narrow"),
             )
         else:
+            if layout == "seq_wide":
+                raise ValueError(
+                    "layout='seq_wide' needs the Pallas kernel "
+                    "(use_pallas=True); the XLA twin emits narrow")
             packed, _ = stage1_seq_xla(w, carry, dialect)
             if count_nonascii:
                 na = jnp.sum(

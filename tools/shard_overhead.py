@@ -36,7 +36,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from csv_simd_tpu import golden
 from csv_simd_tpu.config import DEFAULT_DIALECT
