@@ -36,6 +36,16 @@ def main():
     fr = Frame(["grp", "qty"], {"grp": grp, "qty": qty},
                {"grp": None, "qty": None},
                {"grp": Col("int32"), "qty": Col("int32")}, n)
+    # device-resident parses, exactly as read_typed leaves them
+    # (Frame._dev): round-5 device-side key factorization then moves
+    # O(1) scalars instead of round-tripping each key column through
+    # the host — on the tunnel rig that's the difference between a
+    # transfer-dominated and a compute-dominated chip run
+    import jax.numpy as jnp
+
+    ones = jnp.ones(n, bool)
+    fr._dev = {"grp": (jnp.asarray(grp), ones),
+               "qty": (jnp.asarray(qty), ones)}
 
     it = _Item("window", col="qty", fn="sum")
     it.part, it.worder = ["grp"], [("qty", False)]
