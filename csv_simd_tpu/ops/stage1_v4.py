@@ -131,10 +131,10 @@ def _seq_pack_weights_i8_wide() -> np.ndarray:
 
 
 def _stage1_v4_kernel_wide(
-    carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, ones8_ref,
-    packed_ref, parity_ref, nonascii_ref, carry_sm,
+    carry_in_ref, w_ref, triu_ref, tril_ref, wlo_ref, bd_ref,
+    packed_ref, parity_ref, nonascii_ref, *rest,
     dialect: Dialect, tile8: int, count_nonascii: bool, base_mode: str,
-    compress_mode: str,
+    compress_mode: str, emit_prefix: bool,
 ):
     """The wide-output geometry: the input is the SAME byte stream
     viewed as (rows/8, 1024) — block k (lanes 128k..128k+127) of wide
@@ -153,12 +153,15 @@ def _stage1_v4_kernel_wide(
     in-word prefix XOR -> lane-prefix matmul per block -> running
     block carry within the wide row -> row-prefix matmul -> SMEM grid
     carry. Reference lineage: avx/stage1.rs:193-430."""
+    prefix_ref = rest[0] if emit_prefix else None
+    carry_sm = rest[-1]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         carry_sm[0] = carry_in_ref[0]
         carry_sm[1] = 0
+        carry_sm[2] = 0
 
     chars = dialect.newlines + (dialect.delimiter,)
     swar_ok = dialect.quote < 0x80 and all(c < 0x80 for c in chars)
@@ -243,7 +246,38 @@ def _stage1_v4_kernel_wide(
             td = td << (8 * p)
         p0 = t0 if p0 is None else (p0 | t0)
         acc_d = td if acc_d is None else (acc_d | td)
-    packed_ref[:] = p0 ^ ((p0 ^ acc_d) & rowodd)
+    acc = p0 ^ ((p0 ^ acc_d) & rowodd)
+    packed_ref[:] = acc
+
+    if emit_prefix:
+        # fused row popcount prefix: the standalone prefix kernel's
+        # exact construction (offsetfree._prefix_kernel) on the pack
+        # output while it is still in registers — one popcount, the
+        # block-triangular (128,8) bd matmul for the inclusive
+        # per-narrow-row lane prefix, and the lo7/hi-split tril
+        # matmuls for the wide-row prefix, running total in SMEM.
+        # (Round 4 measured-REFUTED this fusion for the NARROW kernel
+        # — schedule pressure cost more than the saved pass; the wide
+        # kernel's profile differs, so it is re-measured, gated by
+        # the same golden bit-identity.)
+        pc8 = jax.lax.population_count(acc).astype(jnp.int8)
+        lane_incl = jax.lax.dot_general(      # (tile8, 8) int32
+            pc8, bd_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        rowsum = lane_incl[:, 7:]             # (tile8, 1), <= 4096
+        rlo = (rowsum & 0x7F).astype(jnp.int8)
+        rhi = (rowsum >> 7).astype(jnp.int8)  # <= 32
+        excl = (
+            jax.lax.dot_general(
+                tril_ref[:], rlo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            + (jax.lax.dot_general(
+                tril_ref[:], rhi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32) << 7)
+        )
+        prefix_ref[:] = lane_incl + excl + carry_sm[2]
+        carry_sm[2] = (carry_sm[2] + excl[tile8 - 1, 0]
+                       + rowsum[tile8 - 1, 0])
 
     tile_par = (row_excl[tile8 - 1, 0] + rowpar[tile8 - 1, 0]) & 1
     new_carry = (carry_sm[0] + tile_par) & 1
@@ -598,7 +632,7 @@ def stage1_fused_v4(
         # (tile/8, 128) out rows, mm4i8-style int8 pack only
         assert tile % 8 == 0, tile
         assert pack_mode == "mm4i8", (out_mode, pack_mode)
-        assert scan_mm == "i8" and not emit_counts and not emit_prefix
+        assert scan_mm == "i8" and not emit_counts
     else:
         assert out_mode == "narrow", out_mode
     ones8 = jnp.ones((LANES, 8), jnp.int8)
@@ -627,17 +661,24 @@ def stage1_fused_v4(
         wlo_w = jnp.asarray(_seq_pack_weights_i8_wide())
         triu_w = jnp.asarray(np.triu(np.ones((LANES, LANES), np.int8), 1))
         tril_w = jnp.asarray(np.tril(np.ones((tile8, tile8), np.int8), -1))
+        # bd[l, g] = 1 iff lane l's word belongs to narrow row <= g of
+        # its wide row (the standalone prefix kernel's weights)
+        bd_np = np.zeros((LANES, 8), np.int8)
+        for lane in range(LANES):
+            bd_np[lane, lane // 16 :] = 1
+        bd = jnp.asarray(bd_np)
         if vma:
-            triu_w, tril_w, wlo_w = (
-                _align(triu_w), _align(tril_w), _align(wlo_w))
+            triu_w, tril_w, wlo_w, bd = (
+                _align(triu_w), _align(tril_w), _align(wlo_w),
+                _align(bd))
         w_wide = (w2d if w2d.shape[1] == 8 * LANES
                   else w2d.reshape(rows // 8, 8 * LANES))
         kernel_w = functools.partial(
             _stage1_v4_kernel_wide, dialect=dialect, tile8=tile8,
             count_nonascii=count_nonascii, base_mode=base_mode,
-            compress_mode=compress_mode,
+            compress_mode=compress_mode, emit_prefix=emit_prefix,
         )
-        packed, parity, nonascii = pl.pallas_call(
+        outs_w = pl.pallas_call(
             kernel_w,
             grid=(grid,),
             in_specs=[
@@ -660,7 +701,9 @@ def stage1_fused_v4(
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-            ],
+            ] + ([pl.BlockSpec((tile8, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 if emit_prefix else []),
             out_shape=[
                 jax.ShapeDtypeStruct((rows // 8, LANES), jnp.int32,
                                      vma=frozenset(vma)),
@@ -668,10 +711,13 @@ def stage1_fused_v4(
                                      vma=frozenset(vma)),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32,
                                      vma=frozenset(vma)),
-            ],
-            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+            ] + ([jax.ShapeDtypeStruct((rows // 8, 8), jnp.int32,
+                                       vma=frozenset(vma))]
+                 if emit_prefix else []),
+            scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
             interpret=interpret,
-        )(carry_arr, w_wide, triu_w, tril_w, wlo_w, ones8)
+        )(carry_arr, w_wide, triu_w, tril_w, wlo_w, bd)
+        packed, parity, nonascii = outs_w[0], outs_w[1], outs_w[2]
         # same bytes, word order preserved under row-major flatten.
         # 'wide_native' hands back the (rows/8, 128) array as-is —
         # the production consumers (the prefix kernel, host
@@ -679,7 +725,13 @@ def stage1_fused_v4(
         # costs a materialized relayout copy inside jitted chains at
         # the 1 GiB scale; 'wide' keeps the (rows,16) contract view.
         if out_mode == "wide_native":
-            return packed, parity[0, 0], nonascii[0, 0]
+            res_w = [packed, parity[0, 0], nonascii[0, 0]]
+            if emit_prefix:
+                res_w.append(outs_w[3].reshape(rows))
+            return tuple(res_w)
+        if emit_prefix:
+            return (packed.reshape(rows, WORDS), parity[0, 0],
+                    nonascii[0, 0], outs_w[3].reshape(rows))
         return (packed.reshape(rows, WORDS), parity[0, 0],
                 nonascii[0, 0])
 

@@ -205,3 +205,29 @@ def test_packed_tape_wide_words_serve_identically():
     b = wide.gather_fields(recs, flds, max_len=96)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_v4_wide_emit_prefix_matches_separate_pass():
+    """The wide kernel's fused prefix (round-5 re-measure of the
+    fusion) == the separate pass, bit-for-bit, carries included."""
+    import jax.numpy as jnp
+
+    from csv_simd_tpu.offsetfree import _prefix_for_packed_xla
+    from csv_simd_tpu.ops.stage1_v2 import pad_to_words
+    from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
+
+    rng = np.random.default_rng(4)
+    data = rng.choice(np.frombuffer(b'a",\n\rx,z7', np.uint8),
+                      size=2 * 512 * 512 + 1)  # multi-tile grid
+    w2d = pad_to_words(data)
+    for carry in (0, 1):
+        p, _par, _na, prefix = stage1_fused_v4(
+            jnp.asarray(w2d.reshape(-1, 1024)), carry, row_tile=512,
+            interpret=True, count_nonascii=False,
+            out_mode="wide_native", emit_prefix=True)
+        narrow, _p2, _na2 = stage1_fused_v4(
+            jnp.asarray(w2d), carry, row_tile=512, interpret=True,
+            count_nonascii=False)
+        assert bool(jnp.array_equal(p.reshape(-1, 16), narrow))
+        want = _prefix_for_packed_xla(narrow)
+        assert bool(jnp.array_equal(prefix, want)), carry

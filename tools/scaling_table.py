@@ -135,8 +135,10 @@ def section_chip():
     from csv_simd_tpu.ops.stage1_v4 import stage1_fused_v4
 
     arr = _buffer(MB * 1024 * 1024)
-    w2d = jnp.asarray(pad_to_words(arr))
-    padded = w2d.shape[0] * 512
+    host_words = pad_to_words(arr)
+    w2d = jnp.asarray(host_words)
+    w2d_wide = jnp.asarray(host_words.reshape(-1, 1024))
+    padded = host_words.shape[0] * 512
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def scan_chain(a, k):
@@ -147,26 +149,29 @@ def section_chip():
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def build_chain(a, k):
+        # the production PackedDeviceTape config (round 5): wide-
+        # native kernel, prefix consuming the (rows/8,128) output
         def body(i, acc):
             packed, parity, _na = stage1_fused_v4(
-                a, acc & 1, row_tile=512, count_nonascii=False)
+                a, acc & 1, row_tile=512, count_nonascii=False,
+                out_mode="wide_native")
             cum = prefix_for_packed(packed)
             return acc + parity + cum[-1] + packed[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    def marginal(chain, k_lo, k_hi, trials=4):
+    def marginal(chain, a, k_lo, k_hi, trials=4):
         mins = {k: float("inf") for k in (k_lo, k_hi)}
         for k in (k_lo, k_hi):
-            float(chain(w2d, k))
+            float(chain(a, k))
         for _ in range(trials):
             for k in (k_lo, k_hi):
                 t0 = time.time()
-                float(chain(w2d, k))
+                float(chain(a, k))
                 mins[k] = min(mins[k], time.time() - t0)
         return (mins[k_hi] - mins[k_lo]) / (k_hi - k_lo)
 
-    scan = padded / marginal(scan_chain, 16, 48) / 1e9
-    build = padded / marginal(build_chain, 8, 24) / 1e9
+    scan = padded / marginal(scan_chain, w2d, 16, 48) / 1e9
+    build = padded / marginal(build_chain, w2d_wide, 8, 24) / 1e9
     print(json.dumps({"scan_gbps": round(scan, 1),
                       "build_gbps": round(build, 1),
                       "padded_bytes": padded, "source": "measured"}))

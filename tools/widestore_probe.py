@@ -82,7 +82,18 @@ def make_chains(mode):
             return acc + parity + cum[-1] + packed[0, 0]
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    return scan_chain, build_chain
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def buildf_chain(a, k):
+        """full build with the IN-KERNEL fused prefix (round-5
+        re-measure of the fusion round 4 refuted for narrow)."""
+        def body(i, acc):
+            packed, parity, _na, cum = stage1_fused_v4(
+                a, acc & 1, row_tile=512, count_nonascii=False,
+                out_mode=mode, emit_prefix=True)
+            return acc + parity + cum[-1] + packed[0, 0]
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    return scan_chain, build_chain, buildf_chain
 
 
 def run(mb):
@@ -99,11 +110,12 @@ def run(mb):
     ks = (2, 6) if mb >= 512 else (16, 48)
     specs = {}
     for mode, kmode, arr in (("narrow", "narrow", w2d),
-                             ("wide", "wide", w2d),
                              ("widen", "wide_native", w2d_w)):
-        sc, bc = make_chains(kmode)
+        sc, bc, bf = make_chains(kmode)
         specs[f"scan_{mode}"] = (sc, arr, *ks)
         specs[f"build_{mode}"] = (bc, arr, *ks)
+        if kmode == "wide_native":
+            specs[f"buildf_{mode}"] = (bf, arr, *ks)
     pers = bench._marginal_multi(specs, trials=6, reps=2)
     for name, per in pers.items():
         print(f"{mb:5d}MiB {name:13s}: {per*1e6:9.1f} us/pass "
