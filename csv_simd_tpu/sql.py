@@ -2315,12 +2315,6 @@ def _exists_correlated_general(ast, inner, conjuncts, resolve_table,
              else (leaf_target, "in_rows", []))
     if ni == 0 or m == 0:
         return empty
-    if m * ni > _EXISTS_PAIR_LIMIT:
-        raise SqlError(
-            "correlated EXISTS with inequality/OR correlation "
-            f"evaluates {m} distinct outer keys x {ni} inner rows "
-            f"pairwise (> {_EXISTS_PAIR_LIMIT}); rewrite as a JOIN"
-        )
 
     def _arr(src, fr, name):
         vals = np.asarray(fr._columns[name])
@@ -2333,6 +2327,38 @@ def _exists_correlated_general(ast, inner, conjuncts, resolve_table,
              for c, n in zip(outer_refs, ofr.names)}
     icols = {c: _arr("i", ifr, n)
              for c, n in zip(inner_refs, ifr.names)}
+
+    # dedupe outer rows by key TUPLE before the pairwise evaluation
+    # (the verdict is per tuple; NULL is its own equality class via
+    # factorize_key's code) — a plain selection was read to keep the
+    # parse-validity masks DISTINCT would drop
+    from .window import factorize_key
+
+    combined, space = None, 1
+    for vals, ok in ocols.values():
+        c = factorize_key(vals, ok)
+        if c is None:
+            combined = None
+            break
+        g = int(c.max(initial=0)) + 1
+        if space * g >= 2**62:
+            combined = None
+            break
+        combined = (c.astype(np.int64) if combined is None
+                    else combined * g + c)
+        space *= g
+    if combined is not None:
+        _u, first = np.unique(combined, return_index=True)
+        reps = np.sort(first)
+        ocols = {c: (vals[reps], ok[reps])
+                 for c, (vals, ok) in ocols.items()}
+        m = reps.size
+    if m * ni > _EXISTS_PAIR_LIMIT:
+        raise SqlError(
+            "correlated EXISTS with inequality/OR correlation "
+            f"evaluates {m} distinct outer keys x {ni} inner rows "
+            f"pairwise (> {_EXISTS_PAIR_LIMIT}); rewrite as a JOIN"
+        )
 
     def _block_eval(e, sl):
         """(b, ni) bool for outer rows `sl` (broadcast shapes)."""
@@ -2394,12 +2420,10 @@ def _exists_correlated_general(ast, inner, conjuncts, resolve_table,
     from .query import _norm_row_key
 
     rows = np.flatnonzero(hit)
-    cols = [np.asarray(ofr._columns[nm]) for nm in ofr.names]
-    oks = []
-    for nm in ofr.names:
-        ok = ofr._ok.get(nm)
-        oks.append(np.ones(m, bool) if ok is None
-                   else np.asarray(ok, bool))
+    # read back through ocols: it carries the (possibly deduplicated)
+    # arrays the pairwise evaluation actually indexed
+    cols = [ocols[c][0] for c in outer_refs]
+    oks = [ocols[c][1] for c in outer_refs]
     # the in/in_rows machinery is equality-based: a NULL key never
     # matches. Under inequality/OR correlation a NULL-keyed outer row
     # CAN satisfy EXISTS through another arm — those tuples become
