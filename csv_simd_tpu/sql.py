@@ -133,7 +133,11 @@ Supported grammar (case-insensitive keywords):
   first and its distinct non-NULL values become the IN list the
   outer predicate compiles against; a SCALAR subquery may be the
   right side of any comparison (`qty > (SELECT AVG(qty) FROM t)`):
-  at most one row, empty/NULL matches nothing — [NOT] EXISTS
+  at most one row, empty/NULL matches nothing — and may appear as a
+  VALUE inside any expression, in items or WHERE arithmetic
+  (`SELECT (SELECT MAX(x) FROM u) AS m`, `qty - (SELECT AVG(qty)
+  FROM t)`, `WHERE q > (SELECT ...) - 2`; a NULL/empty scalar VALUE
+  raises rather than silently nulling the expression) — [NOT] EXISTS
   (SELECT ...): an uncorrelated inner runs once and folds to a
   constant through the AND/OR/NOT tree (a whole-tree TRUE drops the
   WHERE, FALSE matches nothing); a correlated inner whose
@@ -968,6 +972,16 @@ class _Parser:
             # fold a negated literal so `qty > -5` keeps the legacy
             # (col, op, number) leaf shape
             return ("lit", -f[1]) if f[0] == "lit" else ("neg", f)
+        if self.peek() == ("punc", "(") \
+                and self.peek(1) == ("kw", "select"):
+            # scalar subquery as a VALUE: SELECT (SELECT MAX(x) ...),
+            # qty - (SELECT AVG(qty) ...) — resolved to a literal at
+            # execution (_resolve_in_subqueries), like scalar
+            # comparisons
+            self.next()
+            sub = self._union()
+            self.expect("punc", ")")
+            return ("ssub", _InSubquery(sub, scalar=True))
         if self.accept("punc", "("):
             e = self._vexpr()
             self.expect("punc", ")")
@@ -1270,16 +1284,15 @@ class _Parser:
             op = self.expect("op")[1]
             if self.peek()[0] == "str":
                 leaf = (col, op, self.next()[1])
-            elif self.peek() == ("punc", "(") \
-                    and self.peek(1) == ("kw", "select"):
-                # scalar subquery comparison: col op (SELECT ...)
-                self.next()
-                sub = self._union()
-                self.expect("punc", ")")
-                leaf = (col, op, _InSubquery(sub, scalar=True))
             else:
+                # _vexpr also parses scalar subqueries as values
+                # (("ssub", _InSubquery)), so `col > (SELECT ...) - 2`
+                # composes; a BARE scalar subquery keeps the legacy
+                # (col, op, _InSubquery) leaf shape
                 rhs = self._vexpr()
                 if rhs[0] == "lit":
+                    leaf = (col, op, rhs[1])
+                elif rhs[0] == "ssub":
                     leaf = (col, op, rhs[1])
                 else:
                     # column-vs-column / column-vs-expression compares
@@ -2527,7 +2540,34 @@ def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
     before any executor compiles the predicates. EXISTS leaves resolve
     to True/False constants (uncorrelated) or rewrite to IN
     (correlated) — constants fold through AND/OR/NOT; a whole-tree
-    True drops the WHERE, a False compiles to a match-nothing leaf."""
+    True drops the WHERE, a False compiles to a match-nothing leaf.
+    Scalar subqueries used as VALUES inside expression trees
+    (SELECT (SELECT MAX(x) FROM u) AS m; WHERE q > (SELECT ...) + 1)
+    resolve their ("ssub", _InSubquery) nodes to literals here too."""
+    from .query import VExpr
+
+    def _res_vtree(t):
+        if not isinstance(t, tuple):
+            return t
+        if t[0] == "ssub":
+            v = _scalar_subquery_value(t[1], resolve_table, kw)
+            if v is None:
+                raise SqlError(
+                    "scalar subquery value produced NULL (empty "
+                    "result or NULL value) — COALESCE/filter inside "
+                    "the subquery"
+                )
+            return ("lit", v)
+        return (t[0],) + tuple(_res_vtree(x) for x in t[1:])
+
+    def _has_ssub(t):
+        return isinstance(t, tuple) and (
+            t[0] == "ssub" or any(_has_ssub(x) for x in t[1:]))
+
+    def _res_ve(ve):
+        if isinstance(ve, VExpr) and _has_ssub(ve.tree):
+            return VExpr(_res_vtree(ve.tree))
+        return ve
 
     def walk(e):
         if e is None:
@@ -2536,6 +2576,9 @@ def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
             r = _resolve_exists(e[1], ast, resolve_table, kw)
             return r if isinstance(r, bool) else walk(r)
         if isinstance(e, tuple) and len(e) == 3:
+            if any(isinstance(s, VExpr) and _has_ssub(s.tree)
+                   for s in (e[0], e[2])):
+                return (_res_ve(e[0]), e[1], _res_ve(e[2]))
             if isinstance(e[2], _InSubquery):
                 if e[2].scalar:
                     v = _scalar_subquery_value(e[2], resolve_table,
@@ -2551,8 +2594,6 @@ def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
                         # both sides to float32 on device, instead of
                         # the integral-literal strictness of plain
                         # typed leaves
-                        from .query import VExpr
-
                         return (VExpr(("col", e[0])), e[1],
                                 VExpr(("lit", v)))
                     return (e[0], e[1], v)
@@ -2599,8 +2640,13 @@ def _resolve_in_subqueries(ast: _Ast, resolve_table, kw) -> None:
         ast.where = None
     elif ast.where is False:
         ast.where = _false_where_leaf(ast, resolve_table, kw)
+
     for coll in (ast.items, [it for it, _ in ast.order_by]):
         for it in coll:
+            if isinstance(getattr(it, "expr", None), VExpr):
+                it.expr = _res_ve(it.expr)
+            if isinstance(getattr(it, "col", None), VExpr):
+                it.col = _res_ve(it.col)
             if it.kind == "case":
                 it.branches = [(as_leaf(walk(cond)), val)
                                for cond, val in it.branches]

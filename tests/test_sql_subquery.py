@@ -355,3 +355,49 @@ def test_scalar_subquery_comparison():
     with pytest.raises(SqlError, match="scalar subquery returned"):
         sql("SELECT sym FROM x WHERE qty = (SELECT qty FROM x)",
             tables=t, schema=s)
+
+
+# --------------------------------------- scalar subqueries as VALUES
+
+def test_scalar_subquery_item():
+    r = sql("SELECT sym, (SELECT MAX(qty) FROM t) AS mx FROM t",
+            CSV, schema=S)
+    mx = max(_q(row) for row in ROWS if _q(row) is not None)
+    assert [int(v) for v in r["mx"]] == [mx] * len(ROWS)
+
+
+def test_scalar_subquery_in_arithmetic_item():
+    r = sql("SELECT sym, qty - (SELECT MAX(qty) FROM t) AS d FROM t "
+            "WHERE qty IS NOT NULL", CSV, schema=S)
+    mx = max(_q(row) for row in ROWS if _q(row) is not None)
+    want = [_q(row) - mx for row in ROWS if _q(row) is not None]
+    assert [int(v) for v in r["d"]] == want
+
+
+def test_scalar_subquery_in_where_arithmetic():
+    r = sql("SELECT sym FROM t WHERE qty > (SELECT AVG(qty) FROM t)"
+            " - 1", CSV, schema=S)
+    qs = [_q(row) for row in ROWS if _q(row) is not None]
+    thr = sum(qs) / len(qs) - 1
+    want = [row[0] for row in ROWS
+            if _q(row) is not None and _q(row) > thr]
+    assert [str(v) for v in r["sym"]] == want
+
+
+def test_scalar_subquery_cross_table_item():
+    r = sql("SELECT sym, qty * (SELECT MAX(y) FROM u) AS v FROM t "
+            "WHERE qty IS NOT NULL",
+            tables={"t": CSV, "u": b"k,y\n1,7\n2,3\n"}, schema=S)
+    want = [_q(row) * 7 for row in ROWS if _q(row) is not None]
+    assert [int(v) for v in r["v"]] == want
+
+
+def test_scalar_subquery_item_null_raises():
+    with pytest.raises(SqlError, match="NULL"):
+        sql("SELECT (SELECT qty FROM t WHERE qty > 9999) AS x FROM t",
+            CSV, schema=S)
+
+
+def test_scalar_subquery_item_multirow_raises():
+    with pytest.raises(SqlError, match="rows"):
+        sql("SELECT (SELECT qty FROM t) AS x FROM t", CSV, schema=S)
