@@ -91,6 +91,23 @@ def main():
     assert (m_seq == ref).all(), "sharded seq path != golden"
     print("sharded_stage1(layout='seq') on 1-chip mesh: OK")
 
+    # round-5 WIDE layout through shard_map (the production
+    # ShardedPackedTape build config on TPU)
+    if compiled:
+        w_dev_w = jax.device_put(
+            jnp.asarray(w2d.reshape(-1, 1024)),
+            NamedSharding(mesh, P("data", None)))
+        packed_w, _cw, _cew, total_w, _pw = sharded_stage1(
+            w_dev_w, 0, mesh, use_pallas=True, layout="seq_wide",
+        )
+        m_wide = np.unpackbits(
+            np.ascontiguousarray(np.asarray(packed_w))
+            .view("<u4").view(np.uint8), bitorder="little",
+        )[: data.size]
+        assert (m_wide == ref).all(), "sharded seq_wide path != golden"
+        assert int(total_w) == int(ref.sum())
+        print("sharded_stage1(layout='seq_wide') on 1-chip mesh: OK")
+
     # compiled offsets-free sharded SERVING (build + shard_map gather)
     from csv_simd_tpu import create_from_bytes
     from csv_simd_tpu.parallel.serving import ShardedPackedTape
