@@ -500,7 +500,7 @@ class _Parser:
             ast.where = self._expr(having=False)
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            ast.group_by = self._name_list()
+            ast.group_by = self._group_list()
         if self.accept("kw", "having"):
             # HAVING may reference SELECT aliases (HAVING c >= 2 after
             # COUNT(*) AS c — SQLite/DuckDB both accept it); expose the
@@ -519,6 +519,7 @@ class _Parser:
             ast.limit = self._int_literal("LIMIT")
             if self.accept("kw", "offset"):
                 ast.offset = self._int_literal("OFFSET")
+        _resolve_ordinals(ast)
         return _rewrite_alias_group_by(ast)
 
     def _number(self):
@@ -1111,6 +1112,24 @@ class _Parser:
         out = [self._colref()]
         while self.accept("punc", ","):
             out.append(self._colref())
+        return out
+
+    def _group_list(self) -> List:
+        """GROUP BY accepts column refs AND 1-based ordinals (GROUP
+        BY 1 = the first SELECT item, SQLite/Postgres semantics);
+        ordinals resolve post-parse (_resolve_ordinals)."""
+        def one():
+            if self.peek()[0] == "num":
+                v = _num(self.next()[1])
+                if not isinstance(v, int):
+                    raise SqlError(
+                        f"GROUP BY ordinal must be an integer, got {v!r}")
+                return v
+            return self._colref()
+
+        out = [one()]
+        while self.accept("punc", ","):
+            out.append(one())
         return out
 
     def _nulls_modifier(self) -> bool:
@@ -2779,6 +2798,48 @@ def _all_columns(src, kw) -> List[str]:
     _, names = _resolve_tape(src, kw["dialect"], kw["backend"],
                              kw["engine"], False)
     return list(names)
+
+
+def _resolve_ordinals(ast: _Ast) -> None:
+    """1-based ordinal references resolve to SELECT items in place:
+    ORDER BY 2 orders by the second item (the previous behavior — a
+    constant key that silently didn't sort — was a wrong-results
+    trap); GROUP BY 1 groups by the first item's column/alias."""
+
+    def _item_for(n, what):
+        if not (1 <= n <= len(ast.items)):
+            raise SqlError(
+                f"{what} ordinal {n} is out of range "
+                f"(1..{len(ast.items)} SELECT items)")
+        it = ast.items[n - 1]
+        if it.kind == "star":
+            raise SqlError(
+                f"{what} ordinal {n} refers to *; name a column")
+        return it
+
+    ast.order_by = [
+        ((_item_for(it.expr.tree[1], "ORDER BY"), d)
+         if (it.kind == "expr"
+             and getattr(it.expr, "tree", (None,))[0] == "lit"
+             and isinstance(it.expr.tree[1], int))
+         else (it, d))
+        for it, d in ast.order_by
+    ]
+    gb = []
+    for k in ast.group_by:
+        if isinstance(k, int):
+            it = _item_for(k, "GROUP BY")
+            if it.kind == "col":
+                gb.append(it.col)
+            elif it.alias:
+                gb.append(it.alias)
+            else:
+                raise SqlError(
+                    f"GROUP BY ordinal {k} refers to a computed item "
+                    "with no alias — alias it (AS name)")
+        else:
+            gb.append(k)
+    ast.group_by = gb
 
 
 def _rewrite_alias_group_by(ast: _Ast) -> _Ast:

@@ -233,3 +233,31 @@ def test_having_unknown_name_raises():
     with pytest.raises(SqlError, match="aggregate"):
         sql("SELECT sym, COUNT(*) AS c FROM t GROUP BY sym "
             "HAVING nosuch >= 2", HCSV)
+
+
+# ------------------------------------------------- ordinal references
+
+ORD_CSV = b"sym,qty\nB,5\nA,1\nC,9\nA,3\n"
+
+
+def test_order_by_ordinal():
+    r = sql("SELECT sym, qty FROM t ORDER BY 1", ORD_CSV,
+            schema={"qty": "int32"})
+    assert [str(v) for v in r["sym"]] == ["A", "A", "B", "C"]
+    r2 = sql("SELECT sym, qty FROM t ORDER BY 2 DESC, 1", ORD_CSV,
+             schema={"qty": "int32"})
+    assert [int(v) for v in r2["qty"]] == [9, 5, 3, 1]
+
+
+def test_group_by_ordinal():
+    r = sql("SELECT sym, SUM(qty) AS s FROM t GROUP BY 1 "
+            "ORDER BY 2 DESC", ORD_CSV, schema={"qty": "int32"})
+    assert [str(v) for v in r["sym"]] == ["C", "B", "A"]
+    assert [int(v) for v in r["s"]] == [9, 5, 4]
+
+
+def test_ordinal_out_of_range_raises():
+    with pytest.raises(SqlError, match="out of range"):
+        sql("SELECT sym FROM t ORDER BY 5", ORD_CSV)
+    with pytest.raises(SqlError, match="refers to"):
+        sql("SELECT * FROM t GROUP BY 1", ORD_CSV)
