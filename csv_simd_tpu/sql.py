@@ -78,7 +78,8 @@ Supported grammar (case-insensitive keywords):
   derived tables (not with GROUP BY — wrap the grouped select in a
   derived table): `agg(col) OVER ([PARTITION BY cols] [ORDER BY col
   [ASC|DESC], ...])` for SUM/MIN/MAX/COUNT/AVG (COUNT(*) too), plus
-  ROW_NUMBER(), RANK(), DENSE_RANK(), NTILE(n) (ORDER BY required),
+  ROW_NUMBER(), RANK(), DENSE_RANK(), PERCENT_RANK(), CUME_DIST(),
+  NTILE(n) (ORDER BY required),
   LAG/LEAD(col [, n]) (default n=1), and FIRST_VALUE/LAST_VALUE(col)
   / NTH_VALUE(col, n) — frame-position values that do NOT skip NULLs;
   their default frame ends at the current peer group (give LAST_VALUE
@@ -242,8 +243,9 @@ _TEXT_FNS = {"upper", "lower", "trim", "ltrim", "rtrim",
 # folds whose first tuple element is the column ref (rest: arguments)
 _TUPLE_FOLDS = ("substr", "replace", "instr")
 # pure window functions (aggregates also become windows via OVER)
-_WIN_FNS = {"row_number", "rank", "dense_rank", "lag", "lead",
-            "first_value", "last_value", "nth_value", "ntile"}
+_WIN_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
+            "cume_dist", "lag", "lead", "first_value", "last_value",
+            "nth_value", "ntile"}
 
 
 def _tokenize(text: str) -> List[Tuple[str, str]]:
@@ -854,7 +856,8 @@ class _Parser:
             raise SqlError(
                 f"{fn.upper()}() does not take a ROWS/RANGE frame "
                 "(frames apply to aggregates and FIRST/LAST/NTH_VALUE)")
-        if fn in ("rank", "dense_rank", "ntile") and not it.worder:
+        if fn in ("rank", "dense_rank", "percent_rank", "cume_dist",
+                  "ntile") and not it.worder:
             raise SqlError(f"{fn.upper()}() needs ORDER BY in OVER")
         return it
 
@@ -3629,6 +3632,8 @@ def _device_window_column(fr, it, fn, n, part_cols, order_refs, vals,
     kind, payload = res
     if kind == "int":
         return payload, None, Col("int32")
+    if kind == "float":
+        return payload, None, Col("float")
     if kind == "sum":
         sums, okb = payload
         out = sums.astype(object)
@@ -3861,10 +3866,18 @@ def _window_column(fr, it: _Item, resolve):
                 groups[-1].append(i)
             else:
                 groups.append([i])
-        if fn == "rank" or fn == "dense_rank":
+        if fn in ("rank", "dense_rank", "percent_rank", "cume_dist"):
             seen_rows = 0
+            size = len(rows)
             for gi, grp in enumerate(groups):
-                r = (gi + 1) if fn == "dense_rank" else seen_rows + 1
+                if fn == "dense_rank":
+                    r = gi + 1
+                elif fn == "rank":
+                    r = seen_rows + 1
+                elif fn == "percent_rank":
+                    r = (seen_rows / (size - 1)) if size > 1 else 0.0
+                else:  # cume_dist: peers through this group / size
+                    r = (seen_rows + len(grp)) / size
                 for i in grp:
                     out[i] = r
                 seen_rows += len(grp)
@@ -3909,6 +3922,9 @@ def _window_column(fr, it: _Item, resolve):
     if fn in ("row_number", "rank", "dense_rank", "count", "ntile"):
         return (np.array([int(v) for v in out], np.int64), None,
                 Col("int32"))
+    if fn in ("percent_rank", "cume_dist"):
+        return (np.array([float(v) for v in out], np.float64), None,
+                Col("float"))
     if fn == "mean":
         arr = np.array([np.nan if v is None else v for v in out],
                        np.float64)

@@ -314,6 +314,17 @@ def _window_device(perm, part_k, order_k, vals, vok, *, fn: str,
     if fn == "dense_rank":
         return perm, _seg_scan(peer_change.astype(jnp.int32),
                                part_change, jnp.add)
+    if fn in ("percent_rank", "cume_dist"):
+        # returned as INT (numerator, denominator) pairs — the host
+        # divides in float64 so both executors agree bit-for-bit
+        part_end = _ends(part_change, idx, n)
+        size = part_end - seg_start + 1
+        if fn == "percent_rank":
+            peer_start = jax.lax.cummax(jnp.where(peer_change, idx, 0))
+            return (perm, peer_start - seg_start,
+                    jnp.maximum(size - 1, 1))
+        peer_end = _ends(peer_change, idx, n)
+        return perm, peer_end - seg_start + 1, size
     if fn in ("lag", "lead"):
         part_end = _ends(part_change, idx, n)
         j = idx + offset if fn == "lead" else idx - offset
@@ -623,6 +634,10 @@ def window_column(
 
     if fn in ("row_number", "rank", "dense_rank", "count", "ntile"):
         return "int", scatter(out[1], np.int64)
+    if fn in ("percent_rank", "cume_dist"):
+        num = scatter(out[1], np.float64)
+        den = scatter(out[2], np.float64)
+        return "float", num / den
     if fn in ("lag", "lead", "first_value", "last_value", "nth_value"):
         return "src", scatter(out[1], np.int64)
     if fn in ("min", "max"):

@@ -73,6 +73,10 @@ QUERIES = [
     " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lo FROM t",
     "SELECT tag, MIN(qty) OVER (PARTITION BY grp ORDER BY qty DESC"
     " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx FROM t",
+    # round-5: percent_rank / cume_dist
+    "SELECT tag, PERCENT_RANK() OVER (PARTITION BY grp ORDER BY qty)"
+    " AS pr, CUME_DIST() OVER (PARTITION BY grp ORDER BY qty) AS cd"
+    " FROM t",
 ]
 
 
@@ -215,3 +219,27 @@ def test_order_key_all_null(monkeypatch):
     want = sql(q, csv, schema=sch)
     assert _vals(fr, "r") == _vals(want, "r")
     assert _vals(fr, "s") == _vals(want, "s")
+
+
+def test_percent_rank_cume_dist_semantics(monkeypatch):
+    """Standard definitions against a hand-computed oracle, on BOTH
+    executors: PERCENT_RANK = (rank-1)/(size-1) (0.0 for size-1
+    partitions), CUME_DIST = peers-through-current / size."""
+    csv = b"g,v\n" + b"".join(
+        b"%s,%d\n" % (g, v)
+        for g, v in [(b"a", 3), (b"a", 1), (b"a", 3), (b"a", 7),
+                     (b"b", 5), (b"c", 2), (b"c", 2)])
+    q = ("SELECT g, v, PERCENT_RANK() OVER (PARTITION BY g ORDER BY v)"
+         " AS pr, CUME_DIST() OVER (PARTITION BY g ORDER BY v) AS cd"
+         " FROM t")
+    want = {  # (g, v) -> (pr, cd), computed by hand
+        ("a", 1): (0.0, 0.25), ("a", 3): (1 / 3, 0.75),
+        ("a", 7): (1.0, 1.0), ("b", 5): (0.0, 1.0),
+        ("c", 2): (0.0, 1.0),
+    }
+    for minrows in (1, 10**9):
+        monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", minrows)
+        r = sql(q, csv, schema={"v": "int32"})
+        for g, v, pr, cd in zip(r["g"], r["v"], r["pr"], r["cd"]):
+            wpr, wcd = want[(str(g), int(v))]
+            assert float(pr) == wpr and float(cd) == wcd, (g, v, minrows)
