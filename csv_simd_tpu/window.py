@@ -246,10 +246,15 @@ def _rmq_table(m, combine, levels: int):
     variable clamped windows partitions produce)."""
     rows = [m]
     cur = m
+    n = m.shape[0]
     for k in range(1, levels):
         sh = 1 << (k - 1)
-        shifted = jnp.concatenate([cur[sh:], jnp.full((sh,), _ident(
-            cur.dtype, combine))])
+        # a level shift past the array end pads entirely (frames wider
+        # than the data happen: ROWS BETWEEN 100 PRECEDING ... over a
+        # 3-row frame — hypothesis found the stack-shape crash)
+        pad = min(sh, n)
+        shifted = jnp.concatenate([cur[sh:], jnp.full(
+            (pad,), _ident(cur.dtype, combine))])
         cur = combine(cur, shifted)
         rows.append(cur)
     return jnp.stack(rows)

@@ -224,3 +224,19 @@ def test_nulls_modifier():
     assert len(r4) == 1
     with pytest.raises(SqlError, match="NULLS FIRST or NULLS LAST"):
         sql("SELECT v FROM t ORDER BY v NULLS MAYBE", CSV, schema=S)
+
+
+def test_bounded_minmax_frame_wider_than_data(monkeypatch):
+    """ROWS frames wider than the whole input (found by hypothesis:
+    the RMQ level shift passed the array end and crashed the stack)."""
+    import csv_simd_tpu.window as W
+
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1)
+    csv = b"g,v\n0,3\n0,1\n1,5\n"
+    q = ("SELECT MIN(v) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN"
+         " 100 PRECEDING AND 200 FOLLOWING) AS lo FROM t")
+    dev = sql(q, csv, schema={"g": "int32", "v": "int32"})
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 10**9)
+    host = sql(q, csv, schema={"g": "int32", "v": "int32"})
+    assert [int(v) for v in dev["lo"]] == [int(v) for v in host["lo"]] \
+        == [1, 1, 5]
