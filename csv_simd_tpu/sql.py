@@ -50,6 +50,11 @@ Supported grammar (case-insensitive keywords):
   device group-by keyed by the column + O(#distinct) host reduce;
   per group: a pair group-by over (group keys + col), like
   COUNT(DISTINCT)); SUM/AVG over text raise.
+  GROUP_CONCAT(col [, 'sep']) / STRING_AGG — per-group (or whole-
+  table) concatenation of the non-NULL values in RECORD order
+  (SQLite's arrival semantics, separator default ','; numerics
+  stringify; all-NULL groups yield NULL; base-table GROUP BY only —
+  joins/corpus merges raise).
   COUNT(DISTINCT col) counts distinct non-NULL values (NULL =
   typed-parse failure): scalar or per group, it rides a device
   group-by whose key is (group keys + col) — one row per distinct
@@ -235,7 +240,8 @@ _KEYWORDS = {
     "union", "all", "except", "intersect", "exists",
 }
 
-_AGG_FNS = {"sum", "min", "max", "count", "avg", "mean"}
+_AGG_FNS = {"sum", "min", "max", "count", "avg", "mean",
+            "group_concat", "string_agg"}
 # text functions sharing the "fold" item kind (host-applied at
 # materialization, like UPPER/LOWER; WHERE-side folds stay upper/lower)
 _TEXT_FNS = {"upper", "lower", "trim", "ltrim", "rtrim",
@@ -701,7 +707,25 @@ class _Parser:
                     from .query import VExpr
 
                     col = VExpr(tree)
+            sep = ","
+            if fn in ("group_concat", "string_agg") \
+                    and self.accept("punc", ","):
+                if self.peek()[0] != "str":
+                    raise SqlError(
+                        f"{fn.upper()} separator must be a string "
+                        "literal")
+                sep = self.next()[1]
             self.expect("punc", ")")
+            if fn in ("group_concat", "string_agg"):
+                # STRING_AGG is the Postgres spelling of the same
+                # aggregate; one canonical name downstream
+                if not isinstance(col, str):
+                    raise SqlError(
+                        f"{fn.upper()} takes a plain column")
+                it = _Item("agg", col=col, fn="group_concat",
+                           distinct=dis)
+                it.sep = sep
+                return it
             return _Item("agg", col=col, fn=fn, distinct=dis)
         tree = self._vexpr()
         if tree[0] == "col":
@@ -1355,6 +1379,11 @@ class _Parser:
                 "HAVING conditions compare aggregates (or SELECT "
                 "aliases of aggregates), e.g. COUNT(*) >= 10, "
                 "SUM(qty) > 0, or c >= 2 after COUNT(*) AS c"
+            )
+        if it.fn == "group_concat":
+            raise SqlError(
+                "HAVING cannot compare GROUP_CONCAT (a text "
+                "aggregate) against numbers"
             )
         op = self.expect("op")[1]
         if self.peek()[0] != "num" and self.peek() != ("punc", "-"):
@@ -3017,6 +3046,8 @@ def _dequalify_ast(ast: _Ast, tname: str) -> None:
     def deq_item(it: _Item) -> _Item:
         it2 = _Item(it.kind, fn=it.fn, alias=it.alias,
                     distinct=it.distinct)
+        if hasattr(it, "sep"):  # GROUP_CONCAT separator rides along
+            it2.sep = it.sep
         if isinstance(it.col, tuple):
             it2.col = tuple(deq(c) for c in it.col)
         elif isinstance(it.col, VExpr):
@@ -4017,6 +4048,48 @@ def _order_group_rows(columns, order, n: int):
     return np.asarray(idx, np.int64)
 
 
+def _group_concat_column(src, keys, it: _Item, ast, kw, g):
+    """GROUP_CONCAT(col [, sep]) / STRING_AGG: per-group concatenation
+    of the column's non-NULL values in RECORD ORDER (SQLite's arrival
+    semantics), separator default ','. One host pass over the
+    (filtered) rows — text assembly is inherently host work, like the
+    CSV writer. All-NULL groups yield SQL NULL."""
+    from .frame import read_typed
+
+    cols = list(keys) + ([it.col] if it.col not in keys else [])
+    fr = read_typed(
+        src, kw["schema"], columns=cols, where=ast.where,
+        engine=kw["engine"], backend=kw["backend"],
+        dialect=kw["dialect"], sample=kw["sample"],
+    )
+    gkeys = g["keys"] if isinstance(g["keys"], list) else [g["keys"]]
+    gmap = {}
+    for gi in range(int(np.asarray(g["count"]).shape[0])):
+        gmap[tuple(_pykey(np.asarray(a)[gi]) for a in gkeys)] = gi
+    parts: Dict[int, list] = {}
+    karrs = [(np.asarray(fr._columns[k]), fr._ok.get(k)) for k in keys]
+    vvals = np.asarray(fr._columns[it.col])
+    vok = fr._ok.get(it.col)
+    for i in range(len(fr)):
+        if vok is not None and not vok[i]:
+            continue  # NULL values are skipped (SQL)
+        t = tuple(None if (ok is not None and not ok[i])
+                  else _pykey(a[i]) for a, ok in karrs)
+        gi = gmap.get(t)
+        if gi is None:
+            continue  # NULL-keyed rows form no group (layer semantics)
+        v = vvals[i]
+        parts.setdefault(gi, []).append(
+            v if isinstance(v, str)
+            else v.decode("utf-8", "surrogateescape")
+            if isinstance(v, (bytes, np.bytes_)) else str(v))
+    sep = getattr(it, "sep", ",")
+    return np.array(
+        [sep.join(parts[gi]) if gi in parts else None
+         for gi in range(int(np.asarray(g["count"]).shape[0]))],
+        object)
+
+
 def _agg_array(g_aggs, col: str, fn: str):
     """One aggregate column of a group result. Groups where every value
     failed its typed parse (per-column count 0) have sentinel
@@ -4110,6 +4183,7 @@ def _run_groupby(ast: _Ast, src, kw):
 
     def _mark_text(it: _Item) -> None:
         if (it.kind != "agg" or it.distinct
+                or it.fn == "group_concat"
                 or not isinstance(it.col, str)
                 or it.col in tcols):
             return
@@ -4129,6 +4203,7 @@ def _run_groupby(ast: _Ast, src, kw):
     seen = set()
     for it in agg_items:
         if (it.col is not None and not it.distinct
+                and it.fn != "group_concat"
                 and _vkey(it.col) not in seen
                 and _vkey(it.col) not in tcols):
             seen.add(_vkey(it.col))
@@ -4184,7 +4259,7 @@ def _run_groupby(ast: _Ast, src, kw):
             c: _distinct_per_group(src, keys, c, ast, kw, g)
             for c in dcols
         }
-    return _groups_to_result(ast, keys, g)
+    return _groups_to_result(ast, keys, g, src=src, kw=kw)
 
 
 def _pykey(x):
@@ -4326,7 +4401,8 @@ def _distinct_per_group(src, keys, col, ast, kw, g) -> np.ndarray:
     )
 
 
-def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
+def _groups_to_result(ast: _Ast, keys: List[str], g: Dict,
+                      src=None, kw=None) -> SqlResult:
     """Shared assembly: a group-by dict ({"keys","count","aggs"}) +
     the SELECT items -> SqlResult with ORDER BY/LIMIT applied. Item
     col names must already match `keys` / the aggs keys."""
@@ -4356,6 +4432,15 @@ def _groups_to_result(ast: _Ast, keys: List[str], g: Dict) -> SqlResult:
             _add(it.name(), np.asarray(g["count"]), "int64")
         elif it.distinct:
             _add(it.name(), g["distinct"][it.col], "int64")
+        elif it.fn == "group_concat":
+            if src is None:
+                raise SqlError(
+                    "GROUP_CONCAT is supported on base-table GROUP "
+                    "BY only (not joins/corpus merges) — materialize "
+                    "first")
+            _add(it.name(),
+                 _group_concat_column(src, keys, it, ast, kw, g),
+                 "str")
         else:
             key = it.col if isinstance(it.col, str) else str(it.col)
             arr, t = _agg_array(g["aggs"], key, it.fn)
@@ -4492,12 +4577,21 @@ def _frame_scalar_aggs(ast: _Ast, fr, resolve) -> SqlResult:
                 colvals = np.asarray(fr._columns[c])
             ok = (np.ones(len(fr), bool) if okm is None
                   else np.asarray(okm, bool))
-            if col.type in ("str", "bytes") and it.fn != "count":
+            if it.fn == "group_concat":
+                # whole-input GROUP_CONCAT: non-NULL values in record
+                # order (any column type; numerics stringify)
+                txt = [v if isinstance(v, str)
+                       else v.decode("utf-8", "surrogateescape")
+                       if isinstance(v, (bytes, np.bytes_)) else str(v)
+                       for v in colvals[ok]]
+                val = getattr(it, "sep", ",").join(txt) if txt else None
+                t = "str"
+            elif col.type in ("str", "bytes") and it.fn != "count":
                 raise SqlError(
                     f"{it.fn}({it.col}) needs a numeric column; "
                     f"{it.col!r} is text"
                 )
-            if it.fn == "count":
+            elif it.fn == "count":
                 if it.distinct:
                     val = len({_pykey(v) for v in colvals[ok]})
                 else:
@@ -4601,6 +4695,12 @@ def _run_join_groupby(ast: _Ast, fr, resolve) -> SqlResult:
                 and not it.distinct and it.col not in value_cols):
             value_cols.append(it.col)
     for it in agg_items:
+        if it.fn == "group_concat":
+            raise SqlError(
+                "GROUP_CONCAT over a JOIN / derived frame is not "
+                "supported — group on the base table, or materialize "
+                "the join first (WITH ... )"
+            )
         if (it.col is not None
                 and fr.schema[it.col].type in ("str", "bytes")
                 and it.fn != "count"):
@@ -4796,6 +4896,25 @@ def _run_scalar_aggs(ast: _Ast, src, kw):
                 val, t = _stats(probe).count, "int64"
             else:
                 val, t = _count_rows(src, ast.where, kw), "int64"
+        elif it.fn == "group_concat":
+            # whole-table GROUP_CONCAT: non-NULL values in record
+            # order (host text assembly, like the CSV writer)
+            from .frame import read_typed
+
+            gfr = read_typed(
+                src, kw["schema"], columns=[it.col], where=ast.where,
+                engine=kw["engine"], backend=kw["backend"],
+                dialect=kw["dialect"], sample=kw["sample"],
+            )
+            gok = gfr._ok.get(it.col)
+            gvals = np.asarray(gfr._columns[it.col])
+            txt = [v if isinstance(v, str)
+                   else v.decode("utf-8", "surrogateescape")
+                   if isinstance(v, (bytes, np.bytes_)) else str(v)
+                   for i, v in enumerate(gvals)
+                   if gok is None or gok[i]]
+            val = getattr(it, "sep", ",").join(txt) if txt else None
+            t = "str"
         else:
             st = _stats(it.col)
             if it.fn == "count":
