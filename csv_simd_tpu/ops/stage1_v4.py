@@ -43,6 +43,20 @@ stage1_fused_seq), per tools/ablate2.py measurements:
   domain via the 0x204081 multiply-gather). The 'mul'/'lsr7' forms
   stay selectable for A/B.
 
+Round 5: out_mode='wide_native' — the PRODUCTION build config. A
+dedicated block-geometry kernel (_stage1_v4_kernel_wide) views the
+input as (rows/8, 1024), processes eight 128-lane blocks per wide row
+with a dual-rail quote-carry trick (both carry parities nibble-
+compressed in one pass; the row scan picks a rail afterwards), packs
+via lane-placed (1024,128) int8 matmuls, and stores dense
+(rows/8, 128) blocks — erasing the 1 GiB narrow-output DMA penalty
+(build 153.7 -> 229.1 GB/s same-batch; BENCH 1 GiB 233.9 vs round-4's
+156.9). Consumers (prefix kernel, rank-select, sharded serve) take
+the wide layout natively; reshaping between (rows,16) and
+(rows/8,128) INSIDE a jitted chain materializes a relayout copy at
+scale and must not happen (PERF_NOTES round-5). The saved artifact
+file stays the narrow format (host reshapes are free).
+
 Reference lineage: the same fused pass as avx/stage1.rs:193-430; SWAR
 equality replaces the vpshufb nibble LUTs, MXU matmuls replace both
 PCLMULQDQ (prefix-XOR scans) and movemask (the bit pack).
@@ -585,7 +599,19 @@ def stage1_fused_v4(
     popcounts come out of the same pass (feeding the offsets-free
     prefix without re-reading the packed words); with
     count_nonascii=False the fused high-bit reduce is skipped entirely
-    and nonascii_count comes back as -1 (meaning "not counted")."""
+    and nonascii_count comes back as -1 (meaning "not counted").
+
+    out_mode (round 5): 'narrow' (default) keeps the (rows, 16)
+    output; 'wide'/'wide_native' run the block-geometry dual-rail
+    kernel with dense (rows/8, 128) stores — the PRODUCTION build
+    config (module docstring). Input may be pre-shaped (rows/8, 1024)
+    for the wide modes (preferred: no in-jit reshape). 'wide' reshapes
+    the result back to (rows, 16); 'wide_native' returns the
+    (rows/8, 128) array as-is for reshape-free consumers
+    (prefix_for_packed, rank-select, the sharded serve). emit_prefix
+    with the wide modes fuses the row popcount prefix in-kernel
+    (verified bit-identical; measured-refuted for production — the
+    separate prefix pass is faster, PERF_NOTES round-5)."""
     rows, lanes = w2d.shape
     if lanes == 8 * LANES:
         # wide-geometry input (rows/8, 1024): the SAME byte stream,

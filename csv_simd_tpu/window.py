@@ -38,7 +38,7 @@ same device sort/segment machinery as query.groupby_typed.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
