@@ -196,9 +196,24 @@ def main():
         assert [int(v) for v in dev_r["s"]] == \
             [int(v) for v in host_r["s"]]
         assert dev_r["rn"].tolist() == host_r["rn"].tolist()
+        # round-5 shapes: bounded ROWS MIN/MAX (sparse-table range
+        # extrema) and PERCENT_RANK (int-pair numerators)
+        W.DEVICE_WINDOW_MIN_ROWS = 1
+        wq5 = ("SELECT MIN(qty) OVER (PARTITION BY sym ORDER BY qty "
+               "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS lo, "
+               "PERCENT_RANK() OVER (PARTITION BY sym ORDER BY qty) "
+               "AS pr FROM t")
+        dev5 = run_sql(wq5, pt)
+        W.DEVICE_WINDOW_MIN_ROWS = 10**9
+        host5 = run_sql(wq5, pt)
+        assert [None if v is None else int(v) for v in dev5["lo"]] == \
+            [None if v is None else int(v) for v in host5["lo"]]
+        assert [float(v) for v in dev5["pr"]] == \
+            [float(v) for v in host5["pr"]]
     finally:
         W.DEVICE_WINDOW_MIN_ROWS = old_min
-    print("device window executor on chip: OK (== host oracle)")
+    print("device window executor on chip: OK (== host oracle, "
+          "incl. bounded MIN/MAX + PERCENT_RANK)")
 
     # device set-op executor vs the host row codes, on the chip
     import csv_simd_tpu.setops as SO
