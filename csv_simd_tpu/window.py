@@ -498,6 +498,8 @@ def window_column(
 
     - kind "int":  payload (n,) np.int64      (row_number/rank/
                    dense_rank/count)
+    - kind "float": payload (n,) np.float64   (percent_rank/cume_dist
+                   — int numerators divided in float64 on host)
     - kind "sum":  payload ((n,) np.int64 exact sums, (n,) bool ok)
     - kind "fsum": payload ((n,) np.float64 compensated-pair sums, ok)
     - kind "mean": payload ((n,) np.float64, ok)
